@@ -1,13 +1,343 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{Embeddings, Events, Relational, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB-equivalent in `oracleSql` (same
+  * column names, same ordering, same arithmetic op order so doubles are
+  * bit-equal — rationale in the query modules' scaladoc). Non-SQL operators
+  * (TF-IDF, MinHash LSH join, logistic regression, ANN) are covered by
+  * ScalaTest specs instead, per the contract.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference p1 relational core re-expressed on the documents table
+    * (SURVEY.md §7.3): candidate pairs → featurize → label. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextAnalysis.linkpredPairs(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core (SURVEY §2.2-2.5)
+    "q_pricing_summary"   -> (Relational.pricingSummary(_, _)),
+    "q_region_revenue"    -> (Relational.regionRevenue(_, _)),
+    "q_top_orders"        -> (Relational.topOrders(_, _)),
+    "q_customer_top_orders" -> ((s, d) => Relational.customerTopOrders(s, d)),
+    "q_label_join"        -> (Relational.labelJoin(_, _)),
+    "q_customers_with_orders"    -> (Relational.customersWithOrders(_, _)),
+    "q_customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
+    "q_triplet_join"      -> (Relational.tripletJoin(_, _)),
+    "q_orders_rollup"     -> (Relational.ordersRollup(_, _)),
+    "q_threshold_sweep"   -> (Relational.thresholdSweep(_, _)),
+    // events (SURVEY §7.4)
+    "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
+    "q_json_props"        -> (Events.jsonProps(_, _)),
+    "q_user_sessions"     -> ((s, d) => Events.userSessions(s, d)),
+    // text analysis / dedup (north star)
+    "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
+    "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
+    "q_lang_id"           -> (TextAnalysis.langId(_, _)),
+    "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
+    "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
+    "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
+    "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
+    // embeddings / similarity search (north star)
+    "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
+    "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
+  )
+
+  // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
+  //   string_split, list_distinct, list_intersect (set semantics =
+  //   Spark array_intersect), list_filter(x -> x IN (...)),
+  //   list_transform(generate_series(1, n), i -> ...) (1-based, [] when
+  //   n < 1), list_reduce (left fold from the first element ≡ Spark
+  //   aggregate with 0.0 init), epoch_us, json_extract_string, md5.
+
+  private val dotSql =
+    // strict in-order left-fold dot product, elementwise double cast —
+    // mirrors graft.queries.Embeddings.dot exactly.
+    (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, len($a)), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_customer_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_label_join" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN c_custkey IS NULL THEN 0 ELSE 1 END AS label,
+        |  count(*) AS n_orders
+        |FROM orders
+        |LEFT OUTER JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) hb
+        |  ON o_custkey = hb.c_custkey
+        |GROUP BY o_orderstatus, label
+        |ORDER BY o_orderstatus, label""".stripMargin,
+
+    "q_customers_with_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_customers_without_orders" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_triplet_join" ->
+      """SELECT p_brand, s_nationkey,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_quantity >= 30.0
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_threshold_sweep" ->
+      """WITH grouped AS (
+        |  SELECT l_discount AS score,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+        |    count(*) AS tot
+        |  FROM lineitem GROUP BY l_discount
+        |), cum AS (
+        |  SELECT score,
+        |    sum(pos) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tp,
+        |    sum(tot) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pred,
+        |    sum(pos) OVER () AS total_pos
+        |  FROM grouped
+        |), pr AS (
+        |  SELECT score AS threshold,
+        |    CAST(cum_tp AS DOUBLE) / CAST(cum_pred AS DOUBLE) AS precision,
+        |    CAST(cum_tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS recall
+        |  FROM cum
+        |)
+        |SELECT threshold, precision, recall,
+        |  CASE WHEN precision + recall = 0.0 THEN 0.0
+        |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+        |FROM pr
+        |ORDER BY threshold DESC""".stripMargin,
+
+    "q_hourly_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+        |              OR ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM flagged
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q_token_stats" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+        |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM d
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+        |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('el', 'la', 'de'))) AS s_es,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('der', 'die', 'und'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('le', 'les', 'et'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('ni', 'hao', 'ma'))) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_guess
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_same
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS kept_doc_id
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) AS sz
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, lang,
+        |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.12
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_linkpred_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
+        |    len(list_intersect(a.tset, b.tset)) AS common_tokens,
+        |    len(a.tset) + len(b.tset) AS sz,
+        |    CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END AS same_lang,
+        |    abs(a.n_chars - b.n_chars) AS chars_diff
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, source, common_tokens, same_lang, chars_diff,
+        |  CAST(common_tokens AS DOUBLE) / CAST(sz - common_tokens AS DOUBLE) AS jaccard,
+        |  CASE WHEN CAST(common_tokens AS DOUBLE) / CAST(sz - common_tokens AS DOUBLE) >= 0.5
+        |       THEN 1 ELSE 0 END AS label
+        |FROM pairs
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+         |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id != q.vec_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+         |  FROM pairs
+         |)
+         |SELECT q_id, vec_id, cosine, rank FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "q_cosine_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+         |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin,
+  )
 }

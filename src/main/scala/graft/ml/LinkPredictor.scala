@@ -1,0 +1,139 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Supervised link prediction — the reference's p1 program
+  * (Predictor.scala:350-380) as a reusable operator set.
+  *
+  * Node table shape: (id, year, title, authors, journal, abstract) — all
+  * strings (reference S1). Edge tables: (srcId, dstId[, label]).
+  *
+  * Deviations from the reference, all deliberate (SURVEY.md §2.6/2.8):
+  *  - F1/F2/F4 are built-in expressions, not UDFs (codegen, null-propagating;
+  *    nulls filled explicitly instead of the Spark-2.4 silent null→0).
+  *  - metrics sweep on P(label=1) (probability), not the hard 0/1
+  *    prediction the reference fed BinaryClassificationMetrics (Q4) —
+  *    and it is relational (groupBy + window cumsum), not an RDD detour.
+  *  - the double attribute join broadcasts the node table when small.
+  */
+object LinkPredictor {
+
+  /** J1+J2: attach both endpoints' attributes to an edge list.
+    * Output columns: srcId, dstId [, label] + *_from / *_to attrs. */
+  def attachNodeAttrs(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val attrs = nodes.columns.filter(_ != "id")
+    val from = nodes.toDF(nodes.columns.map(c =>
+      if (c == "id") "__fid" else s"${c}_from"): _*)
+    val to = nodes.toDF(nodes.columns.map(c =>
+      if (c == "id") "__tid" else s"${c}_to"): _*)
+    edges
+      .join(broadcast(from), edges("srcId") === col("__fid"))
+      .join(broadcast(to), edges("dstId") === col("__tid"))
+      .drop("__fid", "__tid")
+  }
+
+  /** F1-F3 + tokenized text features over an attached-pairs frame. */
+  def featurize(pairs: DataFrame): DataFrame = {
+    val common = TextOps.commonWordsMultiset
+    def cleanToks(c: String) = TextOps.removeStopwords(
+      TextOps.tokenize(col(c)), enStopwords)
+    pairs
+      .withColumn("year_diff",
+        coalesce(TextOps.yearDiff(col("year_from"), col("year_to")), lit(0)))
+      .withColumn("same_journal",
+        TextOps.sameJournal(col("journal_from"), col("journal_to")))
+      .withColumn("common_title_words",
+        common(cleanToks("title_from"), cleanToks("title_to")))
+      .withColumn("common_abstract_words",
+        common(cleanToks("abstract_from"), cleanToks("abstract_to")))
+      .withColumn("common_authors",
+        common(split(col("authors_from"), ","), split(col("authors_to"), ",")))
+  }
+
+  private val enStopwords =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
+
+  val featureCols: Array[String] = Array(
+    "year_diff", "same_journal", "common_title_words",
+    "common_abstract_words", "common_authors")
+
+  /** Assemble features + fit LR (reference M6/M7; maxIter as reference). */
+  def train(featurized: DataFrame, maxIter: Int = 100)
+      : (LogisticRegressionModel, DataFrame) = {
+    val assembled = assemble(featurized)
+    val lr = new LogisticRegression()
+      .setMaxIter(maxIter)
+      .setFeaturesCol("features")
+      .setLabelCol("label")
+    val model = lr.fit(assembled)
+    (model, assembled)
+  }
+
+  def assemble(featurized: DataFrame): DataFrame =
+    new VectorAssembler()
+      .setInputCols(featureCols)
+      .setOutputCol("features")
+      .setHandleInvalid("skip")
+      .transform(featurized.withColumn("label", col("label").cast("double")))
+
+  /** P(label=1) from the model's probability vector, as a column. */
+  def score(model: LogisticRegressionModel, assembled: DataFrame): DataFrame = {
+    val p1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.transform(assembled)
+      .withColumn("p1", p1(col("probability")))
+  }
+
+  /** Relational threshold-sweep metrics (A5', replaces the RDD
+    * BinaryClassificationMetrics detour, Predictor.scala:319-342):
+    * precision/recall/F1 at every distinct score. Sweeps on the given
+    * score column — pass p1 (probability), or the 0/1 prediction to
+    * reproduce the reference's degenerate two-point sweep (Q4). */
+  def sweepMetrics(scored: DataFrame, scoreCol: String,
+      labelCol: String = "label"): DataFrame = {
+    val grouped = scored
+      .select(col(scoreCol).as("score"), col(labelCol).cast("long").as("l"))
+      .groupBy(col("score"))
+      .agg(sum(col("l")).as("pos"), count(lit(1)).as("tot"))
+    val wOrd = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("cum_tp", sum(col("pos")).over(wOrd))
+      .withColumn("cum_pred", sum(col("tot")).over(wOrd))
+      .withColumn("total_pos", sum(col("pos")).over(wAll))
+      .select(col("score").as("threshold"),
+        (col("cum_tp").cast("double") / col("cum_pred").cast("double")).as("precision"),
+        (col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** End-to-end p1: train on labeled edges, score candidate edges,
+    * return (model, scored candidates, metrics vs ground truth). */
+  def run(spark: SparkSession, nodes: DataFrame, trainEdges: DataFrame,
+      candidateEdges: DataFrame, groundTruth: DataFrame,
+      maxIter: Int = 100): (LogisticRegressionModel, DataFrame, DataFrame) = {
+    val trainFeat = featurize(attachNodeAttrs(trainEdges, nodes))
+    val (model, _) = train(trainFeat, maxIter)
+    // J3: left-outer membership probe labels the candidates (Q3: directed)
+    val gt = groundTruth.select(col("srcId").as("g_src"), col("dstId").as("g_dst"))
+    val labeled = candidateEdges
+      .join(gt, col("srcId") === col("g_src") && col("dstId") === col("g_dst"),
+        "left_outer")
+      .withColumn("label", when(col("g_src").isNull, 0).otherwise(1))
+      .drop("g_src", "g_dst")
+    val scored = score(model,
+      assemble(featurize(attachNodeAttrs(labeled, nodes)))).cache()
+    (model, scored, sweepMetrics(scored, "p1"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Deduplication operators for large text corpora.
+  *
+  * Three tiers, all pure DataFrame/codegen built-ins (no UDFs, no RDDs):
+  *
+  *  - exact: hash-groupBy on content (or any key set) — one shuffle.
+  *  - MinHash + LSH banding: shingle → k-minhash signature → b bands →
+  *    bucket join — the standard near-dup pipeline (Broder minhashing;
+  *    banding analysis as in Leskovec/Rajaraman/Ullman, MMDS ch.3). Only
+  *    docs sharing a band bucket are compared, so the candidate join is
+  *    bucket-local — at 100 TB the bucket id is the shuffle key and no
+  *    quadratic blowup occurs (hot buckets are bounded by `maxBucket`).
+  *  - SimHash: 64-bit sign-fingerprint; near-dups = small Hamming
+  *    distance, blocked on 16-bit sub-bands (Charikar; pigeonhole: any
+  *    pair within Hamming ≤ 3 shares at least one of 4 exact sub-bands).
+  *
+  * Determinism: hashes are xxhash64 seeded by the literal hash index, so
+  * signatures are stable across runs/partitionings — no unseeded RNG
+  * (fixes the reference's unseeded MinHashLSH, SURVEY.md §2.7 M8).
+  */
+object Dedup {
+
+  /** Exact dedup on arbitrary key columns: keeps the row with the lowest
+    * tie-break id per key group. One hash shuffle on the key. */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** k seeded minhashes of a token-set column: sig[j] = min over tokens of
+    * xxhash64(j, token). Array column of length k. */
+  def minhashSignature(tokens: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(tokens, t => xxhash64(j, t))))
+
+  /** LSH band keys: signature split into `bands` bands of size k/bands,
+    * each hashed to one bucket id. Array of (bandIdx, bucketHash). */
+  def bandKeys(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map(b => struct(lit(b).as("band"),
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows)).as("bucket"))): _*)
+  }
+
+  /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
+    * verification.
+    *
+    * @param df        input
+    * @param idCol     unique row id (orderable)
+    * @param tokensCol token array to shingle
+    * @param shingleN  word-shingle size
+    * @param k         minhash functions (signature length)
+    * @param bands     LSH bands; candidate recall ~ 1-(1-s^(k/b))^b
+    * @param threshold exact-Jaccard cutoff applied to candidates
+    * @param maxBucket skip degenerate buckets larger than this (hot-key
+    *                  guard: a bucket of size m yields m² pairs)
+    * @return (a_id, b_id, jaccard) with a_id < b_id, each pair once
+    */
+  def minhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
+      shingleN: Int = 2, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val shingled = df
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.shingles(col(tokensCol), shingleN)).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("sig", minhashSignature($"sh", k))
+
+    // (band, bucket, id, sh) — one row per band per doc
+    val buckets = shingled
+      .select($"id", $"sh", explode(bandKeys($"sig", k, bands)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id", $"sh")
+
+    // hot-bucket guard: drop buckets that would blow up quadratically
+    val wB = Window.partitionBy($"band", $"bucket")
+    val bounded = buckets
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .filter($"__bsz" <= maxBucket)
+      .drop("__bsz")
+
+    // bucket-local candidate pairs, then exact Jaccard + global dedup of
+    // pairs that collide in multiple bands
+    val a = bounded.select($"band", $"bucket", $"id".as("a_id"), $"sh".as("a_sh"))
+    val b = bounded.select($"band", $"bucket", $"id".as("b_id"), $"sh".as("b_sh"))
+    a.join(b, Seq("band", "bucket"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        (size(array_intersect($"a_sh", $"b_sh")).cast("double") /
+          size(array_union($"a_sh", $"b_sh")).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .groupBy($"a_id", $"b_id").agg(first($"jaccard").as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint of a token array: bit i of the result is
+    * the sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
+    * Pure higher-order functions; deterministic. */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val n = size(hashes)
+    // per-bit majority vote: bit set iff #set ≥ n/2 (2*set ≥ n)
+    (0 until 64).map { i =>
+      val setCnt = size(filter(hashes,
+        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+      when(setCnt * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 4×16-bit sub-bands (pigeonhole
+    * guarantees recall for Hamming ≤ 3), verify exact Hamming. */
+  def simhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fp = df.select(col(idCol).as("id"), simhash(col(tokensCol)).as("fp"))
+    val banded = fp.select($"id", $"fp",
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright($"fp", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          .as("bk"))
+      .select($"bk.band", $"bk.key", $"id", $"fp")
+    val a = banded.select($"band", $"key", $"id".as("a_id"), $"fp".as("a_fp"))
+    val b = banded.select($"band", $"key", $"id".as("b_id"), $"fp".as("b_fp"))
+    a.join(b, Seq("band", "key"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id", hamming($"a_fp", $"b_fp").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .groupBy($"a_id", $"b_id").agg(first($"hamming").as("hamming"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Embedding similarity-search queries: brute-force cosine top-k (exact
+  * baseline) and cosine near-duplicate pairs blocked by label. The
+  * LSH-bucketed approximate variants (the 100 TB scale path) live in
+  * graft.operators.Ann and are covered by rows-only checks + unit tests.
+  *
+  * Float math parity with the DuckDB oracle: elements are cast to double
+  * and the dot product is a strict left-fold in element order (Spark
+  * `aggregate` starting at 0.0 ≡ DuckDB `list_reduce` over the same list),
+  * so both engines execute the identical IEEE addition sequence and the
+  * raw double scores are bit-equal — no rounding needed (or wanted:
+  * round() would reintroduce HALF_UP vs HALF_EVEN tie divergence).
+  */
+object Embeddings {
+
+  /** elementwise cast to double. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Strict in-order left-fold dot product of two double arrays — a
+    * codegen'd native expression (graft.functions.DotProduct). Same fold
+    * order as `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, ~100× cheaper:
+    * no per-element lambda interpretation or boxing. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force exact cosine top-k: a small query set (vec_id < nQueries)
+    * against the full corpus. The query side is broadcast — at cluster
+    * scale this is one pass over the corpus, no shuffle until the final
+    * per-query top-k (tiny). */
+  def cosineTopK(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val q = e.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("q_id"), $"v".as("q_v"), $"nrm".as("q_nrm"))
+    val pairs = e.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"q_v", $"v") / ($"q_nrm" * $"nrm")).as("cosine"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the cluster
+    * id acts as the blocking key; at scale the blocker is an LSH bucket —
+    * graft.operators.Ann.signLsh).
+    *
+    * The build side is broadcast: a shuffled equi-join on `label` would
+    * put each label's whole O(n²) block in one task (only ~10 distinct
+    * keys). Broadcasting keeps probe-side parallelism at the input
+    * partitioning; the explicit repartition spreads the (small-file,
+    * single-split) scan across cores. */
+  def cosineNearDup(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val a = e.repartition(s.sparkContext.defaultParallelism)
+      .select($"vec_id".as("a_id"), $"label",
+        $"v".as("a_v"), $"nrm".as("a_nrm"))
+    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
+      $"v".as("b_v"), $"nrm".as("b_nrm"))
+    a.join(broadcast(b), $"label" === $"b_label" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"label",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      .filter($"cosine" >= threshold)
+      .orderBy($"a_id", $"b_id")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Event-stream batch queries: tumbling-window aggregation, JSON column
+  * extraction, gap-based sessionization via window functions. The same
+  * logic runs incrementally under Structured Streaming — see
+  * graft.streaming.EventStreams, which shares these column expressions.
+  *
+  * Scale notes: hourly bucketing uses date_trunc (codegen'd, no UDF); the
+  * sessionize window shuffles once on user_id and all per-user work stays
+  * within the partition. Timestamp arithmetic is done in exact microseconds
+  * (unix_micros) so the DuckDB oracle (epoch_us) bit-matches.
+  */
+object Events {
+
+  /** Tumbling 1-hour window counts/sums per event type. */
+  def hourlyStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type", $"value")
+      .groupBy($"hour", $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** JSON property extraction (from_json/get_json_object path) + aggregate. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"k").cast("long").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  /** Gap-based sessionization: a new session starts after a >30-minute gap.
+    * lag + cumulative-sum over a per-user window; exact integer µs math. */
+  def userSessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val wUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .withColumn("prev_us", lag($"ts_us", 1).over(wUser))
+      .withColumn("new_session",
+        when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+      .groupBy($"user_id")
+      .agg(
+        sum($"new_session").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.5): scans with pushdown,
+  * projections, filters, equi-joins (inner/left-outer/semi/anti), label
+  * derivation via when/otherwise (reference Predictor.scala:307), hash
+  * aggregation, rollup, window functions, top-k.
+  *
+  * Oracle-parity rules (SURVEY.md §5.2): every float aggregate goes through
+  * DECIMAL(18,2) (exact, order-independent) and is cast back to double; all
+  * results carry an explicit orderBy; divisions happen in double on
+  * integer-exact inputs so both engines hit identical IEEE ops.
+  *
+  * Scale notes: only genuinely small dimensions (nation: 25 rows, region: 5)
+  * are broadcast-hinted; customer/orders/part/supplier scale with SF and are
+  * left to Catalyst/AQE join selection. Filters and projections are applied
+  * at the scan so parquet pushdown/pruning kicks in.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1 shape: pricing summary over lineitem (hash agg, map-side
+    * partial agg; filter pushed to parquet). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice", $"l_discount", $"l_shipdate")
+      .filter($"l_shipdate" <= lit("2000-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q5 shape: revenue by region/nation through a 5-way join chain.
+    * nation/region are broadcast (constant-size dims); lineitem⋈orders and
+    * orders⋈customer shuffle on their keys and AQE picks the strategy. */
+  def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val n = Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.region(s, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Global top-k (Catalyst TakeOrderedAndProject — no full sort/shuffle). */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** Top-k per group via row_number window (rank pushdown-friendly shape). */
+  def customerTopOrders(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** J3 shape (reference Predictor.scala:297-312): left-outer membership
+    * probe + when/otherwise label derivation, then aggregate. */
+  def labelJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val highBal = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .join(highBal, $"o_custkey" === $"c_custkey", "left_outer")
+      .withColumn("label", when($"c_custkey".isNull, 0).otherwise(1))
+      .groupBy($"o_orderstatus", $"label")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus", $"label")
+  }
+
+  /** Left-semi join (EXISTS): customers that placed at least one order. */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(Tables.orders(s, dir).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order.
+    * (Every customer has *some* order in this corpus, so the anti probe
+    * filters the right side to keep the result non-trivial.) */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(Tables.orders(s, dir).select($"o_custkey", $"o_totalprice")
+          .filter($"o_totalprice" > 400000.0).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** J1+J2 shape (reference Predictor.scala:213-243): fact/edge table joined
+    * twice against attribute tables — the relational GraphX-triplets
+    * equivalent — then featurized and aggregated. */
+  def tripletJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+      .filter($"l_quantity" >= 30.0)
+    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    li.join(p, $"l_partkey" === $"p_partkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_brand", $"s_nationkey")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"p_brand", $"s_nationkey")
+  }
+
+  /** ROLLUP grouping sets over orders (agg coverage the reference lacks,
+    * SURVEY.md §2.4). */
+  def ordersRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Relational threshold-sweep metrics (A5' — replaces the reference's
+    * RDD BinaryClassificationMetrics, Predictor.scala:319-342, with an
+    * oracle-checkable groupBy + window-cumsum formulation). Scores/labels
+    * are derived deterministically from lineitem. */
+  def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = Tables.lineitem(s, dir)
+      .select($"l_discount".as("score"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("label"))
+    val grouped = scored.groupBy($"score")
+      .agg(sum($"label").as("pos"), count(lit(1)).as("tot"))
+    val wOrd = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grouped
+      .withColumn("cum_tp", sum($"pos").over(wOrd))
+      .withColumn("cum_pred", sum($"tot").over(wOrd))
+      .withColumn("total_pos", sum($"pos").over(wAll))
+      .select(
+        $"score".as("threshold"),
+        ($"cum_tp".cast("double") / $"cum_pred".cast("double")).as("precision"),
+        ($"cum_tp".cast("double") / $"total_pos".cast("double")).as("recall"))
+      .withColumn("f1",
+        when($"precision" + $"recall" === 0.0, 0.0)
+          .otherwise(lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall")))
+      .orderBy($"threshold".desc)
+  }
+}

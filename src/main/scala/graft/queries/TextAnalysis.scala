@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents table: tokenization, token
+  * statistics, quality scoring, language-ID heuristic, fingerprinting,
+  * exact dedup, n-gram Jaccard near-dup, and the link-prediction candidate
+  * featurization (the reference's p1 relational core, Predictor.scala:
+  * 213-312, re-expressed with set-semantics intersect so it is
+  * oracle-checkable; the multiset variant lives in graft.functions.TextOps).
+  *
+  * All token work uses codegen'd built-ins + higher-order functions — no
+  * UDFs in the hot path. Pairwise queries use blocking keys (lang/source)
+  * so the self-join is bucketed, not a cross join; at cluster scale the
+  * blocking key becomes the shuffle key and each block is independent.
+  */
+object TextAnalysis {
+
+  /** whitespace tokenize; the corpus is single-space separated. */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** Per-language token statistics (groupBy agg over arrays). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", $"n_chars", toks($"text").as("t"))
+      .select($"lang", $"n_chars", size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"n_distinct").as("total_distinct"),
+        (sum($"n_tokens").cast("double") / count(lit(1)).cast("double"))
+          .as("avg_tokens"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"lang")
+  }
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document quality scoring: length, stopword ratio, distinct ratio. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars", toks($"text").as("t"))
+      .select(
+        $"doc_id", $"n_chars",
+        size($"t").as("n_tokens"),
+        size(filter($"t", c => c.isInCollection(stopwords))).as("n_stop"),
+        size(array_distinct($"t")).as("n_distinct"))
+      .select(
+        $"doc_id", $"n_chars", $"n_tokens",
+        ($"n_stop".cast("double") / $"n_tokens".cast("double")).as("stopword_ratio"),
+        ($"n_distinct".cast("double") / $"n_tokens".cast("double")).as("distinct_ratio"),
+        ($"n_chars".cast("double") / $"n_tokens".cast("double")).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("ni", "hao", "ma"))
+
+  /** Marker-token-voting language-ID heuristic (deterministic argmax with
+    * fixed tie-break order). A real n-gram profile model lives in
+    * graft.functions.TextOps; this variant is SQL-expressible. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scoreCols = langMarkers.map { case (lang, ms) =>
+      size(filter($"t", c => c.isInCollection(ms))).as(s"s_$lang")
+    }
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", toks($"text").as("t"))
+      .select(($"doc_id" +: $"lang" +: scoreCols): _*)
+    val langs = langMarkers.map(_._1)
+    // argmax with ties resolved by marker declaration order
+    val guess = langs.init.foldRight(lit(langs.last)) { (lang, elseCol) =>
+      val ge = langs.filter(_ != lang)
+        .map(o => col(s"s_$lang") >= col(s"s_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("lang_guess", guess)
+      .select($"doc_id", $"lang", $"lang_guess")
+      .orderBy($"doc_id")
+  }
+
+  /** Content fingerprint (md5) + duplicate-group size per fingerprint. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wFp = Window.partitionBy($"fp")
+    Tables.documents(s, dir)
+      .select($"doc_id", md5($"text").as("fp"))
+      .withColumn("n_same", count(lit(1)).over(wFp))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact deduplication: keep the lowest doc_id per (lang, source) group
+    * (hash-groupBy dedup; generalizes to any key set, incl. full content). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"lang", $"source", $"doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"lang", $"source", $"doc_id".as("kept_doc_id"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Word-bigram shingles of a token array.
+    *
+    * Formulated as zip_with(t, t[2..], concat) + array_compact rather than
+    * transform(sequence(1, n-1), i -> concat(t[i], t[i+1])): zip_with
+    * evaluates its two array arguments ONCE per row, while element_at(t, i)
+    * re-evaluates `t` per element — if Catalyst inlines `t = split(text)`
+    * into the lambda (CollapseProject does, even across a repartition),
+    * the indexed form re-runs the regex split O(tokens) times per row,
+    * which measured ~100× slower on the documents corpus. The trailing
+    * (t[n], null) pair concats to null and is dropped by array_compact. */
+  def bigramShingles(t: Column): Column =
+    array_compact(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y)))
+
+  /** N-gram (word-bigram) Jaccard near-duplicate pairs, blocked by lang.
+    * Set semantics (array_distinct/array_intersect-equivalent) —
+    * oracle-parity with DuckDB list_distinct/list_intersect.
+    *
+    * Inverted-index formulation: explode shingles → equi-join postings on
+    * (lang, shingle) → per-pair count = |intersection|. Equivalent to the
+    * quadratic blocked self-join for any threshold > 0 (zero-overlap pairs
+    * have jaccard 0 and can never pass), but the shuffle key is the
+    * high-cardinality (lang, shingle) instead of the 5-value lang — the
+    * blocked form ran each language's whole O(n²) block in ONE task and
+    * rebuilt a hash set per pair. This form scales with #postings and
+    * parallelizes freely; hot shingles (stopword bigrams) are the skew
+    * risk at 100 TB — cap them with a document-frequency filter upstream
+    * or fall back to graft.operators.Dedup.minhashNearDup. */
+  def ngramJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.12): DataFrame = {
+    import s.implicits._
+    // Materialize the token array BEHIND an exchange before shingling.
+    // Without the barrier, CollapseProject inlines `t = split(text)` into
+    // the shingle lambda, and `element_at(split(text), i)` re-runs the
+    // full regex split for every element — O(tokens²) interpreted work
+    // per document, in the scan's single task. The repartition also
+    // spreads the (single-split) scan so shingling and the broadcast-join
+    // probe (Σ df² ≈ 19M rows at sf0.1) parallelize.
+    val tokens = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", toks($"text").as("t"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val d = tokens
+      .select($"doc_id", $"lang",
+        array_distinct(bigramShingles($"t")).as("sh"))
+    val sizes = d.select($"doc_id", size($"sh").as("n"))
+    val posts = d.select($"lang", $"doc_id", explode($"sh").as("shingle"))
+    posts
+      .select($"lang", $"doc_id".as("a_id"), $"shingle")
+      .join(posts.select($"lang".as("b_lang"), $"doc_id".as("b_id"), $"shingle".as("b_shingle")),
+        $"lang" === $"b_lang" && $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id", $"lang")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("a_n")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("b_n")), "b_id")
+      .select($"a_id", $"b_id", $"lang",
+        ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Link-prediction candidate featurization — the reference p1 core
+    * (double attribute join J1/J2 + feature derivation F1-F3 + label join
+    * J3) on the documents table: candidate pairs blocked by source, token
+    * overlap + metadata features, Jaccard-threshold label. */
+  def linkpredPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        array_distinct(toks($"text")).as("tset"))
+    val a = d.select($"doc_id".as("a_id"), $"source",
+      $"lang".as("a_lang"), $"n_chars".as("a_chars"), $"tset".as("a_t"))
+    val b = d.select($"doc_id".as("b_id"), $"source".as("b_source"),
+      $"lang".as("b_lang"), $"n_chars".as("b_chars"), $"tset".as("b_t"))
+    a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id", $"source",
+        size(array_intersect($"a_t", $"b_t")).as("common_tokens"),
+        (size($"a_t") + size($"b_t")).as("sz"),
+        when($"a_lang" === $"b_lang", 1).otherwise(0).as("same_lang"),
+        abs($"a_chars" - $"b_chars").as("chars_diff"))
+      .withColumn("jaccard",
+        $"common_tokens".cast("double") /
+          ($"sz" - $"common_tokens").cast("double"))
+      .withColumn("label", when($"jaccard" >= 0.5, 1).otherwise(0))
+      .select($"a_id", $"b_id", $"source", $"common_tokens", $"same_lang",
+        $"chars_diff", $"jaccard", $"label")
+      .orderBy($"a_id", $"b_id")
+  }
+}

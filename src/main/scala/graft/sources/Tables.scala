@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Readers for the driver-generated parquet corpus (TESTDATA.md) plus the
+  * reference's raw text/CSV edge formats, re-expressed as pure DataFrame
+  * scans with explicit schemas (no RDD detour — cf. reference
+  * Predictor.scala:158-203 which round-trips through sc.textFile/map/toDF).
+  *
+  * Design for scale: every reader returns a lazy scan; callers project the
+  * columns they need so Catalyst pushes pruning/filters into the parquet
+  * footer (verify with .explain: PushedFilters / ReadSchema).
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default. Read it as a long (legacy conf, runtime-settable) and rebuild
+    * a µs TimestampType with integer DIV — floor division matches DuckDB's
+    * ns→µs truncation exactly, and avoids the double-division precision
+    * loss a `col/1000` would hit at ~1.7e18 ns. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- reference text/CSV formats (SURVEY.md §2.1 S1-S4), schema-explicit ----
+
+  /** S1: headerless CSV node table (reference Predictor.scala:83-97).
+    * Explicit StructType instead of positional toDF renames; all-string
+    * columns as in the reference, quotes handled by the CSV reader.
+    */
+  val nodeInfoSchema: StructType = StructType(Seq(
+    StructField("srcId", StringType),
+    StructField("year", StringType),
+    StructField("title", StringType),
+    StructField("authors", StringType),
+    StructField("journal", StringType),
+    StructField("abstract", StringType)))
+
+  def nodeInfoCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "false").schema(nodeInfoSchema).csv(path)
+
+  /** S2: whitespace-delimited labeled edge list (Predictor.scala:158-167),
+    * pure-DataFrame — no RDD. ANSI-safe int cast via try_cast-equivalent.
+    */
+  def labeledEdges(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(split(col("value"), " ").as("f"))
+      .select(
+        col("f").getItem(0).as("srcId"),
+        col("f").getItem(1).as("dstId"),
+        col("f").getItem(2).try_cast(IntegerType).as("label"))
+  }
+
+  /** S3: unlabeled edge list (Predictor.scala:176-185). */
+  def edges(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .select(split(col("value"), " ").as("f"))
+      .select(col("f").getItem(0).as("srcId"), col("f").getItem(1).as("dstId"))
+  }
+
+  /** S4: tab-delimited SNAP edge list with '#' comment headers
+    * (Predictor.scala:194-203 — which does NOT filter comments; we do).
+    */
+  def snapEdges(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").option("comment", "#")
+      .schema(StructType(Seq(
+        StructField("srcId", StringType), StructField("dstId", StringType))))
+      .csv(path)
+}

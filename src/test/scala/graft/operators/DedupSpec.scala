@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),  // dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),  // near-dup of 1
+      (4L, "completely different content about spark catalyst optimizer internals"),
+      (5L, "another unrelated text mentioning streaming watermarks and state")
+    ).toDF("id", "text").withColumn("tokens", split($"text", " "))
+  }
+
+  test("exact dedup keeps lowest tie-break per key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    val out = Dedup.exact(df, Seq("k"), "id").orderBy($"id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 3L))
+  }
+
+  test("minhashNearDup finds exact+near dups, skips unrelated, a<b once") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Dedup.minhashNearDup(docs, "id", "tokens",
+      shingleN = 2, k = 32, bands = 16, threshold = 0.5)
+      .orderBy($"a_id", $"b_id").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L)))              // exact dup always caught
+    assert(pairs.forall { case (a, b) => a < b }) // canonical orientation
+    assert(pairs.toSet.size === pairs.size)       // each pair once
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+    val j12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j12 === 1.0)                           // identical shingle sets
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val a = docs.select(Dedup.minhashSignature(col("tokens"), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val b = docs.select(Dedup.minhashSignature(col("tokens"), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("simhash: identical docs hash identically; hamming 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val fp = docs.select($"id", Dedup.simhash($"tokens").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 12) // near-dup is close
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 12)  // unrelated is far
+  }
+
+  test("simhashNearDup: dup pair via banding, canonical + unique") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Dedup.simhashNearDup(docs, "id", "tokens", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.contains((1L, 2L)))
+    assert(out.forall { case (a, b) => a < b })
+    assert(out.toSet.size === out.size)
+  }
+}

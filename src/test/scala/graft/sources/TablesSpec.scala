@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The reference's raw file formats (SURVEY.md §2.1 S1-S4), written as tmp
+  * fixtures in the shapes FIXTURES.md §A documents, read back through the
+  * pure-DataFrame readers (no RDD detour). */
+class TablesSpec extends SparkSpec {
+
+  private def tmpFile(name: String, lines: Seq[String]): String = {
+    val f = Files.createTempFile(s"graft-$name", ".txt")
+    Files.write(f, String.join("\n", lines: _*).getBytes)
+    f.toString
+  }
+
+  test("S1 nodeInfoCsv: headerless, quoted commas, explicit schema") {
+    val p = tmpFile("nodes", Seq(
+      """1001,1999,"Black Holes, Strings","A. Author,B. Author",JHEP,"an abstract, with comma"""",
+      """1002,2001,Title2,C. Author,,"""))
+    val df = Tables.nodeInfoCsv(spark, p)
+    assert(df.columns.toSeq === Seq("srcId", "year", "title", "authors", "journal", "abstract"))
+    val r = df.orderBy("srcId").collect()
+    assert(r(0).getString(2) === "Black Holes, Strings")   // comma preserved
+    assert(r(1).getString(4) === null)                     // missing journal
+  }
+
+  test("S2 labeledEdges: space-separated with int label, ANSI-safe") {
+    val p = tmpFile("train", Seq("1001 1002 1", "1002 1003 0", "1003 1001 x"))
+    val r = Tables.labeledEdges(spark, p).orderBy("srcId").collect()
+    assert(r(0).getString(0) === "1001" && r(0).getInt(2) === 1)
+    assert(r(2).isNullAt(2))   // malformed label → null, not a throw
+  }
+
+  test("S3 edges: two-column variant") {
+    val p = tmpFile("test", Seq("1 2", "3 4"))
+    assert(Tables.edges(spark, p).count() === 2)
+  }
+
+  test("S4 snapEdges: tab-delimited, comment lines dropped (unlike the " +
+      "reference, which let '#' rows become garbage edges)") {
+    val p = tmpFile("gt", Seq("# Directed graph", "# FromNodeId\tToNodeId",
+      "1001\t1002", "1002\t1003"))
+    val df = Tables.snapEdges(spark, p)
+    assert(df.count() === 2)
+    assert(df.orderBy("srcId").head.getString(0) === "1001")
+  }
+
+  test("S5 sampling: seeded Bernoulli sample is deterministic") {
+    val df = Tables.documents(spark, sf("sf0.001"))
+    val a = df.sample(0.2, 12345L).count()
+    val b = df.sample(0.2, 12345L).count()
+    assert(a === b && a > 0 && a < 500)
+  }
+}

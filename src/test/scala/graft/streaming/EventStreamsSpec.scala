@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming hourlyStats matches the batch shape on one microbatch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyStats(events)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("update").start()
+    try {
+      mem.addData((ts(5), "click", 1.5), (ts(10), "click", 2.5),
+        (ts(20), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .orderBy($"event_type").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Long]("n_events") === 2)     // click ×2
+      assert(out(0).getAs[Double]("sum_value") === 4.0)
+    } finally q.stop()
+  }
+
+  test("sessionize splits on >gap and counts events per session") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = EventStreams.sessionize(events, gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try {
+      // user 1: events at :00 :05 (one session), then :30 (new session)
+      mem.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(30)), (1L, ts(31)))
+      q.processAllAvailable()
+      // advance watermark far enough to time the open session out
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions_test").filter($"user_id" === 1L)
+        .orderBy($"start_us").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Long]("n_events") === 2)
+      assert(out(1).getAs[Long]("n_events") === 2)
+    } finally q.stop()
+  }
+}
