@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Embeddings, Events, Relational, TextAnalysis}
+import graft.queries.{Embeddings, Events, Extended, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,20 @@ object SparkEntry {
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
+    // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
+    "q_nation_delta"      -> (Extended.nationDelta(_, _)),
+    "q_null_fill"         -> (Extended.nullFill(_, _)),
+    "q_json_typed"        -> (Extended.jsonTyped(_, _)),
+    "q_event_windows"     -> (Extended.eventWindows(_, _)),
+    "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
+    // wave 2: library operators, rows-only (no SQL oracle by design)
+    "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
+    "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
+    "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
+    "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
+    "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
+    "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
+    "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
   )
 
   // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
@@ -339,5 +353,55 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_nation_delta" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |      AND o_totalprice > 300000.0)
+        |)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_null_fill" ->
+      """WITH big AS (
+        |  SELECT o_custkey, max(o_totalprice) AS max_big
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey
+        |)
+        |SELECT c_nationkey,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN coalesce(max_big, 0.0) > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big,
+        |  CAST(sum(CAST(coalesce(max_big, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_max_big
+        |FROM customer LEFT OUTER JOIN big ON c_custkey = o_custkey
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_json_typed" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type, k_bucket
+        |ORDER BY event_type, k_bucket""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_parts,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

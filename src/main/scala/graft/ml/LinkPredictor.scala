@@ -24,13 +24,25 @@ import graft.functions.TextOps
   */
 object LinkPredictor {
 
-  /** J1+J2: attach both endpoints' attributes to an edge list.
+  /** Tokenize/clean the node table ONCE — O(nodes), not O(pairs). The
+    * reference tokenizes inside the per-pair feature UDF path; at pair
+    * scale (quadratic in nodes) that re-tokenizes every document per
+    * candidate pair, which measured ~10× slower end-to-end at sf0.1. */
+  def prepareNodes(nodes: DataFrame): DataFrame = {
+    def cleanToks(c: String) = TextOps.removeStopwords(
+      TextOps.tokenize(col(c)), enStopwords)
+    nodes.select(col("id"), col("year"), col("journal"),
+      cleanToks("title").as("title_toks"),
+      cleanToks("abstract").as("abstract_toks"),
+      split(col("authors"), ",").as("author_toks"))
+  }
+
+  /** J1+J2: attach both endpoints' (prepared) attributes to an edge list.
     * Output columns: srcId, dstId [, label] + *_from / *_to attrs. */
-  def attachNodeAttrs(edges: DataFrame, nodes: DataFrame): DataFrame = {
-    val attrs = nodes.columns.filter(_ != "id")
-    val from = nodes.toDF(nodes.columns.map(c =>
+  def attachNodeAttrs(edges: DataFrame, preparedNodes: DataFrame): DataFrame = {
+    val from = preparedNodes.toDF(preparedNodes.columns.map(c =>
       if (c == "id") "__fid" else s"${c}_from"): _*)
-    val to = nodes.toDF(nodes.columns.map(c =>
+    val to = preparedNodes.toDF(preparedNodes.columns.map(c =>
       if (c == "id") "__tid" else s"${c}_to"): _*)
     edges
       .join(broadcast(from), edges("srcId") === col("__fid"))
@@ -38,22 +50,21 @@ object LinkPredictor {
       .drop("__fid", "__tid")
   }
 
-  /** F1-F3 + tokenized text features over an attached-pairs frame. */
+  /** F1-F3 over an attached-pairs frame (token columns pre-computed by
+    * prepareNodes; only the pair-local intersects run per pair). */
   def featurize(pairs: DataFrame): DataFrame = {
     val common = TextOps.commonWordsMultiset
-    def cleanToks(c: String) = TextOps.removeStopwords(
-      TextOps.tokenize(col(c)), enStopwords)
     pairs
       .withColumn("year_diff",
         coalesce(TextOps.yearDiff(col("year_from"), col("year_to")), lit(0)))
       .withColumn("same_journal",
         TextOps.sameJournal(col("journal_from"), col("journal_to")))
       .withColumn("common_title_words",
-        common(cleanToks("title_from"), cleanToks("title_to")))
+        common(col("title_toks_from"), col("title_toks_to")))
       .withColumn("common_abstract_words",
-        common(cleanToks("abstract_from"), cleanToks("abstract_to")))
+        common(col("abstract_toks_from"), col("abstract_toks_to")))
       .withColumn("common_authors",
-        common(split(col("authors_from"), ","), split(col("authors_to"), ",")))
+        common(col("author_toks_from"), col("author_toks_to")))
   }
 
   private val enStopwords =
@@ -63,16 +74,23 @@ object LinkPredictor {
     "year_diff", "same_journal", "common_title_words",
     "common_abstract_words", "common_authors")
 
-  /** Assemble features + fit LR (reference M6/M7; maxIter as reference). */
+  /** Assemble features + fit LR (reference M6/M7; maxIter as reference).
+    * The assembled frame is cached for the fit: L-BFGS runs one
+    * treeAggregate job per iteration, and without persistence every
+    * iteration re-executes the whole featurization lineage (the
+    * reference's no-cache mistake, SURVEY.md §3.2 stage 8 — measured
+    * ~10× end-to-end on the e2e query). */
   def train(featurized: DataFrame, maxIter: Int = 100)
       : (LogisticRegressionModel, DataFrame) = {
-    val assembled = assemble(featurized)
-    val lr = new LogisticRegression()
-      .setMaxIter(maxIter)
-      .setFeaturesCol("features")
-      .setLabelCol("label")
-    val model = lr.fit(assembled)
-    (model, assembled)
+    val assembled = assemble(featurized).cache()
+    try {
+      val lr = new LogisticRegression()
+        .setMaxIter(maxIter)
+        .setFeaturesCol("features")
+        .setLabelCol("label")
+      val model = lr.fit(assembled)
+      (model, assembled)
+    } finally assembled.unpersist(blocking = false)
   }
 
   def assemble(featurized: DataFrame): DataFrame =
@@ -123,7 +141,8 @@ object LinkPredictor {
   def run(spark: SparkSession, nodes: DataFrame, trainEdges: DataFrame,
       candidateEdges: DataFrame, groundTruth: DataFrame,
       maxIter: Int = 100): (LogisticRegressionModel, DataFrame, DataFrame) = {
-    val trainFeat = featurize(attachNodeAttrs(trainEdges, nodes))
+    val prepared = prepareNodes(nodes).cache()
+    val trainFeat = featurize(attachNodeAttrs(trainEdges, prepared))
     val (model, _) = train(trainFeat, maxIter)
     // J3: left-outer membership probe labels the candidates (Q3: directed)
     val gt = groundTruth.select(col("srcId").as("g_src"), col("dstId").as("g_dst"))
@@ -133,7 +152,9 @@ object LinkPredictor {
       .withColumn("label", when(col("g_src").isNull, 0).otherwise(1))
       .drop("g_src", "g_dst")
     val scored = score(model,
-      assemble(featurize(attachNodeAttrs(labeled, nodes)))).cache()
+      assemble(featurize(attachNodeAttrs(labeled, prepared)))).cache()
+    scored.count()        // materialize before dropping the node cache
+    prepared.unpersist()
     (model, scored, sweepMetrics(scored, "p1"))
   }
 }

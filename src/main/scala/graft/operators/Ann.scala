@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs.dotProduct
 import graft.queries.Embeddings.{dot, norm}
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -12,15 +13,16 @@ import graft.queries.Embeddings.{dot, norm}
   *  - `bruteTopK` — exact cosine top-k; the correctness baseline. The
   *    query set is broadcast, so the corpus is scanned once with no
   *    shuffle until the final tiny per-query top-k.
-  *  - `signLshBuckets` / `lshTopK` — random-hyperplane (sign) LSH: each
-  *    vector gets a `nBits`-bit signature from seeded pseudo-random
-  *    hyperplanes; candidates = same-bucket vectors across `nTables`
-  *    independent tables; exact cosine re-rank on candidates. The scale
-  *    path: at 100 TB the bucket id is the shuffle/partition key.
+  *  - `signature`/`lshTopK` — random-hyperplane (sign) LSH: each vector
+  *    gets an `nBits`-bit signature per table; candidates = same-bucket
+  *    vectors across `nTables` independent tables; exact cosine re-rank
+  *    on the deduped candidates. The scale path: at 100 TB the
+  *    (table, bucket) id is the shuffle/partition key.
   *
-  * Hyperplanes are derived from xxhash64(seed, table, bit, dim) mapped to
-  * ±1 components — deterministic, no RNG state, identical on every
-  * executor (no driver-side weight broadcast needed).
+  * Hyperplanes are generated driver-side from a seeded PRNG — fully
+  * deterministic, embedded in the plan as literal arrays, and evaluated
+  * with the codegen DotProduct expression (a per-(table,bit) interpreted
+  * higher-order fold measured ~10× slower at sf0.1).
   */
 object Ann {
 
@@ -43,49 +45,57 @@ object Ann {
       .filter($"rank" <= k)
   }
 
-  /** ±1 pseudo-random hyperplane dot-product sign for one (table, bit):
-    * sign(Σ_d vec[d] * h(seed,table,bit,d)) where h ∈ {+1,-1}. */
-  private def signBit(vec: Column, table: Int, bit: Int, seed: Int): Column = {
-    val s = aggregate(
-      zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, d) => x.cast("double") *
-          when(xxhash64(lit(seed), lit(table), lit(bit), d)
-            .bitwiseAND(lit(1L)) === 1L, 1.0).otherwise(-1.0)),
-      lit(0.0), (acc, v) => acc + v)
-    when(s >= 0, 1L).otherwise(0L)
+  /** Deterministic ±1 hyperplane for (seed, table, bit): `dim` components
+    * from a seeded PRNG. Same on every JVM — no state to broadcast. */
+  def hyperplane(table: Int, bit: Int, dim: Int, seed: Int): Array[Double] = {
+    val rng = new java.util.Random(
+      seed.toLong * 1000003L + table.toLong * 10007L + bit.toLong)
+    Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** nBits-bit signature per table: long bucket id. */
-  def signature(vec: Column, table: Int, nBits: Int, seed: Int): Column =
-    (0 until nBits).map(b =>
-      shiftleft(signBit(vec, table, b, seed), b)).reduce(_.bitwiseOR(_))
+  /** nBits-bit signature for one table: bit b = sign(vec · h(table, b)).
+    * Codegen dot products over literal hyperplane arrays. */
+  def signature(vec: Column, table: Int, nBits: Int, dim: Int,
+      seed: Int = 42): Column =
+    (0 until nBits).map { b =>
+      when(dotProduct(vec, typedlit(hyperplane(table, b, dim, seed))) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
-  /** (table, bucket) keys for a vector — one row per table after explode. */
-  def signLshBuckets(vec: Column, nTables: Int, nBits: Int,
+  /** Array of (table, bucket) keys for a vector — explode for the join. */
+  def signLshBuckets(vec: Column, nTables: Int, nBits: Int, dim: Int,
       seed: Int = 42): Column =
     array((0 until nTables).map(t =>
-      struct(lit(t).as("table"), signature(vec, t, nBits, seed).as("bucket"))): _*)
+      struct(lit(t).as("table"),
+        signature(vec, t, nBits, dim, seed).as("bucket"))): _*)
 
   /** LSH-bucketed approximate top-k: candidates share a (table, bucket)
-    * with the query in any of `nTables` tables; exact cosine re-rank.
+    * with the query in any table; deduped, then exact cosine re-rank.
     * Recall < 1 by construction; raise nTables / lower nBits to trade
-    * cost for recall. */
+    * cost for recall. `dim` is read from the first corpus row. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nTables: Int = 8, nBits: Int = 12, seed: Int = 42): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val dim = corpus.select(size($"vec")).head.getInt(0)
     def withBuckets(df: DataFrame, idAs: String, vAs: String) = df
       .select(col("id").as(idAs), asDouble($"vec").as(vAs))
-      .withColumn("bk", explode(signLshBuckets(col(vAs), nTables, nBits, seed)))
+      .withColumn("bk",
+        explode(signLshBuckets(col(vAs), nTables, nBits, dim, seed)))
       .select(col(idAs), col(vAs), $"bk.table".as("table"), $"bk.bucket".as("bucket"))
     val c = withBuckets(corpus, "id", "v")
     val q = withBuckets(queries, "q_id", "q_v")
-    val cand = c.join(q, Seq("table", "bucket"))
+    // slim candidate ids first (dedup across tables), then one exact
+    // cosine per unique (q_id, id) — vectors re-joined after the dedup
+    val cand = c.select($"table", $"bucket", $"id")
+      .join(broadcast(q.select($"table", $"bucket", $"q_id")),
+        Seq("table", "bucket"))
       .filter($"id" =!= $"q_id")
-      .select($"q_id", $"q_v", $"id", $"v")
-      .groupBy($"q_id", $"id").agg(first($"q_v").as("q_v"), first($"v").as("v"))
+      .select($"q_id", $"id").distinct()
+    val cv = c.select($"id", $"v").distinct()
+    val qv = q.select($"q_id", $"q_v").distinct()
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"id".asc)
-    cand
+    cand.join(cv, "id").join(broadcast(qv), "q_id")
       .select($"q_id", $"id",
         (dot($"q_v", $"v") / (norm($"q_v") * norm($"v"))).as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -74,12 +74,13 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(tokensCol), shingleN)).as("sh"))
       .filter(size($"sh") > 0)
-      .withColumn("sig", minhashSignature($"sh", k))
+      .cache()   // consumed by the band join AND the verify join
 
-    // (band, bucket, id, sh) — one row per band per doc
+    // (band, bucket, id) — one SLIM row per band per doc; the shingle
+    // arrays stay out of the bucket join entirely.
     val buckets = shingled
-      .select($"id", $"sh", explode(bandKeys($"sig", k, bands)).as("bk"))
-      .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id", $"sh")
+      .select($"id", explode(bandKeys(minhashSignature($"sh", k), k, bands)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
 
     // hot-bucket guard: drop buckets that would blow up quadratically
     val wB = Window.partitionBy($"band", $"bucket")
@@ -88,17 +89,21 @@ object Dedup {
       .filter($"__bsz" <= maxBucket)
       .drop("__bsz")
 
-    // bucket-local candidate pairs, then exact Jaccard + global dedup of
-    // pairs that collide in multiple bands
-    val a = bounded.select($"band", $"bucket", $"id".as("a_id"), $"sh".as("a_sh"))
-    val b = bounded.select($"band", $"bucket", $"id".as("b_id"), $"sh".as("b_sh"))
-    a.join(b, Seq("band", "bucket"))
+    // bucket-local candidate pairs, deduped across bands FIRST (a pair
+    // colliding in m bands would otherwise be exact-verified m times),
+    // then one exact-Jaccard verification per unique pair.
+    val cand = bounded.select($"band", $"bucket", $"id".as("a_id"))
+      .join(bounded.select($"band", $"bucket", $"id".as("b_id")),
+        Seq("band", "bucket"))
       .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    cand
+      .join(shingled.select($"id".as("a_id"), $"sh".as("a_sh")), "a_id")
+      .join(shingled.select($"id".as("b_id"), $"sh".as("b_sh")), "b_id")
       .select($"a_id", $"b_id",
         (size(array_intersect($"a_sh", $"b_sh")).cast("double") /
           size(array_union($"a_sh", $"b_sh")).cast("double")).as("jaccard"))
       .filter($"jaccard" >= threshold)
-      .groupBy($"a_id", $"b_id").agg(first($"jaccard").as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint of a token array: bit i of the result is

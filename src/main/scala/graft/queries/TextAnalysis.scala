@@ -180,7 +180,15 @@ object TextAnalysis {
     * (double attribute join J1/J2 + feature derivation F1-F3 + label join
     * J3) on the documents table: candidate pairs blocked by source, token
     * overlap + metadata features, Jaccard-threshold label. */
-  def linkpredPairs(s: SparkSession, dir: String): DataFrame = {
+  def linkpredPairs(s: SparkSession, dir: String): DataFrame =
+    linkpredPairsUnsorted(s, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** linkpredPairs without the final global sort — for internal consumers
+    * (graft.queries.Extended.linkpredE2e): the orderBy adds a range
+    * exchange whose small output AQE coalesces to ONE partition, which
+    * then serializes every downstream stage built on it. The sorted
+    * variant exists only for oracle determinism. */
+  def linkpredPairsUnsorted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"lang", $"n_chars",
@@ -201,6 +209,5 @@ object TextAnalysis {
       .withColumn("label", when($"jaccard" >= 0.5, 1).otherwise(0))
       .select($"a_id", $"b_id", $"source", $"common_tokens", $"same_lang",
         $"chars_diff", $"jaccard", $"label")
-      .orderBy($"a_id", $"b_id")
   }
 }

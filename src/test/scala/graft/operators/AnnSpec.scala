@@ -47,7 +47,7 @@ class AnnSpec extends SparkSpec {
     val sigs = corpus.select($"id",
         Ann.signature(
           org.apache.spark.sql.functions.transform($"vec", _.cast("double")),
-          table = 0, nBits = 8, seed = 42).as("s"))
+          table = 0, nBits = 8, dim = 4, seed = 42).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) === sigs(5L))
   }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Contracts for the rows-only wave-2 queries (the oracle'd ones are
+  * covered by the driver's DuckDB gate + tools/compare.py). */
+class ExtendedSpec extends SparkSpec {
+
+  test("approxDistinct: HLL++ within the configured 2% rsd of exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val exact = Extended.distinctCounts(spark, sf("sf0.01"))
+      .select($"l_returnflag", $"n_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Extended.approxDistinct(spark, sf("sf0.01")).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(flag)).toDouble / exact(flag) < 0.05,
+        s"$flag: approx=$approx exact=${exact(flag)}")
+    }
+  }
+
+  test("lshTopK: decent recall vs exact bruteTopK on real embeddings") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.01"))
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.filter($"id" < 10)
+    val exact = graft.operators.Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approxRows = Extended.lshTopK(spark, sf("sf0.01"))
+      .select($"q_id", $"id", $"cosine").collect()
+    val approx = approxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // uniform random embeddings are LSH's worst case (true neighbors at
+    // cosine ≈ 0.4): with 6 bits × 16 tables expect ≈ 0.65 candidate
+    // recall; gate conservatively and require retrieved quality to beat
+    // the random-pair baseline (mean cosine ≈ 0) decisively
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(approx.map(_._1) === (0L until 10L).toSet)
+    val meanCos = approxRows.map(_.getDouble(2)).sum / approxRows.length
+    assert(meanCos > 0.2, s"meanCos=$meanCos")
+  }
+
+  test("multisetPairs: multiset count ≥ set count, canonical pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Extended.multisetPairs(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(3) >= r.getInt(4))   // multiset ≥ set
+    }
+  }
+
+  test("similarityJoinP2 agrees with exact ngram jaccard at the threshold") {
+    val spark2 = spark
+    import spark2.implicits._
+    // exact pairs with jaccard >= 0.5 (oracle-checked query, threshold up)
+    val exact = TextAnalysis.ngramJaccardPairs(spark, sf("sf0.001"), 0.5)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Extended.similarityJoinP2(spark, sf("sf0.001"))
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates then exact-verified: no false positives beyond
+    // hashing-collision jitter; recall high on real near-dups
+    if (exact.nonEmpty) {
+      val recall = (exact & lsh).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall=$recall exact=$exact lsh=$lsh")
+    }
+  }
+
+  test("linkpredE2e: metrics frame has the sweep shape and a usable F1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val m = Extended.linkpredE2e(spark, sf("sf0.001")).collect()
+    assert(m.nonEmpty)
+    val bestF1 = m.map(_.getAs[Double]("f1")).max
+    assert(bestF1 > 0.5, s"bestF1=$bestF1")
+  }
+}
