@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. SURVEY.md §4.2 concluded no custom
+  * Rule/SparkStrategy is needed for the reference's semantics — Catalyst
+  * plans everything — so the extension surface is function injection
+  * only; planner strategies would slot in here if a future operator
+  * (as-of join, range join) demanded one.
+  *
+  * Usage:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  * or spark.sql.extensions=graft.plans.GraftExtensions, then
+  *   SELECT dot_product(a.embedding, b.embedding) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      GraftExtensions.dotProductBuilder))
+  }
+}
+
+object GraftExtensions {
+
+  private[plans] val dotProductBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2, "dot_product(arrayA, arrayB) takes 2 args")
+      val at = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)
+      DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0), at),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1), at))
+    }
+
+  /** Register into an already-built session (tests, REPLs) — the class
+    * above only applies through SparkSession.builder().withExtensions /
+    * spark.sql.extensions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "dot_product", dotProductBuilder)
+}

@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function into an ALREADY-BUILT session (the
+    * SparkSessionExtensions path in graft.plans.GraftExtensions only
+    * applies at builder time; sessionState is private[sql]). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
