@@ -50,12 +50,42 @@ object TextOps {
   def sameJournal(a: Column, b: Column): Column =
     when(a === b, 1).otherwise(0)
 
-  /** Word n-gram shingles (1-based positions; [] below n tokens). */
+  /** Let-binding for array-valued expressions: evaluates `value` exactly
+    * once per row and passes it to `f` as a lambda variable, however many
+    * times `f`'s body references it. Shape: flatten(transform(array(e),
+    * x -> f(x))) — HOF *array arguments* are evaluated once, while an
+    * expression aliased in a projection gets inlined into every use site
+    * by CollapseProject (even across repartition) and re-evaluated per
+    * reference (or worse, per element inside another lambda). Catalyst has
+    * no beta-reduction rule, so the binding survives optimization. */
+  def bindOnce(value: Column)(f: Column => Column): Column =
+    flatten(transform(array(value), f))
+
+  /** bindOnce twin for scalar-valued `f` bodies. */
+  def bindOnceScalar(value: Column)(f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
+  /** Word n-gram shingles ([] below n tokens).
+    *
+    * zip_with-chain formulation: the j-th of n length-aligned slices is
+    * zipped in with a space-concat. Array arguments of zip_with/slice are
+    * evaluated once per row — the previous transform(sequence(1, L),
+    * i -> element_at(tokens, i+j)) shape re-evaluated `tokens` per
+    * *element* when CollapseProject inlined a computed token array
+    * (O(tokens²) interpreted regex splits; measured ~100× on the documents
+    * corpus — see TextAnalysis.bigramShingles scaladoc). The whole body is
+    * wrapped in bindOnce so even the n slice references share one
+    * evaluation of `tokens`. */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(tokens, i + j)): _*)))
+    if (n <= 1) tokens
+    else bindOnce(tokens) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise {
+          val len = size(t) - (n - 1)
+          (0 until n).map(j => slice(t, lit(j + 1), len))
+            .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+        }
+    }
 
   /** Approximate token count for a BPE-ish budget: whitespace tokens
     * further split at letter/digit/punctuation boundaries, the shape a

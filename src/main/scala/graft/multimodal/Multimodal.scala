@@ -50,7 +50,7 @@ object Multimodal {
     * index at `fps`-spaced intervals — the explode shape a real frame
     * extractor produces; frame payload decode itself is the stub. */
   def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
-    df.filter(col("modality") === "video" && col("duration_ms").isNotNull)
+    df.filter(col("modality") === "video" && col("duration_ms") > 0)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .withColumn("frame_features", fakeDecodeFeatures())

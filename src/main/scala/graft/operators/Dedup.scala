@@ -70,16 +70,29 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // No cache: the shingle array is recomputed per consumer (bucket pass
+    // + the two verify-join build sides) — three linear passes. bindOnce
+    // keeps each pass single-evaluation even after CollapseProject inlines
+    // the expression (caching here leaked blocks for the session lifetime:
+    // Dataset.cache registers in CacheManager and is never GC-reclaimed;
+    // and at 100 TB a corpus-wide shingle cache is infeasible anyway).
+    // Empty-shingle docs are exactly those with < shingleN tokens, so the
+    // guard filters on the cheap input column and pushes to the scan.
     val shingled = df
+      .filter(size(col(tokensCol)) >= shingleN)
       .select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(tokensCol), shingleN)).as("sh"))
-      .filter(size($"sh") > 0)
-      .cache()   // consumed by the band join AND the verify join
 
     // (band, bucket, id) — one SLIM row per band per doc; the shingle
-    // arrays stay out of the bucket join entirely.
+    // arrays stay out of the bucket join entirely. shingles → signature →
+    // band hashes is ONE generator-input expression with each stage
+    // let-bound, so nothing is re-evaluated per band or per hash.
     val buckets = shingled
-      .select($"id", explode(bandKeys(minhashSignature($"sh", k), k, bands)).as("bk"))
+      .select($"id", explode(TextOps.bindOnce($"sh") { sh =>
+        TextOps.bindOnce(minhashSignature(sh, k)) { sig =>
+          bandKeys(sig, k, bands)
+        }
+      }).as("bk"))
       .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
 
     // hot-bucket guard: drop buckets that would blow up quadratically
@@ -108,17 +121,19 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint of a token array: bit i of the result is
     * the sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
-    * Pure higher-order functions; deterministic. */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val n = size(hashes)
-    // per-bit majority vote: bit set iff #set ≥ n/2 (2*set ≥ n)
-    (0 until 64).map { i =>
-      val setCnt = size(filter(hashes,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      when(setCnt * 2 >= n, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+    * Pure higher-order functions; deterministic. The token-hash array is
+    * let-bound so the 64 per-bit passes share ONE hash evaluation (inlined
+    * as a plain alias, CollapseProject would re-hash per bit). */
+  def simhash(tokens: Column): Column =
+    TextOps.bindOnceScalar(transform(tokens, t => xxhash64(t))) { hashes =>
+      val n = size(hashes)
+      // per-bit majority vote: bit set iff #set ≥ n/2 (2*set ≥ n)
+      (0 until 64).map { i =>
+        val setCnt = size(filter(hashes,
+          h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
+        when(setCnt * 2 >= n, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -129,12 +144,16 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fp = df.select(col(idCol).as("id"), simhash(col(tokensCol)).as("fp"))
-    val banded = fp.select($"id", $"fp",
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftright($"fp", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
-          .as("bk"))
-      .select($"bk.band", $"bk.key", $"id", $"fp")
+    // The fingerprint is let-bound into the band-explode expression: as a
+    // projected alias it would be inlined into the 4 shift exprs + the
+    // carried fp column and recomputed 5× per row (each one a 64-pass HOF).
+    val banded = df.select(col(idCol).as("id"),
+        explode(TextOps.bindOnce(simhash(col(tokensCol))) { f =>
+          array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftright(f, b * 16).bitwiseAND(lit(0xFFFFL)).as("key"),
+            f.as("fp"))): _*)
+        }).as("bk"))
+      .select($"bk.band", $"bk.key", $"id", $"bk.fp".as("fp"))
     val a = banded.select($"band", $"key", $"id".as("a_id"), $"fp".as("a_fp"))
     val b = banded.select($"band", $"key", $"id".as("b_id"), $"fp".as("b_fp"))
     a.join(b, Seq("band", "key"))
