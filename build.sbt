@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED: the default
+// LoggedOutput strategy turns Bench's contract JSON line into
+// "[info] {...}", which the driver's parser rejects (BENCH_r01/r02
+// both recorded parsed:null with the JSON visibly present in the
+// captured tail). StdoutOutput pipes child stdout/stderr straight
+// to the parent's, so `{"metric":...}` reaches the driver verbatim.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

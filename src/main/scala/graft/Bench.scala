@@ -19,30 +19,13 @@ import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
   */
 object Bench {
 
-  /** Explicit run order: oracle-checked core first, heavy library ops last.
-    * Anything in SparkEntry.queries but not listed runs in the middle. */
-  private val runOrder = Seq(
-    // relational core — cheap, oracle-checked
-    "q_top_orders", "q_pricing_summary", "q_orders_rollup", "q_label_join",
-    "q_customers_with_orders", "q_customers_without_orders",
-    "q_customer_top_orders", "q_region_revenue", "q_triplet_join",
-    "q_threshold_sweep", "q_nation_delta", "q_null_fill",
-    "q_distinct_counts", "q_approx_distinct",
-    // events
-    "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
-    "q_user_sessions",
-    // text analysis
-    "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
-    "q_dedup_exact",
-    // pairwise / embeddings / library — heavier
-    "q_linkpred_pairs", "q_ngram_jaccard", "q_multiset_pairs",
-    "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
-    "q_minhash_neardup", "q_lsh_topk", "q_similarity_join_p2",
-    "q_linkpred_e2e")
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // contract: bench runs at local[32] — default to the machine's cores,
+    // capped, rather than a conservative 4 (the driver may not export
+    // SPARK_GRAFT_CPUS).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     val capSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP", "45").toLong
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toLong
     val spark = SparkSession.builder()
@@ -68,8 +51,7 @@ object Bench {
       val t = new Thread(r); t.setDaemon(true); t
     }
     val all = SparkEntry.queries
-    val ordered = runOrder.filter(all.contains) ++
-      all.keys.toSeq.sorted.filterNot(runOrder.contains)
+    val ordered = SparkEntry.orderedQueryNames
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.ListBuffer[String]()

@@ -78,22 +78,25 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size($"vec")).head.getInt(0)
-    def withBuckets(df: DataFrame, idAs: String, vAs: String) = df
-      .select(col("id").as(idAs), asDouble($"vec").as(vAs))
-      .withColumn("bk",
-        explode(signLshBuckets(col(vAs), nTables, nBits, dim, seed)))
-      .select(col(idAs), col(vAs), $"bk.table".as("table"), $"bk.bucket".as("bucket"))
-    val c = withBuckets(corpus, "id", "v")
-    val q = withBuckets(queries, "q_id", "q_v")
+    val cv = corpus.select($"id", asDouble($"vec").as("v"))
+    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
+    // Bucket frames carry ONLY (table, bucket, id): the nTables×nBits
+    // signature dot products run once per input row, and the re-rank
+    // vectors come from the slim pre-bucket frames — the previous
+    // `c.select(id, v).distinct()` shape re-ran the whole signature
+    // lineage (96 dot products/row at the q_lsh_topk parameters) plus an
+    // extra shuffle just to recover what `cv` already was.
+    def bucketsOf(df: DataFrame, idAs: String, vc: Column) = df
+      .select(col(idAs), explode(
+        signLshBuckets(vc, nTables, nBits, dim, seed)).as("bk"))
+      .select(col(idAs), $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+    val c = bucketsOf(cv, "id", $"v")
+    val q = bucketsOf(qv, "q_id", $"q_v")
     // slim candidate ids first (dedup across tables), then one exact
     // cosine per unique (q_id, id) — vectors re-joined after the dedup
-    val cand = c.select($"table", $"bucket", $"id")
-      .join(broadcast(q.select($"table", $"bucket", $"q_id")),
-        Seq("table", "bucket"))
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter($"id" =!= $"q_id")
       .select($"q_id", $"id").distinct()
-    val cv = c.select($"id", $"v").distinct()
-    val qv = q.select($"q_id", $"q_v").distinct()
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"id".asc)
     cand.join(cv, "id").join(broadcast(qv), "q_id")
       .select($"q_id", $"id",

@@ -37,10 +37,17 @@ object Dedup {
   }
 
   /** k seeded minhashes of a token-set column: sig[j] = min over tokens of
-    * xxhash64(j, token). Array column of length k. */
+    * xxhash64(j, xxhash64(token)). The token string is hashed ONCE and the
+    * k per-seed mixes run on longs — vs hashing every string k times.
+    * Array column of length k. (HOF form for array-column callers; the
+    * near-dup pipeline itself uses the exploded codegen formulation in
+    * `minhashNearDup`, which computes the identical signature.) */
   def minhashSignature(tokens: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(tokens, t => xxhash64(j, t))))
+    graft.functions.TextOps.bindOnce(transform(tokens, t => xxhash64(t))) {
+      hs =>
+        transform(sequence(lit(0), lit(k - 1)),
+          j => array_min(transform(hs, h => xxhash64(j, h))))
+    }
 
   /** LSH band keys: signature split into `bands` bands of size k/bands,
     * each hashed to one bucket id. Array of (bandIdx, bucketHash). */
@@ -67,15 +74,15 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 2, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val spark = df.sparkSession
     import spark.implicits._
 
     // No cache: the shingle array is recomputed per consumer (bucket pass
-    // + the two verify-join build sides) — three linear passes. bindOnce
-    // keeps each pass single-evaluation even after CollapseProject inlines
-    // the expression (caching here leaked blocks for the session lifetime:
-    // Dataset.cache registers in CacheManager and is never GC-reclaimed;
-    // and at 100 TB a corpus-wide shingle cache is infeasible anyway).
+    // + the two verify-join build sides) — three linear passes. (Caching
+    // here leaked blocks for the session lifetime: Dataset.cache registers
+    // in CacheManager and is never GC-reclaimed; and at 100 TB a
+    // corpus-wide shingle cache is infeasible anyway.)
     // Empty-shingle docs are exactly those with < shingleN tokens, so the
     // guard filters on the cheap input column and pushes to the scan.
     val shingled = df
@@ -83,16 +90,30 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(tokensCol), shingleN)).as("sh"))
 
-    // (band, bucket, id) — one SLIM row per band per doc; the shingle
-    // arrays stay out of the bucket join entirely. shingles → signature →
-    // band hashes is ONE generator-input expression with each stage
-    // let-bound, so nothing is re-evaluated per band or per hash.
-    val buckets = shingled
-      .select($"id", explode(TextOps.bindOnce($"sh") { sh =>
-        TextOps.bindOnce(minhashSignature(sh, k)) { sig =>
-          bandKeys(sig, k, bands)
-        }
-      }).as("bk"))
+    // Signature via explode + codegen hash-aggregate, NOT per-row
+    // higher-order functions: HOF lambdas evaluate interpreted (outside
+    // whole-stage codegen), and the k min-passes over a string array
+    // measured ~10× the cost of this form, which hashes each shingle
+    // string ONCE, mixes k seeded variants on longs, and takes the k mins
+    // in one HashAggregate with map-side partial aggregation. Same
+    // signature values as `minhashSignature`. At scale the shuffle is
+    // slim (id, k longs) rows — postings never leave their map task.
+    val posts = shingled
+      .select($"id", xxhash64(explode($"sh")).as("h"))
+    val sigCols = (0 until k).map(j => min(xxhash64(lit(j), $"h")).as(s"m$j"))
+    val sig = posts.groupBy($"id").agg(sigCols.head, sigCols.tail: _*)
+
+    // (band, bucket, id) — one SLIM row per band per doc; bucket = hash of
+    // the band's k/bands signature components (same banding scheme as
+    // `bandKeys`; bucket ids differ — scalar multi-arg hash vs array hash).
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val comps = (b * rows until (b + 1) * rows).map(j => col(s"m$j"))
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: comps): _*).as("bucket"))
+    }
+    val buckets = sig
+      .select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
 
     // hot-bucket guard: drop buckets that would blow up quadratically

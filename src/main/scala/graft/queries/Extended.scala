@@ -190,10 +190,15 @@ object Extended {
     // Unsorted variant + explicit spread: the pair join output feeds UDF
     // featurization and ~10 LR treeAggregate passes — it must be
     // parallel, not an AQE-coalesced single partition.
+    // Cached: three consumers (train / candidates / ground truth) would
+    // otherwise each re-run the O(n²/sources) pair join — ~622k pairs ×3
+    // at sf0.1. The slim projection (5 scalar cols, no token arrays) keeps
+    // the cache small; unpersisted once `run` has materialized `scored`.
     val pairs = TextAnalysis.linkpredPairsUnsorted(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"a_id".cast("string").as("srcId"),
         $"b_id".cast("string").as("dstId"), $"label", $"a_id", $"b_id")
+      .cache()
     val train = pairs.filter(($"a_id" + $"b_id") % 3 =!= 0)
       .select($"srcId", $"dstId", $"label")
     val cand = pairs.filter(($"a_id" + $"b_id") % 3 === 0)
@@ -201,6 +206,7 @@ object Extended {
     val gt = pairs.filter($"label" === 1).select($"srcId", $"dstId")
     val (_, scored, _) = graft.ml.LinkPredictor.run(
       s, nodes, train, cand, gt, maxIter = 10)
+    pairs.unpersist(blocking = false)
     // sweep on probabilities bucketed to 3 decimals: bounds the distinct
     // thresholds (≤1001) so the global-ordered cumsum window stays tiny
     // regardless of candidate count
