@@ -24,7 +24,7 @@ object Scratch {
     val t0 = System.nanoTime()
     val n = df.count()
     val countSec = (System.nanoTime() - t0) / 1e9
-    println(f"count=$n  build=$buildSec%.2f s  count=$countSec%.2f s  total=${buildSec + countSec}%.2f s")
+    println(f"rows=$n  build=$buildSec%.2f s  count_sec=$countSec%.2f s  total=${buildSec + countSec}%.2f s")
     spark.stop()
   }
 }

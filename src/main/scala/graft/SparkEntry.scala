@@ -392,7 +392,7 @@ object SparkEntry {
         |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |  WHERE EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
-        |      AND o_totalprice > 300000.0)
+        |      AND o_totalprice > 496000.0)
         |)
         |ORDER BY nationkey""".stripMargin,
 

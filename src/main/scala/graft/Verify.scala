@@ -22,7 +22,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP", "120").toLong
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP", "30").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,8 +76,22 @@ object Verify {
             System.err.println(s"[verify] $name failed: ${root.toString.take(300)}")
             "FAILED"
         }
+      if (outcome != "ok") {
+        // A cancelled/failed write can leave a partial parquet dir
+        // (_temporary files) that the driver's DuckDB compare would read
+        // as an empty result; only fully committed outputs may remain.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[verify] $name%-28s $sec%8.2f s  [$outcome]")
+      // stdout AND stderr: a wall-killed driver run still leaves parseable
+      // per-query evidence in whichever stream it captured.
+      val line = f"[verify] $name%-28s $sec%8.2f s  [$outcome]"
+      println(line)
+      System.err.println(line)
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -98,8 +98,11 @@ object Dedup {
     // in one HashAggregate with map-side partial aggregation. Same
     // signature values as `minhashSignature`. At scale the shuffle is
     // slim (id, k longs) rows — postings never leave their map task.
+    // explode must be a top-level generator (Spark rejects generators
+    // nested in expressions), so project it first, then hash.
     val posts = shingled
-      .select($"id", xxhash64(explode($"sh")).as("h"))
+      .select($"id", explode($"sh").as("s"))
+      .select($"id", xxhash64($"s").as("h"))
     val sigCols = (0 until k).map(j => min(xxhash64(lit(j), $"h")).as(s"m$j"))
     val sig = posts.groupBy($"id").agg(sigCols.head, sigCols.tail: _*)
 

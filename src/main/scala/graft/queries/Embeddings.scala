@@ -58,11 +58,12 @@ object Embeddings {
     * id acts as the blocking key; at scale the blocker is an LSH bucket —
     * graft.operators.Ann.signLsh).
     *
-    * The build side is broadcast: a shuffled equi-join on `label` would
-    * put each label's whole O(n²) block in one task (only ~10 distinct
-    * keys). Broadcasting keeps probe-side parallelism at the input
-    * partitioning; the explicit repartition spreads the (small-file,
-    * single-split) scan across cores. */
+    * Salted shuffle join on (label, salt): `label` alone has ~10 distinct
+    * values, so an unsalted equi-join serializes each block into one task,
+    * and broadcasting the build side (the round-3 form) ships the whole
+    * embeddings table to every executor — impossible at 100 TB. Side a
+    * carries one deterministic salt, side b is replicated across all
+    * salts; every qualifying pair meets in exactly one bucket. */
   def cosineNearDup(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
@@ -71,10 +72,13 @@ object Embeddings {
       .withColumn("nrm", norm($"v"))
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id".as("a_id"), $"label",
-        $"v".as("a_v"), $"nrm".as("a_nrm"))
+        $"v".as("a_v"), $"nrm".as("a_nrm"),
+        pmod(xxhash64($"vec_id"), lit(Extended.PAIR_SALTS)).as("salt"))
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
-      $"v".as("b_v"), $"nrm".as("b_nrm"))
-    a.join(broadcast(b), $"label" === $"b_label" && $"a_id" < $"b_id")
+        $"v".as("b_v"), $"nrm".as("b_nrm"))
+      .withColumn("b_salt", explode(Extended.saltValues))
+    a.join(b, $"label" === $"b_label" && $"salt" === $"b_salt" &&
+        $"a_id" < $"b_id")
       .select($"a_id", $"b_id", $"label",
         (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
       .filter($"cosine" >= threshold)
