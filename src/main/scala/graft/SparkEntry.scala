@@ -41,7 +41,7 @@ object SparkEntry {
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
-    "q_minhash_neardup", "q_lsh_topk", "q_similarity_join_p2",
+    "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
     "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
@@ -92,6 +92,7 @@ object SparkEntry {
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
     "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
+    "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
     "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
   )
 

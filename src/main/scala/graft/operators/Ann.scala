@@ -69,6 +69,80 @@ object Ann {
       struct(lit(t).as("table"),
         signature(vec, t, nBits, dim, seed).as("bucket"))): _*)
 
+  /** IVF (inverted-file) approximate top-k — the second classic ANN scale
+    * path next to sign-LSH (coarse quantizer → probe the nProbe nearest
+    * cells → exact re-rank within them; the IVF-Flat scheme of Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", §IV).
+    *
+    * Centroids: nCells seeded-deterministic corpus vectors, refined by
+    * `lloydIters` distributed k-means passes (assign = argmax cosine;
+    * update = per-cell elementwise mean via a map-combinable aggregate
+    * keyed (cell, pos) — one slim shuffle of nCells×dim rows). The
+    * centroid set (nCells × dim doubles — KBs) is collected driver-side
+    * like any MLlib estimator state and embedded as plan literals, so
+    * cell assignment is a codegen dot-product chain with NO join or
+    * broadcast state; at 100 TB the corpus partitions by `cell` and each
+    * query touches only nProbe/nCells of the data.
+    *
+    * nProbe = nCells degenerates to exact search (every cell probed) —
+    * pinned by AnnSpec against bruteTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
+      seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cv = corpus.select($"id", asDouble($"vec").as("v"))
+    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
+
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    // deterministic seeding: the nCells corpus vectors with the smallest
+    // seeded id-hash (stable under partitioning; no RNG state)
+    var centroids: Seq[Array[Double]] = cv
+      .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
+      .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
+
+    // score-struct array: array_max/array_sort order structs by field
+    // order, so (dot, cell) sorts by similarity with cell as tie-break
+    def cellScores(vec: Column): Column =
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(dotProduct(vec, typedlit(c)).as("s"), lit(i).as("cell"))
+      }: _*)
+    def assignExpr(vec: Column): Column =
+      array_max(cellScores(vec)).getField("cell")
+
+    // Lloyd refinement: per-cell elementwise mean, renormalized. The agg
+    // output is nCells × dim rows — collected like IDF.fit's DF counts.
+    for (_ <- 0 until lloydIters) {
+      val means = cv
+        .select(assignExpr($"v").as("cell"), posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = centroids.head.length
+      centroids = centroids.indices.map { c =>
+        val updated = Array.tabulate(dim)(p => means.getOrElse((c, p), 0.0))
+        if (updated.forall(_ == 0.0)) centroids(c) else unit(updated)
+      }
+    }
+
+    val assigned = cv.select($"id", $"v", assignExpr($"v").as("cell"))
+    // query probes: top-nProbe cells by centroid similarity (sort the
+    // score structs ascending, take the tail, project the cell ids)
+    val probes = qv.select($"q_id", $"q_v",
+        explode(transform(
+          slice(reverse(array_sort(cellScores($"q_v"))), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"id".asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"id" =!= $"q_id")
+      .select($"q_id", $"id",
+        (dot($"q_v", $"v") / (norm($"q_v") * norm($"v"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a (table, bucket)
     * with the query in any table; deduped, then exact cosine re-rank.
     * Recall < 1 by construction; raise nTables / lower nBits to trade

@@ -119,21 +119,26 @@ object Dedup {
       .select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
 
-    // hot-bucket guard: drop buckets that would blow up quadratically
-    val wB = Window.partitionBy($"band", $"bucket")
-    val bounded = buckets
-      .withColumn("__bsz", count(lit(1)).over(wB))
-      .filter($"__bsz" <= maxBucket)
-      .drop("__bsz")
-
-    // bucket-local candidate pairs, deduped across bands FIRST (a pair
-    // colliding in m bands would otherwise be exact-verified m times),
-    // then one exact-Jaccard verification per unique pair.
-    val cand = bounded.select($"band", $"bucket", $"id".as("a_id"))
-      .join(bounded.select($"band", $"bucket", $"id".as("b_id")),
-        Seq("band", "bucket"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
+    // Bucket-local candidate pairs from ONE pass: groupBy (band, bucket)
+    // with a collect_list, pairs generated in-place per bucket. The
+    // previous self-join-on-bucket shape planned the whole signature
+    // pipeline TWICE (Spark does not share common subplans — the explain
+    // showed two full scan→explode→32-min-agg subtrees) plus a Window
+    // sort for the hot-bucket guard; this form computes signatures once
+    // and the guard is a size filter on the membership list. Memory per
+    // group is bounded by the same guard (≤ maxBucket slim ids), and the
+    // per-bucket pair expansion (≤ maxBucket²) equals the join output it
+    // replaces. Pairs are deduped across bands FIRST (a pair colliding in
+    // m bands would otherwise be exact-verified m times).
+    val cand = buckets
+      .groupBy($"band", $"bucket")
+      .agg(collect_list($"id").as("ids"))
+      .filter(size($"ids").between(2, maxBucket))
+      .select(explode(flatten(transform($"ids", x =>
+        transform(filter($"ids", y => y > x),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
+      .distinct()
     cand
       .join(shingled.select($"id".as("a_id"), $"sh".as("a_sh")), "a_id")
       .join(shingled.select($"id".as("b_id"), $"sh".as("b_sh")), "b_id")

@@ -33,6 +33,17 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact deduplication on event_id — the streaming twin of
+    * graft.operators.Dedup.exact for at-least-once ingest (a training-data
+    * pipeline's first stage). dropDuplicatesWithinWatermark keeps one
+    * compact state entry per id and EXPIRES it once the watermark passes,
+    * so state is bounded by the delay window × ingest rate — a plain
+    * dropDuplicates would grow state forever on an unbounded stream. */
+  def dedupEvents(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp) {
     /** exact µs since epoch (Timestamp carries ns resolution). */
     def tsUs: Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L

@@ -41,6 +41,40 @@ class AnnSpec extends SparkSpec {
     assert(out.forall(_.getLong(0) == 0L))
   }
 
+  test("ivfTopK with nProbe = nCells degenerates to exact bruteTopK") {
+    val spark2 = spark
+    import spark2.implicits._
+    val q = corpus.filter($"id" < 2L)
+    val exact = Ann.bruteTopK(corpus, q, k = 3)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Ann.ivfTopK(corpus, q, k = 3, nCells = 3, nProbe = 3,
+        lloydIters = 1)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact)
+  }
+
+  test("ivfTopK partial probe keeps decent recall on real embeddings") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.filter($"id" < 10)
+    val exact = Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 8)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform random embeddings are the worst case for any space
+    // partitioner; probing 8/16 cells should still recover well over the
+    // ~50% a random half-probe would
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    assert(approx.map(_._1) === (0L until 10L).toSet)
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._

@@ -32,6 +32,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops re-delivered event ids within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupEvents(events, delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "click"), (1L, ts(1), "click"),  // redelivery
+        (2L, ts(2), "view"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(3), "click"), (3L, ts(4), "click"))  // again
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").collect()
+      assert(out.map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on >gap and counts events per session") {
     val spark2 = spark
     import spark2.implicits._
