@@ -31,13 +31,14 @@ object SparkEntry {
     "q_customers_with_orders", "q_customers_without_orders",
     "q_customer_top_orders", "q_region_revenue", "q_triplet_join",
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
-    "q_distinct_counts", "q_approx_distinct",
+    "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
+    "q_approx_distinct", "q_stratified_sample",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
-    "q_user_sessions",
+    "q_user_sessions", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
-    "q_dedup_exact",
+    "q_dedup_exact", "q_word_topk",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
@@ -63,17 +64,23 @@ object SparkEntry {
     "q_customers_without_orders" -> (Relational.customersWithoutOrders(_, _)),
     "q_triplet_join"      -> (Relational.tripletJoin(_, _)),
     "q_orders_rollup"     -> (Relational.ordersRollup(_, _)),
+    "q_orders_cube"       -> (Relational.ordersCube(_, _)),
+    "q_pivot_status"      -> (Relational.pivotStatus(_, _)),
+    "q_quantiles"         -> (Relational.quantiles(_, _)),
     "q_threshold_sweep"   -> (Relational.thresholdSweep(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
     "q_user_sessions"     -> ((s, d) => Events.userSessions(s, d)),
+    "q_asof_join"         -> (Events.asofClickPurchase(_, _)),
+    "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
     "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
     "q_lang_id"           -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
+    "q_word_topk"         -> ((s, d) => TextAnalysis.wordTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)
@@ -87,6 +94,7 @@ object SparkEntry {
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
     // wave 2: library operators, rows-only (no SQL oracle by design)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
+    "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
@@ -435,5 +443,72 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT l_returnflag,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS f_qty,
+        |  CAST(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS o_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_orders_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // timestamp comparisons in the two temporal-join oracles go through
+    // epoch_us() so DuckDB's nanosecond parquet reads truncate to the same
+    // microsecond domain Spark computes in (Tables.events)
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  coalesce(c.click_id, -1) AS click_id,
+        |  coalesce(c.gap_us, -1) AS gap_us
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC LIMIT 1) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_event_pairs" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |  AND (epoch_us(b.ts) > epoch_us(a.ts)
+        |       OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
+        |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_word_topk" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), counts AS (
+        |  SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token
+        |), ranked AS (
+        |  SELECT lang, token, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
+        |  FROM counts
+        |)
+        |SELECT lang, token, cnt, rnk FROM ranked
+        |WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
   )
 }

@@ -45,6 +45,41 @@ object Events {
       .orderBy($"event_type")
   }
 
+  /** As-of join (graft.operators.TemporalJoin.asOf): each purchase event
+    * picks up the most recent click at-or-before it by the same user.
+    * Missing matches surface as -1 (not null) so the driver's oracle
+    * compare stays dtype-stable (nullable int64 → float64 in pandas). */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us",
+        $"event_id".as("click_id"), $"ts_us".as("click_ts_us"))
+    graft.operators.TemporalJoin
+      .asOf(purchases, clicks, Seq("user_id"), "ts_us",
+        payloadCols = Seq("click_id", "click_ts_us"), tieBreak = "click_id")
+      .select($"event_id", $"user_id",
+        coalesce($"click_id", lit(-1L)).as("click_id"),
+        coalesce($"ts_us" - $"click_ts_us", lit(-1L)).as("gap_us"))
+      .orderBy($"event_id")
+  }
+
+  /** Bounded time-range self-join (TemporalJoin.timeRangePairs): ordered
+    * same-user event pairs within 10 minutes. */
+  def eventPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+    graft.operators.TemporalJoin
+      .timeRangePairs(e, Seq("user_id"), "ts_us", "event_id",
+        maxGapUs = 10L * 60L * 1000000L)
+      .select($"a_id", $"b_id", $"user_id", $"gap_us")
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Gap-based sessionization: a new session starts after a >30-minute gap.
     * lag + cumulative-sum over a per-user window; exact integer µs math. */
   def userSessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {

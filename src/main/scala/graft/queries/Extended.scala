@@ -102,6 +102,24 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Stratified (per-key-fraction) Bernoulli sampling — S5's `sample`
+    * generalized with df.stat.sampleBy. Seeded, but the draw depends on
+    * row-to-partition assignment, so there is no cross-engine oracle; the
+    * per-stratum rate contract is asserted in ExtendedSpec instead. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_orderkey", $"l_quantity")
+      .stat.sampleBy("l_returnflag",
+        Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.05), seed = 7L)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
   /** The reference's multiset common-word count (F3/Q5, a Scala UDF) over
     * blocked candidate pairs — the one operator kept as a UDF for
     * fidelity; its set-semantics twin is oracle-checked in linkpredPairs. */

@@ -161,6 +161,53 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** PIVOT (wide aggregation): quantity totals per return flag, one column
+    * per line status. Pivot values are pinned explicitly — the implicit
+    * form runs an extra distinct-values job over the corpus and makes the
+    * output schema data-dependent, both wrong at 100 TB. */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity")
+      .groupBy($"l_returnflag")
+      .pivot($"l_linestatus", Seq("F", "O"))
+      .agg(sum(dec($"l_quantity")).cast("double"))
+      .withColumnsRenamed(Map("F" -> "f_qty", "O" -> "o_qty"))
+      .na.fill(Map("f_qty" -> 0.0, "o_qty" -> 0.0))
+      .orderBy($"l_returnflag")
+  }
+
+  /** CUBE grouping sets (all 4 combinations; rollup's 3-set sibling). */
+  def ordersCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Exact percentiles per group (sort-based exact `percentile`, the
+    * oracle-checkable twin of the approx_percentile sketch; l_quantity is
+    * integer-valued so linear interpolation is IEEE-exact in both
+    * engines). At 100 TB exact percentiles shuffle the full column —
+    * production would use approx_percentile; this operator is the
+    * correctness reference for it. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_quantity")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.25)).as("p25"),
+        percentile($"l_quantity", lit(0.5)).as("p50"),
+        percentile($"l_quantity", lit(0.75)).as("p75"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Relational threshold-sweep metrics (A5' — replaces the reference's
     * RDD BinaryClassificationMetrics, Predictor.scala:319-342, with an
     * oracle-checkable groupBy + window-cumsum formulation). Scores/labels

@@ -208,6 +208,23 @@ object TextAnalysis {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Top-k tokens per language: generator (explode) → map-side-combinable
+    * count agg → per-group top-k window. The wordcount shape — at 100 TB
+    * the explode never leaves its map task (partial agg combines before
+    * the shuffle on the (lang, token) key) and the window input is one row
+    * per distinct token, not per occurrence. */
+  def wordTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
+    Tables.documents(s, dir)
+      .select($"lang", explode(toks($"text")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .orderBy($"lang", $"rnk")
+  }
+
   /** Link-prediction candidate featurization — the reference p1 core
     * (double attribute join J1/J2 + feature derivation F1-F3 + label join
     * J3) on the documents table: candidate pairs blocked by source, token

@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (BucketingSpec) land in /tmp, not the repo tree
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${System.getProperty("user.name")}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

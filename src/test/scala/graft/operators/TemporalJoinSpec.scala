@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the temporal joins, pinned against tiny hand-checked
+  * frames: inclusive as-of with deterministic tie-breaks, exactly-once
+  * bounded range pairs (incl. pairs that span a cell boundary).
+  */
+class TemporalJoinSpec extends SparkSpec {
+
+  test("asOf attaches latest right row at-or-before, inclusive, max tie-break") {
+    val spark2 = spark
+    import spark2.implicits._
+    val left = Seq(
+      (1L, 100L, 50L),  // user 100: probe at t=50
+      (2L, 100L, 10L),  // probe before any right row -> null payload
+      (3L, 200L, 30L)   // user 200: probe exactly AT a right timestamp
+    ).toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (11L, 100L, 20L), // user 100 @20
+      (12L, 100L, 50L), // user 100 @50 (same ts as probe 1 -> visible)
+      (13L, 100L, 60L), // after every probe -> never visible
+      (21L, 200L, 30L), // user 200 @30, tie on ts with 22
+      (22L, 200L, 30L)  // same ts: max click_id (22) must win
+    ).toDF("click_id", "user_id", "ts_us")
+      .select($"user_id", $"ts_us", $"click_id", $"ts_us".as("click_ts_us"))
+
+    val got = TemporalJoin
+      .asOf(left, right, Seq("user_id"), "ts_us",
+        payloadCols = Seq("click_id", "click_ts_us"), tieBreak = "click_id")
+      .orderBy($"event_id")
+      .select($"event_id", $"click_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+
+    assert(got.toSeq === Seq((1L, 12L), (2L, -1L), (3L, 22L)))
+  }
+
+  test("timeRangePairs finds each in-gap pair exactly once, incl. across cells") {
+    val spark2 = spark
+    import spark2.implicits._
+    // gap = 100µs; cells are [0,100), [100,200), ...
+    val rows = Seq(
+      (1L, 7L, 10L),   // pairs with 2 (gap 80, same cell) and 3 (gap 100, next cell)
+      (2L, 7L, 90L),   // pairs with 3 (gap 20, crosses cell boundary 90->110)
+      (3L, 7L, 110L),  // pairs with 4? gap 190 > 100 -> no
+      (4L, 7L, 300L),  // isolated
+      (5L, 7L, 300L),  // exact tie with 4: ordered by id, gap 0
+      (6L, 9L, 15L)    // other key: never pairs with user 7
+    ).toDF("event_id", "user_id", "ts_us")
+
+    val got = TemporalJoin
+      .timeRangePairs(rows, Seq("user_id"), "ts_us", "event_id", maxGapUs = 100L)
+      .select($"a_id", $"b_id", $"gap_us")
+      .orderBy($"a_id", $"b_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    assert(got.toSeq === Seq(
+      (1L, 2L, 80L), (1L, 3L, 100L), (2L, 3L, 20L), (4L, 5L, 0L)))
+  }
+
+  test("timeRangePairs agrees with the naive quadratic join") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random scatter: 60 events, 3 users, hash-spread
+    val rows = (1 to 60).map { i =>
+      (i.toLong, (i % 3).toLong, (i * 2654435761L) % 1000L)
+    }.toDF("event_id", "user_id", "ts_us")
+    val gap = 150L
+
+    val fast = TemporalJoin
+      .timeRangePairs(rows, Seq("user_id"), "ts_us", "event_id", gap)
+      .select($"a_id", $"b_id", $"gap_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val a = rows.select($"event_id".as("a_id"), $"user_id", $"ts_us".as("a_ts"))
+    val b = rows.select($"event_id".as("b_id"), $"user_id".as("b_u"), $"ts_us".as("b_ts"))
+    val naive = a.join(b, $"user_id" === $"b_u" &&
+        ($"b_ts" > $"a_ts" || ($"b_ts" === $"a_ts" && $"b_id" > $"a_id")) &&
+        $"b_ts" - $"a_ts" <= gap)
+      .select($"a_id", $"b_id", ($"b_ts" - $"a_ts").as("gap_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(fast === naive)
+    assert(fast.nonEmpty)
+  }
+}

@@ -20,6 +20,25 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: per-stratum rates near their fractions, seeded-stable") {
+    val spark2 = spark
+    import spark2.implicits._
+    val totals = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.05)
+    val sampled = Extended.stratifiedSample(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fracs.foreach { case (flag, f) =>
+      val rate = sampled(flag).toDouble / totals(flag)
+      assert(math.abs(rate - f) < 0.03, s"$flag: rate=$rate expected≈$f")
+    }
+    // same seed, same partitioning → identical draw
+    val again = Extended.stratifiedSample(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === sampled)
+  }
+
   test("lshTopK: decent recall vs exact bruteTopK on real embeddings") {
     val spark2 = spark
     import spark2.implicits._
