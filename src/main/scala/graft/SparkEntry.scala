@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Embeddings, Events, Extended, Relational, TextAnalysis}
+import graft.queries.{Embeddings, Events, Extended, GraphQueries, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,7 +40,8 @@ object SparkEntry {
     "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk",
     // pairwise / embeddings / library — heavier
-    "q_linkpred_pairs", "q_ngram_jaccard", "q_multiset_pairs",
+    "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
+    "q_pair_triangles", "q_dedup_clusters", "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
     "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
     "q_linkpred_e2e")
@@ -82,6 +83,10 @@ object SparkEntry {
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
     "q_word_topk"         -> ((s, d) => TextAnalysis.wordTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
+    // graph analytics over the near-dup pair graph
+    "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
+    "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
+    "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
@@ -110,6 +115,24 @@ object SparkEntry {
   //   list_transform(generate_series(1, n), i -> ...) (1-based, [] when
   //   n < 1), list_reduce (left fold from the first element ≡ Spark
   //   aggregate with 0.0 init), epoch_us, json_extract_string, md5.
+
+  // shared CTE: the near-dup pair graph (GraphQueries.pairGraph) — bigram
+  // shingle Jaccard ≥ 0.08 within a language, canonical a_id < b_id.
+  private val pairGraphCte =
+    """d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+      |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+      |  FROM documents
+      |), pr AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) + len(b.sh) AS sz
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |), p AS (
+      |  SELECT a_id, b_id FROM pr
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.08
+      |)""".stripMargin
 
   private val dotSql =
     // strict in-order left-fold dot product, elementwise double cast —
@@ -496,6 +519,32 @@ object SparkEntry {
         |       OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id > a.event_id))
         |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_pair_degrees" ->
+      s"""WITH $pairGraphCte,
+         |sym AS (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p)
+         |SELECT id AS doc_id, count(*) AS degree
+         |FROM sym GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_pair_triangles" ->
+      s"""WITH $pairGraphCte
+         |SELECT count(*) AS n_triangles
+         |FROM p e1
+         |JOIN p e2 ON e1.b_id = e2.a_id
+         |JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairGraphCte,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+         |)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_word_topk" ->
       """WITH toks AS (

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational graph analytics over canonical edge lists — the capability
+  * the reference *declares* (spark-graphx in build.sbt:13) but never uses
+  * (SURVEY.md §0: "graphx is declared but never imported"). Everything here
+  * is pure DataFrame dataflow: at 100 TB a vertex-partitioned edge list +
+  * hash-shuffle joins is exactly what GraphX's routing tables degenerate
+  * to, without the RDD layer in the way.
+  *
+  * The load-bearing consumer is deduplication: near-dup operators
+  * (Dedup.minhashNearDup, TextAnalysis.ngramJaccardPairs, …) emit PAIRS,
+  * but a pipeline needs CLUSTERS — "keep one doc per group of mutual
+  * near-dups" is connected components over the pair graph. Pairs are not
+  * transitively closed (a~b, b~c but a≁c), so a groupBy can't do it; an
+  * iterative algorithm must.
+  *
+  * Edge-list convention: (aCol, bCol) with a < b, no self-loops, each
+  * undirected edge once — the output shape of all graft pair operators.
+  */
+object Graph {
+
+  /** Undirected degree per vertex. One map-side-combinable agg over the
+    * symmetrized edge list. */
+  def degrees(edges: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame =
+    edges.select(col(aCol).as("id"))
+      .unionAll(edges.select(col(bCol).as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("degree"))
+
+  /** Global triangle count via the oriented wedge join: with edges
+    * oriented low→high, each triangle a<b<c is counted exactly once as
+    * wedge (a,b)+(b,c) closed by (a,c). Orientation bounds the join
+    * fan-out by the max out-degree of the ORIENTED graph (≤ √(2|E|) for
+    * any graph after degree-ordering, the classic heavy-hitter bound) —
+    * the naive symmetric join would square the hub degrees. Returns a
+    * 1-row frame (n_triangles). */
+  def triangleCount(edges: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val wedge = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    wedge.join(e.select(col("a"), col("b").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds on ANY graph — unlike
+    * min-label propagation, whose round count is the graph diameter
+    * (linear on chain-shaped near-dup clusters). Each round is two
+    * shuffle joins; intermediate state is localCheckpoint'ed to truncate
+    * the lineage (on a cluster, prefer rdd.checkpoint to a replicated
+    * dir for fault tolerance past executor loss).
+    *
+    * @return (id, component) for every vertex incident to an edge, where
+    *         component = smallest vertex id in its component.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxRounds: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // state: (x, p) with p < x — "x currently attached to p"
+    var e = edges
+      .select(greatest(col(aCol), col(bCol)).as("x"),
+        least(col(aCol), col(bCol)).as("p"))
+      .filter($"x" =!= $"p")
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor v > u attaches to u's min neighbor
+      val sym = e.select($"x".as("u"), $"p".as("v"))
+        .unionAll(e.select($"p".as("u"), $"x".as("v")))
+      val mins = sym.groupBy($"u")
+        .agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val large = sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("x"), $"m".as("p"))
+        .filter($"x" =!= $"p")
+        .distinct()
+      // small-star: all smaller neighbors (and u itself) attach to the min
+      val smins = large.groupBy($"x").agg(min($"p").as("m"))
+      val withM = large.join(smins, "x")
+      val next = withM.select($"p".as("x2"), $"m".as("p2"))
+        .unionAll(withM.select($"x".as("x2"), $"m".as("p2")))
+        .filter($"x2" =!= $"p2")
+        .select($"x2".as("x"), $"p2".as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // star forest: children map to their root; roots map to themselves
+    e.select($"x".as("id"), $"p".as("component"))
+      .unionAll(e.select($"p").distinct()
+        .join(e.select($"x"), $"p" === $"x", "left_anti")
+        .select($"p".as("id"), $"p".as("component")))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Graph operator semantics: degrees, oriented triangle count, and
+  * alternating-star connected components (pinned against a test-side
+  * union-find on randomized graphs, plus the worst-case chain shape that
+  * defeats plain label propagation).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgesDf(es: Seq[(Long, Long)]) = {
+    val spark2 = spark
+    import spark2.implicits._
+    es.toDF("a_id", "b_id")
+  }
+
+  private def unionFind(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElse(a, parent.update(a, a))
+      parent.getOrElse(b, parent.update(b, b))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = es.flatMap(e => Seq(e._1, e._2)).distinct
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  private def ccMap(es: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edgesDf(es)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("degrees of a known graph") {
+    val d = Graph.degrees(edgesDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("triangleCount: K4 has 4 triangles, a square has 0") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graph.triangleCount(edgesDf(k4)).collect().head.getLong(0) === 4L)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(Graph.triangleCount(edgesDf(square)).collect().head.getLong(0) === 0L)
+  }
+
+  test("connectedComponents: two components + chain worst case") {
+    // components {1,2,3} (root 1) and {10,11} (root 10)
+    assert(ccMap(Seq((1L, 2L), (2L, 3L), (10L, 11L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // 40-node chain: diameter 39, must still converge in O(log n) rounds
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val got = ccMap(chain)
+    assert(got.size === 40 && got.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents agrees with union-find on a random graph") {
+    // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
+    val es = (1 to 90).map { i =>
+      val h = i * 2654435761L
+      val clump = (h % 3) * 1000L
+      val a = clump + (h % 37)
+      val b = clump + ((h / 37) % 41)
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    assert(ccMap(es) === unionFind(es))
+  }
+}
