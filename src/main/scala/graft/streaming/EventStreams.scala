@@ -44,6 +44,38 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the incremental twin of
+    * graft.operators.TemporalJoin.timeRangePairs: each purchase joined to
+    * every click by the same user within the trailing `gap`. Both sides
+    * carry watermarks and the join condition bounds event time on BOTH
+    * ends, so Spark derives state-expiry watermarks for each side and the
+    * join state stays bounded by gap × ingest rate — the unbounded-state
+    * trap of an unconstrained stream-stream join is structurally avoided.
+    *
+    * Note the semantic difference from the batch as-of join: "latest click
+    * only" needs a post-join aggregation (a second stateful stage);
+    * streaming pipelines usually take all-in-window matches (this shape)
+    * and reduce downstream.
+    *
+    * @param clicks    (user_id, ts, click_id)
+    * @param purchases (user_id, ts, purchase_id)
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+      gap: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", gap)
+      .select(col("user_id"), col("ts").as("click_ts"), col("click_id"))
+    val p = purchases.withWatermark("ts", gap)
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("purchase_id"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $gap"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
   case class EventIn(user_id: Long, ts: java.sql.Timestamp) {
     /** exact µs since epoch (Timestamp carries ns resolution). */
     def tsUs: Long = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L

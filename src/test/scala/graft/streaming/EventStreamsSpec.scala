@@ -52,6 +52,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickPurchaseJoin matches all clicks in the trailing window, bounded state") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[(Long, Timestamp, Long)]
+    val memP = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = memC.toDF().toDF("user_id", "ts", "click_id")
+    val purchases = memP.toDF().toDF("user_id", "ts", "purchase_id")
+    val q = EventStreams.clickPurchaseJoin(clicks, purchases, gap = "10 minutes")
+      .writeStream.format("memory").queryName("cpjoin_test")
+      .outputMode("append").start()
+    try {
+      // user 1: clicks at :00, :05, :20; purchase at :08 → matches :00, :05
+      // (within 10 min, at-or-before), NOT :20 (after the purchase)
+      memC.addData((1L, ts(0), 100L), (1L, ts(5), 101L), (1L, ts(20), 102L))
+      memP.addData((1L, ts(8), 900L))
+      q.processAllAvailable()
+      val out = spark.table("cpjoin_test").orderBy($"click_id").collect()
+      assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ===
+        Seq((900L, 100L), (900L, 101L)))
+      assert(out.map(_.getAs[Long]("gap_us")).toSeq ===
+        Seq(8L * 60e6.toLong, 3L * 60e6.toLong))
+    } finally q.stop()
+  }
+
   test("sessionize splits on >gap and counts events per session") {
     val spark2 = spark
     import spark2.implicits._
