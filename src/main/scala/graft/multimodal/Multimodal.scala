@@ -61,4 +61,49 @@ object Multimodal {
   def extractFeatures(df: DataFrame, parallelism: Int): DataFrame =
     df.repartition(parallelism, col("media_id"))
       .withColumn("features", fakeDecodeFeatures())
+
+  case class MediaFeature(media_id: Long, features: Array[Float])
+
+  /** Deterministic fake batch kernel (seeded MurmurHash3 over the payload
+    * bytes per dimension) — same contract as a real embedding model:
+    * one Array[Float] per payload, in input order. */
+  def fakeKernel(dim: Int = 8)(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+    batch.map { bytes =>
+      Array.tabulate(dim) { i =>
+        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i)
+        ((h & 0x7fffffff) % 1000000) / 1000000.0f
+      }
+    }
+
+  /** Batched kernel plumbing — the mapPartitions shape a real inference
+    * kernel needs (the JVM mirror of PySpark's mapInPandas batch
+    * semantics): per-PARTITION setup happens once (where a real kernel
+    * loads its model/library — the expensive step a per-row UDF would
+    * repeat), payloads flow through in fixed-size batches (GPU/vectorized
+    * inference wants dense batches, not single rows), and the iterator is
+    * consumed lazily so a partition never materializes in memory. Null
+    * payloads map to empty feature arrays without entering the kernel.
+    *
+    * Swap `kernel` for a real JNI/ONNX call without touching the dataflow.
+    */
+  def extractFeaturesBatched(df: DataFrame, batchSize: Int = 32,
+      kernel: Seq[Array[Byte]] => Seq[Array[Float]] = fakeKernel()(_))
+      : Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (model load, library handle)
+        it.grouped(batchSize).flatMap { group =>
+          val (withPayload, nullPayload) = group.partition(_._2 != null)
+          val feats = if (withPayload.nonEmpty)
+            kernel(withPayload.map(_._2)) else Seq.empty
+          withPayload.lazyZip(feats)
+            .map { case ((id, _), f) => MediaFeature(id, f) } ++
+            nullPayload.map { case (id, _) => MediaFeature(id, Array.empty) }
+        }
+      }
+  }
 }

@@ -49,4 +49,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions === 2)
     assert(out.select("features").collect().forall(!_.isNullAt(0)))
   }
+
+  test("extractFeaturesBatched: batch-size invariant, null payload safe") {
+    val withNull = media.unionByName(
+      media.limit(1).select(lit(99L).as("media_id"), col("modality"),
+        lit(null).cast("binary").as("payload"), col("mime"),
+        col("width"), col("height"), col("duration_ms")))
+    def run(bs: Int) = Multimodal.extractFeaturesBatched(withNull, bs)
+      .collect().map(f => f.media_id -> f.features.toSeq).toMap
+    val one = run(1)
+    assert(run(3) === one && run(1000) === one)  // batching never changes results
+    assert(one(99L).isEmpty)                     // null payload → empty features
+    assert(one(1L).length === 8 && one(1L) === one(2L))  // same payload, same features
+    assert(one(1L) !== one(3L))
+  }
 }
