@@ -32,10 +32,11 @@ object SparkEntry {
     "q_customer_top_orders", "q_region_revenue", "q_triplet_join",
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
-    "q_approx_distinct", "q_stratified_sample",
+    "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
+    "q_stratified_sample",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
-    "q_user_sessions", "q_asof_join", "q_event_pairs",
+    "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk",
@@ -68,11 +69,13 @@ object SparkEntry {
     "q_orders_cube"       -> (Relational.ordersCube(_, _)),
     "q_pivot_status"      -> (Relational.pivotStatus(_, _)),
     "q_quantiles"         -> (Relational.quantiles(_, _)),
+    "q_part_strings"      -> (Relational.partStrings(_, _)),
     "q_threshold_sweep"   -> (Relational.thresholdSweep(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
     "q_user_sessions"     -> ((s, d) => Events.userSessions(s, d)),
+    "q_session_windows"   -> (Events.sessionWindows(_, _)),
     "q_asof_join"         -> (Events.asofClickPurchase(_, _)),
     "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
@@ -99,6 +102,7 @@ object SparkEntry {
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
     // wave 2: library operators, rows-only (no SQL oracle by design)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
+    "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
@@ -492,6 +496,41 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_part_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_type) AS type_upper,
+        |  CAST(regexp_extract(p_brand, '(\d+)', 1) AS INTEGER) AS brand_num,
+        |  string_split(p_name, ' ')[1] AS name_head,
+        |  length(p_name) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  substring(p_name, 1, 3) AS name_pfx
+        |FROM part
+        |WHERE p_name LIKE '%o%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |              OR ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  min(ts_us) AS start_us,
+        |  max(ts_us) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // timestamp comparisons in the two temporal-join oracles go through
     // epoch_us() so DuckDB's nanosecond parquet reads truncate to the same

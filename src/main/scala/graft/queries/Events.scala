@@ -80,6 +80,23 @@ object Events {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Native SessionWindow operator (session_window() grouping — Spark's
+    * built-in merging session assignment, vs the lag/cumsum formulation in
+    * userSessions). Semantics: a session's end = last event + gap, and an
+    * event at exactly end starts a NEW session (merge iff diff < gap,
+    * strictly) — the oracle's lag predicate uses >= accordingly. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"),
+        $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
   /** Gap-based sessionization: a new session starts after a >30-minute gap.
     * lag + cumulative-sum over a per-user window; exact integer µs math. */
   def userSessions(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {

@@ -102,6 +102,20 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Approximate percentiles (KLL-style sketch) — the scale path next to
+    * the exact `Relational.quantiles`; sketch internals are Spark-specific
+    * so no cross-engine oracle, the error contract vs exact percentiles is
+    * pinned in ExtendedSpec. */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("approx_p50"),
+        percentile_approx($"l_extendedprice", lit(0.9), lit(1000)).as("approx_p90"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Stratified (per-key-fraction) Bernoulli sampling — S5's `sample`
     * generalized with df.stat.sampleBy. Seeded, but the draw depends on
     * row-to-partition assignment, so there is no cross-engine oracle; the

@@ -161,6 +161,24 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** String-function surface over part: regexp extraction, case mapping,
+    * substring/concat, LIKE filtering — all codegen'd built-ins, all
+    * exact cross-engine (no locale-dependent collation in play). */
+  def partStrings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_name".like("%o%"))
+      .select(
+        $"p_partkey",
+        upper($"p_type").as("type_upper"),
+        regexp_extract($"p_brand", "(\\d+)", 1).cast("int").as("brand_num"),
+        split($"p_name", " ").getItem(0).as("name_head"),
+        length($"p_name").as("name_len"),
+        concat_ws("-", $"p_brand", $"p_type").as("brand_type"),
+        substring($"p_name", 1, 3).as("name_pfx"))
+      .orderBy($"p_partkey")
+  }
+
   /** PIVOT (wide aggregation): quantity totals per return flag, one column
     * per line status. Pivot values are pinned explicitly — the implicit
     * form runs an extra distinct-values job over the corpus and makes the

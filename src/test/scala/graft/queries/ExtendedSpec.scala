@@ -20,6 +20,19 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("approxQuantiles: sketch medians near exact percentiles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val exact = Relational.quantiles(spark, sf("sf0.01"))
+      .select($"l_returnflag", $"p50").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Extended.approxQuantiles(spark, sf("sf0.01")).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getDouble(1))
+      assert(math.abs(approx - exact(flag)) / exact(flag) < 0.05,
+        s"$flag: approx_p50=$approx exact=${exact(flag)}")
+    }
+  }
+
   test("stratifiedSample: per-stratum rates near their fractions, seeded-stable") {
     val spark2 = spark
     import spark2.implicits._
