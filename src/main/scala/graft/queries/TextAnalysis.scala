@@ -182,9 +182,17 @@ object TextAnalysis {
       maxDf: Int): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
+    // Shingles are hashed to xxhash64 longs at explode time: the posting
+    // join key becomes (lang, 8-byte long) instead of (lang, string) —
+    // narrower shuffle rows and long-equality probes across the Σdf²
+    // posting self-join (~19M probe rows at sf0.1). Counts are unchanged
+    // unless two distinct shingles of the same language collide in 64 bits
+    // (P ≈ 10⁻¹³ over this corpus) — same determinism argument as the
+    // minhash signature path; the string-level oracle still bit-matches.
     val d = tokens
       .select($"doc_id", $"lang",
-        array_distinct(bigramShingles($"t")).as("sh"))
+        array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
+          .as("sh"))
     val posts = d.select($"lang", $"doc_id", explode($"sh").as("shingle"))
     // df agg is map-side combinable; output cardinality = distinct
     // (lang, shingle) — small. Only the > maxDf tail is broadcast.
