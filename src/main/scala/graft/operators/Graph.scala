@@ -93,7 +93,15 @@ object Graph {
         .select($"x2".as("x"), $"p2".as("p"))
         .distinct()
         .localCheckpoint(true)
-      converged = next.except(e).isEmpty && e.except(next).isEmpty
+      // Convergence = star forest: no parent is itself a child (chains
+      // fully collapsed). One semi-join probe, vs the two except
+      // anti-joins a set-equality check needs; at the fixpoint the
+      // alternating iteration provably reproduces E (see scaladoc), so
+      // the criteria agree — this one just fires a round earlier when
+      // the star forest appears.
+      converged = next.select($"p")
+        .join(next.select($"x"), $"p" === $"x", "left_semi")
+        .isEmpty
       e = next
       round += 1
     }
