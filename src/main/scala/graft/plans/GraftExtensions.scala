@@ -10,8 +10,11 @@ import graft.functions.DotProduct
   * expressions for SQL use. SURVEY.md §4.2 concluded no custom
   * Rule/SparkStrategy is needed for the reference's semantics — Catalyst
   * plans everything — so the extension surface is function injection
-  * only; planner strategies would slot in here if a future operator
-  * (as-of join, range join) demanded one.
+  * only. The candidate operators for a custom strategy (as-of join, range
+  * join) turned out to compose from built-ins with the right plan shape
+  * (graft.operators.TemporalJoin: union+window, cell-bucketed equi-join),
+  * confirming that decision; a planner strategy would slot in here if a
+  * future operator genuinely demanded one.
   *
   * Usage:
   *   SparkSession.builder().withExtensions(new GraftExtensions)...
