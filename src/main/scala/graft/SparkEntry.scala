@@ -42,7 +42,8 @@ object SparkEntry {
     "q_dedup_exact", "q_word_topk",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
-    "q_pair_triangles", "q_dedup_clusters", "q_multiset_pairs",
+    "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
+    "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
     "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
     "q_linkpred_e2e")
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
     "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
+    "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
@@ -584,6 +586,21 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $pairGraphCte,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+         |),
+         |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_word_topk" ->
       """WITH toks AS (

@@ -148,6 +148,26 @@ object Dedup {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Corpus-level near-duplicate REMOVAL — the pipeline payoff the pair
+    * operators feed: collapse near-dup pairs into clusters (connected
+    * components — pairs are not transitively closed) and keep only each
+    * cluster's minimum-id representative. Rows never mentioned in `pairs`
+    * survive untouched.
+    *
+    * @param df    corpus
+    * @param pairs near-dup pairs (a_id, b_id) from any pair operator
+    *              (minhashNearDup, simhashNearDup, ngramJaccardPairs, …)
+    * @param idCol corpus id column matching the pair ids
+    */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val losers = Graph
+      .connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint of a token array: bit i of the result is
     * the sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
     * Pure higher-order functions; deterministic. The token-hash array is

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Tables
+
 /** Graph analytics over the near-duplicate pair graph (the n-gram Jaccard
   * pairs at threshold 0.08 — dense enough at sf0.01 for non-vacuous
   * oracles: 298 edges, 16 triangles, 44 components incl. a 139-node one).
@@ -38,6 +40,16 @@ object GraphQueries {
     import s.implicits._
     graft.operators.Graph.connectedComponents(pairGraph(s, dir))
       .select($"id".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
+  /** The deduplicated corpus: documents minus every non-representative
+    * cluster member (Dedup.keepRepresentatives over the pair graph). */
+  def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Dedup.keepRepresentatives(
+        Tables.documents(s, dir).select($"doc_id", $"lang", $"source"),
+        pairGraph(s, dir), "doc_id")
       .orderBy($"doc_id")
   }
 }

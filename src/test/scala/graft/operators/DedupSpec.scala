@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(j12 === 1.0)                           // identical shingle sets
   }
 
+  test("keepRepresentatives removes all but min-id per transitive cluster") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pairs 1-2 and 2-3 chain into one cluster {1,2,3}; 4,5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepRepresentatives(docs, pairs, "id")
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 4L, 5L))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = docs.select(Dedup.minhashSignature(col("tokens"), 16).as("s"))
       .collect().map(_.getSeq[Long](0))
