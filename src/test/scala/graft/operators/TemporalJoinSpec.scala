@@ -62,6 +62,37 @@ class TemporalJoinSpec extends SparkSpec {
       (1L, 2L, 80L), (1L, 3L, 100L), (2L, 3L, 20L), (4L, 5L, 0L)))
   }
 
+  test("asOf agrees with a per-row reference on a random scatter") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic scatter with deliberate ts collisions (mod 97)
+    val lefts = (1 to 80).map { i =>
+      val h = i * 2654435761L
+      (i.toLong, (h % 5).toLong, (h / 7) % 97L)
+    }
+    val rights = (1 to 60).map { i =>
+      val h = (i + 1000) * 2654435761L
+      (i + 100L, (h % 5).toLong, (h / 11) % 97L)
+    }
+    val got = TemporalJoin
+      .asOf(lefts.toDF("event_id", "user_id", "ts_us"),
+        rights.toDF("click_id", "user_id", "ts_us")
+          .select($"user_id", $"ts_us", $"click_id"),
+        Seq("user_id"), "ts_us", payloadCols = Seq("click_id"),
+        tieBreak = "click_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val expected = lefts.map { case (id, u, ts) =>
+      val cands = rights.filter(r => r._2 == u && r._3 <= ts)
+      // latest ts, then max click_id
+      id -> (if (cands.isEmpty) -1L
+             else cands.maxBy(r => (r._3, r._1))._1)
+    }.toMap
+    assert(got === expected)
+    assert(expected.values.exists(_ != -1L) && expected.values.exists(_ == -1L))
+  }
+
   test("timeRangePairs agrees with the naive quadratic join") {
     val spark2 = spark
     import spark2.implicits._
