@@ -51,9 +51,12 @@ object LinkPredictor {
   }
 
   /** F1-F3 over an attached-pairs frame (token columns pre-computed by
-    * prepareNodes; only the pair-local intersects run per pair). */
+    * prepareNodes; only the pair-local intersects run per pair). Uses the
+    * native codegen expression (graft.functions.TextExprs) — identical
+    * values to the fidelity UDF, no UDF boundary in the O(pairs) path. */
   def featurize(pairs: DataFrame): DataFrame = {
-    val common = TextOps.commonWordsMultiset
+    val common = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.TextExprs.commonWordsMultiset(a, b)
     pairs
       .withColumn("year_diff",
         coalesce(TextOps.yearDiff(col("year_from"), col("year_to")), lit(0)))

@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       GraftExtensions.dotProductBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("multiset_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.MultisetIntersectCount].getName,
+        "multiset_intersect_count"),
+      GraftExtensions.multisetBuilder))
   }
 }
 
@@ -43,10 +48,20 @@ object GraftExtensions {
         org.apache.spark.sql.catalyst.expressions.Cast(args(1), at))
     }
 
+  private[plans] val multisetBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2,
+        "multiset_intersect_count(arrayA, arrayB) takes 2 args")
+      graft.functions.MultisetIntersectCount(args(0), args(1))
+    }
+
   /** Register into an already-built session (tests, REPLs) — the class
     * above only applies through SparkSession.builder().withExtensions /
     * spark.sql.extensions. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "dot_product", dotProductBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "multiset_intersect_count", multisetBuilder)
+  }
 }

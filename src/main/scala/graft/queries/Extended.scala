@@ -159,7 +159,8 @@ object Extended {
     a.join(b, $"source" === $"b_source" && $"salt" === $"b_salt" &&
         $"a_id" < $"b_id")
       .select($"a_id", $"b_id", $"source",
-        TextOps.commonWordsMultiset($"a_t", $"b_t").as("common_multiset"),
+        graft.functions.TextExprs.commonWordsMultiset($"a_t", $"b_t")
+          .as("common_multiset"),
         TextOps.commonWordsSet($"a_t", $"b_t").as("common_set"))
       .filter($"common_multiset" >= 20)
       .orderBy($"a_id", $"b_id")
