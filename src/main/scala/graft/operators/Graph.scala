@@ -52,9 +52,12 @@ object Graph {
     * SoCC'14): converges in O(log n) rounds on ANY graph — unlike
     * min-label propagation, whose round count is the graph diameter
     * (linear on chain-shaped near-dup clusters). Each round is two
-    * shuffle joins; intermediate state is localCheckpoint'ed to truncate
-    * the lineage (on a cluster, prefer rdd.checkpoint to a replicated
-    * dir for fault tolerance past executor loss).
+    * shuffle joins; intermediate state is checkpointed to truncate the
+    * lineage — RELIABLY (to the configured checkpoint dir, surviving
+    * executor loss: the right mode on a cluster) when
+    * `sparkContext.setCheckpointDir` has been called, executor-locally
+    * otherwise (fine in one JVM; lost state would mean recomputing a
+    * truncated lineage that no longer exists).
     *
     * @return (id, component) for every vertex incident to an edge, where
     *         component = smallest vertex id in its component.
@@ -64,12 +67,14 @@ object Graph {
     val spark = edges.sparkSession
     import spark.implicits._
     // state: (x, p) with p < x — "x currently attached to p"
-    var e = edges
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    var e = materialize(edges
       .select(greatest(col(aCol), col(bCol)).as("x"),
         least(col(aCol), col(bCol)).as("p"))
       .filter($"x" =!= $"p")
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -87,12 +92,11 @@ object Graph {
       // small-star: all smaller neighbors (and u itself) attach to the min
       val smins = large.groupBy($"x").agg(min($"p").as("m"))
       val withM = large.join(smins, "x")
-      val next = withM.select($"p".as("x2"), $"m".as("p2"))
+      val next = materialize(withM.select($"p".as("x2"), $"m".as("p2"))
         .unionAll(withM.select($"x".as("x2"), $"m".as("p2")))
         .filter($"x2" =!= $"p2")
         .select($"x2".as("x"), $"p2".as("p"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       // Convergence = star forest: no parent is itself a child (chains
       // fully collapsed). One semi-join probe, vs the two except
       // anti-joins a set-equality check needs; at the fixpoint the

@@ -58,6 +58,14 @@ class GraphSpec extends SparkSpec {
     assert(got.size === 40 && got.values.forall(_ == 1L))
   }
 
+  test("connectedComponents identical under a reliable checkpoint dir") {
+    val es = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val before = ccMap(es)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    assert(ccMap(es) === before)
+  }
+
   test("connectedComponents agrees with union-find on a random graph") {
     // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
     val es = (1 to 90).map { i =>
