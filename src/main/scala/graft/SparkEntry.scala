@@ -33,17 +33,17 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
-    "q_stratified_sample",
+    "q_stratified_sample", "q_skew_join", "q_price_bands", "q_bloom_prune",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
-    "q_dedup_exact", "q_word_topk",
+    "q_dedup_exact", "q_word_topk", "q_tfidf_topk", "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
-    "q_multiset_pairs",
+    "q_pair_pagerank", "q_embed_centroids", "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
     "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
     "q_linkpred_e2e")
@@ -72,6 +72,9 @@ object SparkEntry {
     "q_quantiles"         -> (Relational.quantiles(_, _)),
     "q_part_strings"      -> (Relational.partStrings(_, _)),
     "q_threshold_sweep"   -> (Relational.thresholdSweep(_, _)),
+    "q_skew_join"         -> (Relational.skewJoin(_, _)),
+    "q_price_bands"       -> (Relational.priceBands(_, _)),
+    "q_bloom_prune"       -> (Relational.bloomPruneJoin(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
@@ -86,16 +89,20 @@ object SparkEntry {
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
     "q_word_topk"         -> ((s, d) => TextAnalysis.wordTopK(s, d)),
+    "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     // graph analytics over the near-dup pair graph
     "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
     "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
+    "q_pair_pagerank"     -> (GraphQueries.pairPagerank(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
+    "q_embed_stats"       -> (Embeddings.embedStats(_, _)),
+    "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
     "q_nation_delta"      -> (Extended.nationDelta(_, _)),
     "q_null_fill"         -> (Extended.nullFill(_, _)),
@@ -601,6 +608,80 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH avgs AS (
+        |  SELECT o_orderpriority AS p,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price
+        |  FROM orders GROUP BY p
+        |)
+        |SELECT o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_totalprice > avg_price THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM orders JOIN avgs ON o_orderpriority = p
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p0_small', 0.0, 100000.0),
+        |  ('p1_mid', 100000.0, 200000.0),
+        |  ('p2_large', 200000.0, 350000.0),
+        |  ('p3_huge', 350000.0, 600000.0))
+        |SELECT band, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0) big
+        |  ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_tfidf_topk" ->
+      // rational IDF (N+1)/(df+1): exactly-rounded IEEE div/mul only, so
+      // score doubles (and therefore the per-doc ranking) are bit-equal
+      // across engines — a libm ln() could differ in the last ulp
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) DESC, term ASC) AS rnk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_embed_stats" ->
+      // integer-exact vector reductions: counts, and a ×16 (power of two —
+      // exact on binary floats) quantized floor-sum; no float accumulation
+      """WITH q AS (
+        |  SELECT label, len(embedding) AS dims,
+        |    len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) AS n_pos,
+        |    list_reduce(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 16.0) AS BIGINT)),
+        |      (acc, x) -> acc + x) AS q_sum
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(dims) AS BIGINT) AS total_dims,
+        |  CAST(sum(n_pos) AS BIGINT) AS sum_pos,
+        |  CAST(sum(q_sum) AS BIGINT) AS sum_q16
+        |FROM q GROUP BY label
+        |ORDER BY label""".stripMargin,
 
     "q_word_topk" ->
       """WITH toks AS (

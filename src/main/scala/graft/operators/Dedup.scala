@@ -160,9 +160,16 @@ object Dedup {
     * @param idCol corpus id column matching the pair ids
     */
   def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame =
+    keepRepresentativesFromComponents(df,
+      Graph.connectedComponents(pairs), idCol)
+
+  /** keepRepresentatives over an already-computed (id, component) frame —
+    * lets callers reuse one connected-components result across consumers
+    * (GraphQueries caches it per session). */
+  def keepRepresentativesFromComponents(df: DataFrame, components: DataFrame,
       idCol: String): DataFrame = {
-    val losers = Graph
-      .connectedComponents(pairs)
+    val losers = components
       .filter(col("id") =!= col("component"))
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")

@@ -47,6 +47,55 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** PageRank over the undirected pair graph (each edge walked both ways).
+    *
+    * Standard power iteration: rank(v) ← (1-d)/n + d·Σ rank(u)/deg(u) over
+    * neighbors u. Each iteration is one shuffle join (ranks ⋈ edges on the
+    * source) + one map-side-combinable sum agg on the destination — the
+    * same dataflow GraphX's Pregel compiles to, without the RDD layer.
+    * Ranks are checkpointed every `checkpointInterval` rounds to truncate
+    * the lineage (reliably when a checkpoint dir is configured,
+    * executor-locally otherwise — same policy as connectedComponents).
+    * Each checkpoint is an eager extra action, so short runs (≤ the
+    * interval) pay exactly one materialization at the end; long runs
+    * trade a few extra jobs for bounded lineage. The edge list is cached:
+    * it is re-joined every round.
+    *
+    * On a symmetrized edge list every vertex has deg ≥ 1, so there is no
+    * dangling mass and ranks sum to 1 exactly (up to float addition) at
+    * every step — pinned in GraphSpec.
+    *
+    * @return (id, pagerank) for every vertex incident to an edge.
+    */
+  def pageRank(edges: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", iterations: Int = 10,
+      damping: Double = 0.85, checkpointInterval: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val withDeg = sym.join(
+        sym.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = withDeg.select($"src").distinct().count()
+    var ranks = withDeg.select($"src".as("id")).distinct()
+      .withColumn("pagerank", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, $"src" === $"id")
+        .select($"dst", ($"pagerank" / $"deg").as("c"))
+      ranks = contribs.groupBy($"dst".as("id"))
+        .agg((lit((1.0 - damping) / n) + lit(damping) * sum($"c"))
+          .as("pagerank"))
+      if (i % checkpointInterval == 0 || i == iterations)
+        ranks = materialize(ranks)
+    }
+    withDeg.unpersist(blocking = false)
+    ranks
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): converges in O(log n) rounds on ANY graph — unlike

@@ -58,12 +58,11 @@ object Embeddings {
     * id acts as the blocking key; at scale the blocker is an LSH bucket —
     * graft.operators.Ann.signLsh).
     *
-    * Salted shuffle join on (label, salt): `label` alone has ~10 distinct
-    * values, so an unsalted equi-join serializes each block into one task,
-    * and broadcasting the build side (the round-3 form) ships the whole
-    * embeddings table to every executor — impossible at 100 TB. Side a
-    * carries one deterministic salt, side b is replicated across all
-    * salts; every qualifying pair meets in exactly one bucket. */
+    * Salted shuffle join on (label, salt) via operators.SkewJoin: `label`
+    * alone has ~10 distinct values, so an unsalted equi-join serializes
+    * each block into one task, and broadcasting the build side (the
+    * round-3 form) ships the whole embeddings table to every executor —
+    * impossible at 100 TB. */
   def cosineNearDup(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
@@ -72,16 +71,60 @@ object Embeddings {
       .withColumn("nrm", norm($"v"))
     val a = e.repartition(s.sparkContext.defaultParallelism)
       .select($"vec_id".as("a_id"), $"label",
-        $"v".as("a_v"), $"nrm".as("a_nrm"),
-        pmod(xxhash64($"vec_id"), lit(Extended.PAIR_SALTS)).as("salt"))
+        $"v".as("a_v"), $"nrm".as("a_nrm"))
     val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
-        $"v".as("b_v"), $"nrm".as("b_nrm"))
-      .withColumn("b_salt", explode(Extended.saltValues))
-    a.join(b, $"label" === $"b_label" && $"salt" === $"b_salt" &&
-        $"a_id" < $"b_id")
+      $"v".as("b_v"), $"nrm".as("b_nrm"))
+    graft.operators.SkewJoin.salted(a, b,
+        $"label" === $"b_label" && $"a_id" < $"b_id",
+        saltOn = $"a_id", salts = Extended.PAIR_SALTS)
       .select($"a_id", $"b_id", $"label",
         (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
       .filter($"cosine" >= threshold)
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** Per-label embedding statistics with integer-exact vector reductions —
+    * elementwise ops (filter/transform) folded to integers so the
+    * cross-engine oracle is bit-exact despite float inputs: counts are
+    * integers, and the quantized sum multiplies by 16 (a power of two —
+    * EXACT on binary floats) then floors to a long, so no
+    * order-of-addition float drift can exist in either engine. The
+    * float-summing twin (centroids) is spec-checked instead. */
+  def embedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", asDouble($"embedding").as("v"))
+      .select($"label", size($"v").as("dims"),
+        size(filter($"v", x => x > 0.0)).as("n_pos"),
+        aggregate(transform($"v", x => floor(x * lit(16.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("q_sum"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum($"dims").as("total_dims"),
+        sum($"n_pos").as("sum_pos"),
+        sum($"q_sum").as("sum_q16"))
+      .orderBy($"label")
+  }
+
+  /** Per-label centroids: posexplode → groupBy (label, dim) mean →
+    * re-assemble in dim order. The aggregation state is one row per
+    * (label, dimension) — at 100 TB this shuffles ~|labels|×dims rows
+    * after map-side partial aggregation, never a whole vector row; the
+    * alternative (collect vectors per label and average on one task) dies
+    * on the first hot label. Float mean is order-dependent in the last
+    * ulp, so this is spec-checked (EmbeddingsSpec), not oracle-checked. */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode(asDouble($"embedding")).as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(avg($"x").as("m"), count(lit(1)).as("n"))
+      .groupBy($"label")
+      .agg(
+        transform(array_sort(collect_list(struct($"dim", $"m"))),
+          e => e.getField("m")).as("centroid"),
+        max($"n").as("n_vecs"))
+      .orderBy($"label")
   }
 }

@@ -143,21 +143,19 @@ object Extended {
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"source", TextAnalysis.toks($"text").as("t"))
       .repartition(s.sparkContext.defaultParallelism)
-    // Salted shuffle self-join on the block key: `source` has ~10 distinct
-    // values, so an unsalted equi-join would put each block's whole O(n²)
-    // pair set in ONE task — and the previous broadcast(b) form shipped
-    // the entire corpus to every executor (impossible at 100 TB). Side a
-    // gets a deterministic salt; side b is replicated across all salts, so
-    // every (a, b) pair meets in exactly one (source, salt) bucket and the
-    // shuffle key has source×SALTS cardinality. Replication cost: b side
-    // ×SALTS in the shuffle — linear, vs broadcast's ×executors copy.
-    val a = d.select($"doc_id".as("a_id"), $"source", $"t".as("a_t"),
-      pmod(xxhash64($"doc_id"), lit(PAIR_SALTS)).as("salt"))
+    // Salted shuffle self-join on the block key (operators.SkewJoin):
+    // `source` has ~10 distinct values, so an unsalted equi-join would put
+    // each block's whole O(n²) pair set in ONE task — and the previous
+    // broadcast(b) form shipped the entire corpus to every executor
+    // (impossible at 100 TB). The shuffle key becomes (source, salt) with
+    // source×SALTS cardinality; replication cost: b side ×SALTS in the
+    // shuffle — linear, vs broadcast's ×executors copy.
+    val a = d.select($"doc_id".as("a_id"), $"source", $"t".as("a_t"))
     val b = d.select($"doc_id".as("b_id"), $"source".as("b_source"),
-        $"t".as("b_t"))
-      .withColumn("b_salt", explode(saltValues))
-    a.join(b, $"source" === $"b_source" && $"salt" === $"b_salt" &&
-        $"a_id" < $"b_id")
+      $"t".as("b_t"))
+    graft.operators.SkewJoin.salted(a, b,
+        $"source" === $"b_source" && $"a_id" < $"b_id",
+        saltOn = $"a_id", salts = PAIR_SALTS)
       .select($"a_id", $"b_id", $"source",
         graft.functions.TextExprs.commonWordsMultiset($"a_t", $"b_t")
           .as("common_multiset"),
@@ -170,8 +168,6 @@ object Extended {
     * Embeddings.cosineNearDup). 16 × ~10 block keys ≈ 160 shuffle buckets
     * — enough parallelism for local[32] and a sane replication factor. */
   private[queries] val PAIR_SALTS = 16
-  private[queries] def saltValues: org.apache.spark.sql.Column =
-    array((0 until PAIR_SALTS).map(lit): _*)
 
   /** p2 (reference Predictor.scala:388-422), corrected: TF over bigram
     * shingles → seeded MinHash-LSH self-join → similarity ≥ threshold. */

@@ -254,4 +254,78 @@ object Relational {
           .otherwise(lit(2.0) * $"precision" * $"recall" / ($"precision" + $"recall")))
       .orderBy($"threshold".desc)
   }
+
+  /** Compare-to-group-average via a SALTED shuffle join
+    * (operators.SkewJoin): orders re-joined to their per-priority average
+    * price. o_orderpriority has 5 distinct values — the canonical skewed
+    * key: an unsalted shuffle join puts ~1/5 of all orders in one task.
+    * Salting spreads each priority over 16 buckets; the oracle is the
+    * plain SQL join, pinning that salting changes nothing but the
+    * partitioning. The average is decimal-exact-sum / exact-count, one
+    * IEEE division — bit-identical across engines. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val avgs = o.groupBy($"o_orderpriority".as("p"))
+      .agg((sum(dec($"o_totalprice")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_price"))
+    graft.operators.SkewJoin
+      .salted(o, avgs, $"o_orderpriority" === $"p", saltOn = $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"o_totalprice" > $"avg_price", 1L).otherwise(0L))
+          .as("n_above_avg"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Selective fact⋈dim join with Bloom pre-join pruning
+    * (operators.BloomPrune): lineitems of high-value orders. The order
+    * filter keeps ~1% of orders; the Bloom sketch of their keys prunes
+    * ~99% of lineitem INSIDE its scan stage, before any shuffle — at
+    * 100 TB that is the difference between shuffling the whole fact table
+    * and shuffling the matching slice. The oracle is the plain SQL join:
+    * Bloom false positives are removed by the exact join, false negatives
+    * don't exist, so the result is identical. */
+  def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 450000.0)
+      .select($"o_orderkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+    graft.operators.BloomPrune
+      .prunedInnerJoin(li, big, $"l_orderkey" === $"o_orderkey",
+        $"l_orderkey", $"o_orderkey", expectedItems = 100000L)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Point-in-interval join via bucket decomposition
+    * (operators.RangeJoin): orders priced into half-open price bands.
+    * The bands here are four literal rows (Catalyst would happily
+    * broadcast-nested-loop them); the point is the operator — the same
+    * call with a million-interval table stays a hash join on the bucket
+    * id. Width 50k ≈ the median band span (see RangeJoin scaladoc). */
+  def priceBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p0_small", 0.0, 100000.0),
+      ("p1_mid", 100000.0, 200000.0),
+      ("p2_large", 200000.0, 350000.0),
+      ("p3_huge", 350000.0, 600000.0)).toDF("band", "lo", "hi")
+    graft.operators.RangeJoin
+      .pointInInterval(Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_totalprice"),
+        "o_totalprice", bands, "lo", "hi", bucketWidth = 50000.0)
+      .groupBy($"band")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"band")
+  }
 }

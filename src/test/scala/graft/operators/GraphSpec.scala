@@ -66,6 +66,57 @@ class GraphSpec extends SparkSpec {
     assert(ccMap(es) === before)
   }
 
+  /** Reference power iteration on the same symmetrized adjacency, same
+    * formula and iteration count as Graph.pageRank. */
+  private def localPageRank(es: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val adj = (es ++ es.map(_.swap)).groupMap(_._1)(_._2)
+    val n = adj.size
+    var r = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for ((u, vs) <- adj; v <- vs) contrib(v) += r(u) / vs.size
+      r = adj.keys.map(k => k -> ((1.0 - d) / n + d * contrib(k))).toMap
+    }
+    r
+  }
+
+  private def prMap(es: Seq[(Long, Long)], iters: Int = 10): Map[Long, Double] =
+    Graph.pageRank(edgesDf(es), iterations = iters).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: uniform on a regular graph, sums to 1") {
+    // triangle — every vertex identical by symmetry
+    val got = prMap(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: star center outranks leaves, matches closed form") {
+    // undirected star K1,3: c = (1+3d)/(4(1+d)) at the fixed point;
+    // convergence is geometric at rate d, so 40 iters → error ≈ 0.23·d⁴⁰
+    // ≈ 4e-4
+    val got = prMap(Seq((1L, 2L), (1L, 3L), (1L, 4L)), iters = 40)
+    val d = 0.85
+    val c = (1 + 3 * d) / (4 * (1 + d))
+    assert(math.abs(got(1L) - c) < 1e-3)
+    Seq(2L, 3L, 4L).foreach(l => assert(got(l) < got(1L)))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank agrees with local power iteration on a random graph") {
+    val es = (1 to 60).map { i =>
+      val h = i * 2654435761L
+      (h % 23L, (h / 23) % 29L)
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val got = prMap(es, iters = 8)
+    val want = localPageRank(es, iters = 8)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k")
+  }
+
   test("connectedComponents agrees with union-find on a random graph") {
     // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
     val es = (1 to 90).map { i =>
