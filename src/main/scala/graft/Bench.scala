@@ -88,10 +88,13 @@ object Bench {
         // real wall spent before cancellation — they did burn that time.
         times(name) = if (outcome == "failed") -1.0 else sec
         System.err.println(f"[bench] $name%-28s $sec%8.2f s  [$outcome]")
-        // Drop the previous query's broadcast blocks/shuffle state before
-        // timing the next one — in one shared local JVM, GC/eviction debt
-        // from a heavy query otherwise lands in its successors' timings.
-        spark.catalog.clearCache()
+        // GC between heavy queries so eviction debt doesn't land in the
+        // successor's timing. Deliberately NOT catalog.clearCache(): that
+        // would drop the session-scoped materialized intermediates
+        // (TextAnalysis.scoredNearDupPairs, GraphQueries.components) the
+        // pair-graph queries share; every other cache in the engine is
+        // unpersisted by its owning operator, and broadcast/shuffle state
+        // is reclaimed by the ContextCleaner.
         if (sec > 2.0) System.gc()
       }
     }

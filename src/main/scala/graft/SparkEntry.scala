@@ -683,6 +683,33 @@ object SparkEntry {
         |FROM q GROUP BY label
         |ORDER BY label""".stripMargin,
 
+    // multiset intersection (reference F3/Q5: Seq.intersect preserves
+    // multiplicity) = Σ_token least(count_a, count_b), via per-pair unnest
+    "q_multiset_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+        |), pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.source,
+        |    a.t AS at, b.t AS bt
+        |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |), ca AS (
+        |  SELECT a_id, b_id, unnest(at) AS tok FROM pr
+        |), cb AS (
+        |  SELECT a_id, b_id, unnest(bt) AS tok FROM pr
+        |), na AS (SELECT a_id, b_id, tok, count(*) AS n FROM ca GROUP BY a_id, b_id, tok),
+        |nb AS (SELECT a_id, b_id, tok, count(*) AS n FROM cb GROUP BY a_id, b_id, tok),
+        |inter AS (
+        |  SELECT a_id, b_id,
+        |    CAST(sum(least(na.n, nb.n)) AS INT) AS common_multiset
+        |  FROM na JOIN nb USING (a_id, b_id, tok)
+        |  GROUP BY a_id, b_id
+        |)
+        |SELECT p.a_id, p.b_id, p.source, i.common_multiset,
+        |  CAST(len(list_intersect(p.at, p.bt)) AS INT) AS common_set
+        |FROM pr p JOIN inter i ON p.a_id = i.a_id AND p.b_id = i.b_id
+        |WHERE i.common_multiset >= 20
+        |ORDER BY p.a_id, p.b_id""".stripMargin,
+
     "q_word_topk" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents

@@ -92,7 +92,9 @@ object Verify {
       val line = f"[verify] $name%-28s $sec%8.2f s  [$outcome]"
       println(line)
       System.err.println(line)
-      spark.catalog.clearCache()
+      // no catalog.clearCache() here — it would drop the shared
+      // materialized intermediates (see Bench); per-operator caches
+      // unpersist themselves.
     }
     spark.stop()
   }

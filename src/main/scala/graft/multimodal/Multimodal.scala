@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * video payloads ride as opaque `binary` columns next to typed metadata,
   * partitioned so a 1000-executor decode pass is embarrassingly parallel.
   *
-  * The decode/feature kernels themselves are STUBS behind a deterministic
-  * fake (this container has no image/audio libs — builder prompt): the
-  * Spark-side contract — schema, batch shape, partitioning, null paths —
-  * is real and tested. Swap `fakeDecode*` for a real kernel (JNI or
-  * `mapInPandas` on a PySpark deployment) without touching callers.
+  * Kernels: uncompressed P6 PPM images decode/resize/featurize FOR REAL
+  * (graft.multimodal.Ppm — pure JVM, no codec library needed; see
+  * `resizePpm` and `Ppm.featureKernel`). Compressed formats (JPEG/audio/
+  * video) stay behind a deterministic fake (this container has no media
+  * libs — builder prompt): for those, the Spark-side contract — schema,
+  * batch shape, partitioning, null paths — is real and tested, and a real
+  * kernel (JNI or `mapInPandas` on a PySpark deployment) swaps in without
+  * touching callers.
   */
 object Multimodal {
 
@@ -37,8 +40,39 @@ object Multimodal {
         / 1000000.0).cast("float"))
   }
 
-  /** Image resize stub: passes bytes through, rewrites the metadata the
-    * way a real resize kernel would. Real kernel: ??? (JNI/opencv). */
+  case class MediaResized(media_id: Long, payload: Array[Byte],
+    out_width: Int, out_height: Int)
+
+  /** REAL image resize for P6 PPM payloads: decode → nearest-neighbor
+    * scale to fit `maxSide` (aspect preserved, never upscaled) →
+    * re-encode. Payloads that are not PPM pass through untouched with
+    * out dims -1 (a compressed-format kernel would slot in here).
+    * Distributed as a typed map — one decode+resize per row per task. */
+  def resizePpm(df: DataFrame, maxSide: Int): Dataset[MediaResized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(maxSide > 0, s"maxSide must be positive: $maxSide")
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        Ppm.decode(bytes) match {
+          case Some(img) =>
+            val side = math.max(img.width, img.height)
+            if (side <= maxSide) MediaResized(id, bytes, img.width, img.height)
+            else {
+              val w2 = math.max(1, (img.width.toLong * maxSide / side).toInt)
+              val h2 = math.max(1, (img.height.toLong * maxSide / side).toInt)
+              MediaResized(id, Ppm.encode(Ppm.resizeNearest(img, w2, h2)),
+                w2, h2)
+            }
+          case None => MediaResized(id, bytes, -1, -1)
+        }
+      }
+  }
+
+  /** Metadata-only resize stub: passes bytes through, rewrites the
+    * metadata the way a real resize kernel would — the planning-shape
+    * twin of resizePpm for formats without an in-JVM codec. */
   def resizeStub(df: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(maxSide) / col("width"), lit(maxSide) / col("height"),
       lit(1.0))
