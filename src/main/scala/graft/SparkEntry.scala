@@ -33,7 +33,8 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
-    "q_stratified_sample", "q_skew_join", "q_price_bands", "q_bloom_prune",
+    "q_stratified_sample", "q_bottomk_sample", "q_skew_join",
+    "q_price_bands", "q_bloom_prune", "q_argmin_join",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_skew_join"         -> (Relational.skewJoin(_, _)),
     "q_price_bands"       -> (Relational.priceBands(_, _)),
     "q_bloom_prune"       -> (Relational.bloomPruneJoin(_, _)),
+    "q_argmin_join"       -> (Relational.argminJoin(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
@@ -113,6 +115,7 @@ object SparkEntry {
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
+    "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
@@ -633,6 +636,16 @@ object SparkEntry {
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    "q_argmin_join" ->
+      """SELECT l_partkey, l_suppkey, s_nationkey, min_price FROM (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice AS min_price,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice ASC, l_suppkey ASC) AS rn
+        |  FROM lineitem) x
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1
+        |ORDER BY l_partkey""".stripMargin,
 
     "q_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -134,6 +134,25 @@ object Extended {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Deterministic per-group k-sample of example ids via the graft-native
+    * bottom-k sketch aggregate (functions.BottomKSample, a custom Catalyst
+    * TypedImperativeAggregate): unlike stratifiedSample (S5 Bernoulli,
+    * partition-order-dependent), the bottom-k result is a pure function of
+    * each group's value set — identical on any cluster layout. Sketch
+    * hashes are Spark-side (splitmix64), so no SQL oracle; the contract
+    * (uniformity, exactness ≤ k, partitioning invariance) is pinned in
+    * SketchAggsSpec. */
+  def bottomkSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.functions.SketchAggs.bottomKSample($"l_orderkey", 5, 42L)
+          .as("sample_keys"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   /** The reference's multiset common-word count (F3/Q5, a Scala UDF) over
     * blocked candidate pairs — the one operator kept as a UDF for
     * fidelity; its set-semantics twin is oracle-checked in linkpredPairs. */
@@ -170,11 +189,20 @@ object Extended {
   private[queries] val PAIR_SALTS = 16
 
   /** p2 (reference Predictor.scala:388-422), corrected: TF over bigram
-    * shingles → seeded MinHash-LSH self-join → similarity ≥ threshold. */
+    * shingles → seeded MinHash-LSH self-join → similarity ≥ threshold.
+    *
+    * Input is Bernoulli-sampled at 0.5 with the reference's own seed
+    * (12345, S5): the reference pins p2 to ≤0.2 of the corpus on one
+    * machine (Predictor.scala:26-28) because MLlib's approxSimilarityJoin
+    * computes an exact key-distance for EVERY bucket-colliding candidate —
+    * quadratic in the hot buckets. We run 2.5× the reference's feasible
+    * fraction; the uncapped scale path is the native banding operator
+    * (q_minhash_neardup), which verifies only deduped band candidates. */
   def similarityJoinP2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.feature.HashingTF
     val d = Tables.documents(s, dir)
+      .sample(0.5, 12345L)
       .select($"doc_id", TextAnalysis.toks($"text").as("t"))
       .repartition(s.sparkContext.defaultParallelism)
       .select($"doc_id",

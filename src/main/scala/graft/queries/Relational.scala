@@ -255,6 +255,27 @@ object Relational {
       .orderBy($"threshold".desc)
   }
 
+  /** Argmin join (TPC-H Q2 shape on the available tables): for each part,
+    * the cheapest lineitem offer and its supplier — the correlated
+    * "= (SELECT min ...)" subquery pattern, planned as ONE shuffle on the
+    * group key + a row_number top-1 (no per-row subquery, no second scan
+    * of the fact table). Ties broken by min suppkey so the result is
+    * deterministic; the SQL oracle uses the identical tie-break. */
+  def argminJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+    val w = Window.partitionBy($"l_partkey")
+      .orderBy($"l_extendedprice".asc, $"l_suppkey".asc)
+    li.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey", $"l_suppkey", $"s_nationkey",
+        $"l_extendedprice".as("min_price"))
+      .orderBy($"l_partkey")
+  }
+
   /** Compare-to-group-average via a SALTED shuffle join
     * (operators.SkewJoin): orders re-joined to their per-priority average
     * price. o_orderpriority has 5 distinct values — the canonical skewed

@@ -89,10 +89,16 @@ class ExtendedSpec extends SparkSpec {
   test("similarityJoinP2 agrees with exact ngram jaccard at the threshold") {
     val spark2 = spark
     import spark2.implicits._
+    // the query samples its input 0.5/seed 12345 (the reference's p2
+    // envelope) — restrict the exact pair set to the same sampled universe
+    val sampled = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .sample(0.5, 12345L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
     // exact pairs with jaccard >= 0.5 (oracle-checked query, threshold up)
     val exact = TextAnalysis.ngramJaccardPairs(spark, sf("sf0.001"), 0.5)
       .select($"a_id", $"b_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => sampled(p._1) && sampled(p._2)).toSet
     val lsh = Extended.similarityJoinP2(spark, sf("sf0.001"))
       .select($"a_id", $"b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
