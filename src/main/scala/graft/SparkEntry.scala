@@ -34,7 +34,8 @@ object SparkEntry {
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_stratified_sample", "q_bottomk_sample", "q_skew_join",
-    "q_price_bands", "q_bloom_prune", "q_argmin_join",
+    "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
+    "q_nation_intersect", "q_window_suite",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
@@ -77,6 +78,9 @@ object SparkEntry {
     "q_price_bands"       -> (Relational.priceBands(_, _)),
     "q_bloom_prune"       -> (Relational.bloomPruneJoin(_, _)),
     "q_argmin_join"       -> (Relational.argminJoin(_, _)),
+    "q_full_outer"        -> (Relational.fullOuter(_, _)),
+    "q_nation_intersect"  -> (Relational.nationIntersect(_, _)),
+    "q_window_suite"      -> (Relational.windowSuite(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
@@ -636,6 +640,49 @@ object SparkEntry {
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH stats AS (
+        |  SELECT o_custkey, count(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 350000.0 GROUP BY o_custkey
+        |), c AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000.0
+        |)
+        |SELECT coalesce(c_nationkey, -1) AS nationkey,
+        |  (n_big IS NOT NULL) AS has_big,
+        |  (c_custkey IS NOT NULL) AS known_customer,
+        |  count(*) AS n
+        |FROM c FULL OUTER JOIN stats ON c_custkey = o_custkey
+        |GROUP BY nationkey, has_big, known_customer
+        |ORDER BY nationkey, has_big, known_customer""".stripMargin,
+
+    "q_nation_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |  WHERE c_acctbal > 9000.0
+        |  INTERSECT
+        |  SELECT DISTINCT c_nationkey FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+        |      AND o_totalprice > 496000.0)
+        |)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER wf AS first_key,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(ntile(4) OVER w AS INT) AS tile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS run_sum
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_argmin_join" ->
       """SELECT l_partkey, l_suppkey, s_nationkey, min_price FROM (

@@ -255,6 +255,71 @@ object Relational {
       .orderBy($"threshold".desc)
   }
 
+  /** Full-outer join: per-customer order stats stitched onto the customer
+    * table in BOTH directions — customers without orders AND orphaned
+    * order keys survive with nulls, then coalesce buckets them. */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 350000.0)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_big"))
+    Tables.customer(s, dir)
+      .filter($"c_acctbal" > 9000.0)
+      .select($"c_custkey", $"c_nationkey")
+      .join(stats, $"c_custkey" === $"o_custkey", "full_outer")
+      .groupBy(
+        coalesce($"c_nationkey", lit(-1)).as("nationkey"),
+        ($"n_big".isNotNull).as("has_big"),
+        ($"c_custkey".isNotNull).as("known_customer"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"nationkey", $"has_big", $"known_customer")
+  }
+
+  /** Intersect (the set op nationDelta's except leaves uncovered):
+    * nations with a high-balance customer AND a near-cap open order.
+    * Threshold 496000 matches nationDelta's calibration — it excludes
+    * 7 of 25 nations at sf0.01, so the intersect is a PROPER subset of
+    * both sides (400000 admitted every nation: a broken intersect that
+    * echoed its left input would still have "passed"). */
+  def nationIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val richCust = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 9000.0)
+      .select($"c_nationkey".as("nationkey"))
+    val bigOrders = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderstatus" === "O" && $"o_totalprice" > 496000.0),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_nationkey".as("nationkey"))
+    richCust.intersect(bigOrders).orderBy($"nationkey")
+  }
+
+  /** Window-function suite beyond row_number: lag/lead, first_value,
+    * rank vs dense_rank, ntile, percent_rank, and a sliding-frame sum —
+    * one pass over each customer's order history. percent_rank is
+    * (rank-1)/(n-1): one IEEE division on exact ints, bit-stable across
+    * engines. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_key", lead($"o_orderkey", 1).over(w))
+      .withColumn("first_key", first($"o_orderkey").over(wFrame))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("tile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("run_sum",
+        sum(dec($"o_totalprice")).over(wFrame).cast("double"))
+      .select($"o_custkey", $"o_orderkey", $"prev_price", $"next_key",
+        $"first_key", $"rnk", $"tile", $"pct_rank", $"run_sum")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Argmin join (TPC-H Q2 shape on the available tables): for each part,
     * the cheapest lineitem offer and its supplier — the correlated
     * "= (SELECT min ...)" subquery pattern, planned as ONE shuffle on the
