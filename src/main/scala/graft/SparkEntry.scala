@@ -35,7 +35,7 @@ object SparkEntry {
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_stratified_sample", "q_bottomk_sample", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
-    "q_nation_intersect", "q_window_suite",
+    "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
@@ -81,6 +81,7 @@ object SparkEntry {
     "q_full_outer"        -> (Relational.fullOuter(_, _)),
     "q_nation_intersect"  -> (Relational.nationIntersect(_, _)),
     "q_window_suite"      -> (Relational.windowSuite(_, _)),
+    "q_nullsafe_join"     -> (Relational.nullsafeJoin(_, _)),
     // events (SURVEY §7.4)
     "q_hourly_stats"      -> (Events.hourlyStats(_, _)),
     "q_json_props"        -> (Events.jsonProps(_, _)),
@@ -640,6 +641,21 @@ object SparkEntry {
         |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0.0 THEN NULL
+        |         ELSE CAST(floor(c_acctbal / 1000.0) AS BIGINT) END AS tier
+        |  FROM customer
+        |)
+        |SELECT a.tier, count(*) AS n_pairs,
+        |  count(DISTINCT a.c_custkey) AS n_left
+        |FROM t a JOIN t b
+        |  ON a.tier IS NOT DISTINCT FROM b.tier
+        |  AND a.c_custkey < b.c_custkey
+        |GROUP BY a.tier
+        |ORDER BY a.tier ASC NULLS FIRST""".stripMargin,
 
     "q_full_outer" ->
       """WITH stats AS (

@@ -255,6 +255,29 @@ object Relational {
       .orderBy($"threshold".desc)
   }
 
+  /** Null-safe equi-join — the reference joins EVERY key with `<=>`
+    * (EqualNullSafe, Predictor.scala:216), though its keys are never null
+    * post-fill; here the semantics actually bite: negative-balance
+    * customers get a NULL tier, and `<=>` matches the null tier to itself
+    * (plain `=` would drop those rows). Catalyst still plans this as a
+    * hash equi-join on the null-safe key. Oracle: DuckDB
+    * `IS NOT DISTINCT FROM`. */
+  def nullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tiered(df: DataFrame) = df
+      .select($"c_custkey", $"c_nationkey",
+        when($"c_acctbal" < 0.0, lit(null))
+          .otherwise(floor($"c_acctbal" / 1000.0)).as("tier"))
+    val a = tiered(Tables.customer(s, dir))
+    val b = tiered(Tables.customer(s, dir))
+      .select($"c_custkey".as("b_custkey"), $"tier".as("b_tier"))
+    a.join(b, $"tier" <=> $"b_tier" && $"c_custkey" < $"b_custkey")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"c_custkey").as("n_left"))
+      .orderBy($"tier".asc_nulls_first)
+  }
+
   /** Full-outer join: per-customer order stats stitched onto the customer
     * table in BOTH directions — customers without orders AND orphaned
     * order keys survive with nulls, then coalesce buckets them. */
