@@ -252,19 +252,31 @@ object TextAnalysis {
   }
 
   /** Top-k tokens per language: generator (explode) → map-side-combinable
-    * count agg → per-group top-k window. The wordcount shape — at 100 TB
-    * the explode never leaves its map task (partial agg combines before
-    * the shuffle on the (lang, token) key) and the window input is one row
-    * per distinct token, not per occurrence. */
+    * count agg → TWO-PHASE top-k. The wordcount shape — at 100 TB the
+    * explode never leaves its map task (partial agg combines before the
+    * shuffle on the (lang, token) key); the top-k then runs first within
+    * (lang, token-hash bucket) — spreading the vocabulary over 32×|langs|
+    * window partitions instead of one task per language — and finally
+    * over the ≤ 32k surviving candidates per language. Results are
+    * identical to the single-window form: every global top-k token is
+    * top-k within its own bucket, and both phases share the
+    * (cnt desc, token asc) deterministic order. */
   def wordTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import s.implicits._
+    val buckets = 32
+    val wB = Window.partitionBy($"lang", $"bucket")
+      .orderBy($"cnt".desc, $"token".asc)
     val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"token".asc)
     Tables.documents(s, dir)
       .select($"lang", explode(toks($"text")).as("token"))
       .groupBy($"lang", $"token")
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", pmod(xxhash64($"token"), lit(buckets)))
+      .withColumn("rb", row_number().over(wB))
+      .filter($"rb" <= k)
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
+      .select($"lang", $"token", $"cnt", $"rnk")
       .orderBy($"lang", $"rnk")
   }
 
@@ -337,7 +349,12 @@ object TextAnalysis {
       $"lang".as("a_lang"), $"n_chars".as("a_chars"), $"tset".as("a_t"))
     val b = d.select($"doc_id".as("b_id"), $"source".as("b_source"),
       $"lang".as("b_lang"), $"n_chars".as("b_chars"), $"tset".as("b_t"))
-    a.join(b, $"source" === $"b_source" && $"a_id" < $"b_id")
+    // salted block self-join (operators.SkewJoin): `source` has ~10
+    // distinct values — unsalted, each block's O(n²) pair set lands in
+    // one task (same reasoning as Extended.multisetPairs)
+    graft.operators.SkewJoin.salted(a, b,
+        $"source" === $"b_source" && $"a_id" < $"b_id",
+        saltOn = $"a_id", salts = Extended.PAIR_SALTS)
       .select($"a_id", $"b_id", $"source",
         size(array_intersect($"a_t", $"b_t")).as("common_tokens"),
         (size($"a_t") + size($"b_t")).as("sz"),
