@@ -46,7 +46,8 @@ object SparkEntry {
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
     "q_pair_pagerank", "q_embed_centroids", "q_multiset_pairs",
-    "q_cosine_topk", "q_cosine_neardup", "q_simhash_neardup",
+    "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup",
+    "q_simhash_neardup",
     "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
     "q_linkpred_e2e")
 
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
     "q_embed_stats"       -> (Embeddings.embedStats(_, _)),
+    "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
     "q_nation_delta"      -> (Extended.nationDelta(_, _)),

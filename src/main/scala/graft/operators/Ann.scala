@@ -143,6 +143,46 @@ object Ann {
       .filter($"rank" <= k)
   }
 
+  /** LSH-blocked cosine near-duplicate PAIRS over the whole corpus — the
+    * true scale path for embedding dedup (Embeddings.cosineNearDup blocks
+    * on a label column; real corpora have no labels). Same sign-LSH
+    * machinery as lshTopK, self-joined: candidates = id pairs sharing a
+    * (table, bucket) in ANY table, deduped, then one exact cosine per
+    * unique pair, thresholded.
+    *
+    * Calibration (collision p = 1 − θ/π per hyperplane): recall for a
+    * pair at angle θ is 1 − (1 − p^nBits)^nTables. Few bits + many
+    * tables → high recall at moderate similarity (the defaults here,
+    * 4 bits × 24 tables, give ≈0.97 at cosine 0.35 on random 64-d data —
+    * pinned in AnnSpec); true near-dup thresholds (cosine ≥ 0.9, p ≥
+    * 0.85) tolerate far more bits, and more bits is what shrinks buckets:
+    * candidate volume per table is Σ bucket², so at production scale
+    * nBits rises with ln(corpus) to hold buckets at ~candidate budget.
+    * All-pairs work only ever happens WITHIN a bucket — never n². */
+  def lshNearDupPairs(corpus: DataFrame, threshold: Double,
+      nTables: Int = 24, nBits: Int = 4, seed: Int = 42): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size($"vec")).head.getInt(0)
+    val cv = corpus.select($"id", asDouble($"vec").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val b = cv
+      .select($"id", explode(
+        signLshBuckets($"v", nTables, nBits, dim, seed)).as("bk"))
+      .select($"id", $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+    val cand = b
+      .join(b.select($"id".as("b_id"), $"table", $"bucket"),
+        Seq("table", "bucket"))
+      .filter($"id" < $"b_id")
+      .select($"id".as("a_id"), $"b_id").distinct()
+    cand
+      .join(cv.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_nrm")), "a_id")
+      .join(cv.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_nrm")), "b_id")
+      .select($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      .filter($"cosine" >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a (table, bucket)
     * with the query in any table; deduped, then exact cosine re-rank.
     * Recall < 1 by construction; raise nTables / lower nBits to trade

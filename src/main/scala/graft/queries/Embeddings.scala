@@ -83,6 +83,21 @@ object Embeddings {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Label-free near-dup pairs via sign-LSH blocking
+    * (operators.Ann.lshNearDupPairs) — the scale path next to the
+    * label-blocked cosineNearDup: no blocking column needed, recall
+    * calibrated by (nBits, nTables); spec-gated against the exact join
+    * in AnnSpec. */
+  def cosineNearDupLsh(s: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    graft.operators.Ann.lshNearDupPairs(e, threshold)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Per-label embedding statistics with integer-exact vector reductions —
     * elementwise ops (filter/transform) folded to integers so the
     * cross-engine oracle is bit-exact despite float inputs: counts are

@@ -75,6 +75,44 @@ class AnnSpec extends SparkSpec {
     assert(approx.map(_._1) === (0L until 10L).toSet)
   }
 
+  test("lshNearDupPairs: exact duplicates always collide; high recall vs exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // identical vectors share every signature — recall 1 on true dups
+    val pairs = Ann.lshNearDupPairs(corpus, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)))
+    // real embeddings: recall vs the exact all-pairs join at the query
+    // threshold (4 bits × 24 tables ≈ 0.97 predicted at cosine 0.35)
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val approx = Ann.lshNearDupPairs(e, threshold = 0.35)
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = {
+      val v = e.select($"id", $"vec")
+      val a = v.select($"id".as("a_id"), $"vec".as("a_v"))
+      val b = v.select($"id".as("b_id"), $"vec".as("b_v"))
+      import org.apache.spark.sql.functions._
+      a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          (graft.queries.Embeddings.dot(
+            transform($"a_v", x => x.cast("double")),
+            transform($"b_v", x => x.cast("double"))) /
+            (graft.queries.Embeddings.norm(transform($"a_v", x => x.cast("double"))) *
+             graft.queries.Embeddings.norm(transform($"b_v", x => x.cast("double")))))
+            .as("cosine"))
+        .filter($"cosine" >= 0.35)
+        .select($"a_id", $"b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(approx.subsetOf(exact), "LSH must not invent pairs (exact verify)")
+    if (exact.nonEmpty) {
+      val recall = (approx & exact).size.toDouble / exact.size
+      assert(recall >= 0.85, s"recall=$recall (${approx.size}/${exact.size})")
+    }
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._
