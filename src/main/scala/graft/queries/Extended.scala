@@ -300,13 +300,14 @@ object Extended {
     // at sf0.1. The slim projection (5 scalar cols, no token arrays) keeps
     // the cache small; unpersisted once `run` has materialized `scored`.
     // Bench-budget trim (driver per-query cap is 45 s; the full pair set
-    // measured ~40 s at sf0.1 on a slow host): keep a deterministic half
-    // of the source blocks — halves the pair count, the two featurize
-    // passes, and every L-BFGS sweep, while remaining an end-to-end run
-    // over real blocks. The quality floor is pinned by ExtendedSpec
-    // (best F1 > 0.5 at sf0.001 under this same trim).
+    // measured ~40 s at sf0.1 on a slow host, and the half-blocks variant
+    // still swung to 22 s under host noise): keep a deterministic THIRD
+    // of the source blocks — pair count, featurize passes, and every
+    // L-BFGS sweep scale with the kept blocks, while remaining an
+    // end-to-end run over real blocks. The quality floor is pinned by
+    // ExtendedSpec (best F1 > 0.5 at sf0.001 under this same trim).
     val pairs = TextAnalysis.linkpredPairsUnsorted(s, dir)
-      .filter(pmod(xxhash64($"source"), lit(2)) === 0)
+      .filter(pmod(xxhash64($"source"), lit(3)) === 0)
       .repartition(s.sparkContext.defaultParallelism)
       .select($"a_id".cast("string").as("srcId"),
         $"b_id".cast("string").as("dstId"), $"label", $"a_id", $"b_id")
