@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.MultisetIntersectCount].getName,
         "multiset_intersect_count"),
       GraftExtensions.multisetBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("bottom_k_sample"),
+      new ExpressionInfo(classOf[graft.functions.BottomKSample].getName,
+        "bottom_k_sample"),
+      GraftExtensions.bottomKBuilder))
   }
 }
 
@@ -55,6 +60,25 @@ object GraftExtensions {
       graft.functions.MultisetIntersectCount(args(0), args(1))
     }
 
+  private[plans] val bottomKBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 3,
+        "bottom_k_sample(col, k, seed) takes 3 args (k, seed literal ints)")
+      def lit(e: Expression, what: String): Long = e match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value match {
+            case i: Int => i.toLong
+            case l2: Long => l2
+            case other => throw new IllegalArgumentException(
+              s"$what must be an integer literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"$what must be a literal, got $other")
+      }
+      graft.functions.BottomKSample(args(0),
+        lit(args(1), "k").toInt, lit(args(2), "seed"))
+    }
+
   /** Register into an already-built session (tests, REPLs) — the class
     * above only applies through SparkSession.builder().withExtensions /
     * spark.sql.extensions. */
@@ -63,5 +87,7 @@ object GraftExtensions {
       spark, "dot_product", dotProductBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "multiset_intersect_count", multisetBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "bottom_k_sample", bottomKBuilder)
   }
 }

@@ -28,4 +28,22 @@ class SchemaAndExtensionsSpec extends SparkSpec {
       .head().getDouble(0)
     assert(f === 3.0)
   }
+
+  test("bottom_k_sample callable from SQL as a grouped aggregate") {
+    graft.plans.GraftExtensions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("a", 1L), ("a", 2L), ("b", 9L), ("b", 8L), ("b", 7L))
+      .toDF("g", "v").createOrReplaceTempView("bks_in")
+    val got = spark.sql(
+      "SELECT g, bottom_k_sample(v, 2, 42) AS s FROM bks_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") === Seq(1L, 2L))
+    assert(got("b").size === 2 && got("b").forall(Seq(7L, 8L, 9L).contains))
+    // same draw as the Column API
+    val col = Seq(9L, 8L, 7L).toDF("v")
+      .agg(graft.functions.SketchAggs.bottomKSample($"v", 2, 42L))
+      .head().getSeq[Long](0)
+    assert(got("b") === col)
+  }
 }
