@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Copy-on-write MERGE for parquet snapshots — the refresh operation of a
+  * living training corpus (recrawled documents replace stale rows, new
+  * documents append, takedowns delete) without a table format.
+  *
+  * Semantics are Delta/Iceberg's MERGE WHEN MATCHED THEN UPDATE / WHEN NOT
+  * MATCHED THEN INSERT, expressed as the classic two-op dataflow:
+  * anti-join the base against the update keys (drops matched rows), then
+  * union the updates. One shuffle on the key; at 100 TB the win is
+  * combining this with PartitionedLayout — only partitions containing
+  * matched keys need rewriting, the rest move by reference (a catalog's
+  * job; here the whole snapshot rewrites, which is exactly what
+  * copy-on-write formats do per-file).
+  *
+  * Writes to a NEW snapshot directory: readers of the old snapshot are
+  * never disturbed, and a failed job leaves no half-written table —
+  * swap-on-success is the caller's (or catalog's) pointer update.
+  */
+object Upsert {
+
+  /** Base ∖ keys(updates) ∪ updates. Schemas must match by name
+    * (unionByName, so column order is free). */
+  def upsert(base: DataFrame, updates: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    base.join(
+        updates.select(keyCols.map(updates.col): _*).dropDuplicates(keyCols),
+        keyCols, "left_anti")
+      .unionByName(updates)
+  }
+
+  /** Upsert `updates` into the snapshot at `basePath`, writing `destPath`. */
+  def upsertSnapshot(spark: SparkSession, basePath: String,
+      updates: DataFrame, keyCols: Seq[String], destPath: String): Unit = {
+    require(destPath != basePath, "upsert writes a new snapshot")
+    upsert(spark.read.parquet(basePath), updates, keyCols)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
+
+  /** Anti-delete: drop rows matching `predicate` (takedown/expiry),
+    * writing a new snapshot. */
+  def deleteWhere(spark: SparkSession, basePath: String,
+      predicate: Column, destPath: String): Unit = {
+    require(destPath != basePath, "delete writes a new snapshot")
+    spark.read.parquet(basePath).filter(!predicate)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MERGE semantics: matched keys replaced, unmatched appended, deletes
+  * drop by predicate, old snapshot untouched. */
+class UpsertSpec extends SparkSpec {
+
+  test("upsert replaces matched keys and appends new ones") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq((1L, "old-a", 10), (2L, "old-b", 20), (3L, "old-c", 30))
+      .toDF("id", "name", "v")
+    val updates = Seq((2L, "NEW-b", 99), (4L, "NEW-d", 40))
+      .toDF("id", "name", "v")
+    val got = Upsert.upsert(base, updates, Seq("id"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, "old-a", 10), (2L, "NEW-b", 99),
+      (3L, "old-c", 30), (4L, "NEW-d", 40)))
+  }
+
+  test("column order differences are resolved by name") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Seq((1L, "a", 10)).toDF("id", "name", "v")
+    val updates = Seq((99, "z", 2L)).toDF("v", "name", "id")
+    val got = Upsert.upsert(base, updates, Seq("id"))
+      .orderBy($"id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Int]("v")))
+    assert(got.toSeq === Seq((1L, "a", 10), (2L, "z", 99)))
+  }
+
+  test("snapshot upsert + deleteWhere leave the old snapshot untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
+      .write.parquet(s"$dir/v1")
+    Upsert.upsertSnapshot(spark, s"$dir/v1",
+      Seq((2L, 99), (4L, 40)).toDF("id", "v"), Seq("id"), s"$dir/v2")
+    Upsert.deleteWhere(spark, s"$dir/v2", $"id" === 1L, s"$dir/v3")
+    def rows(p: String) = spark.read.parquet(p).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows(s"$dir/v1") === Seq((1L, 10), (2L, 20), (3L, 30)))
+    assert(rows(s"$dir/v2") === Seq((1L, 10), (2L, 99), (3L, 30), (4L, 40)))
+    assert(rows(s"$dir/v3") === Seq((2L, 99), (3L, 30), (4L, 40)))
+  }
+}
