@@ -69,7 +69,15 @@ object Verify {
         try { fut.get(capSec, TimeUnit.SECONDS); "ok" }
         catch {
           case _: TimeoutException =>
-            spark.sparkContext.cancelJobGroup(name); fut.cancel(true)
+            spark.sparkContext.cancelJobGroup(name)
+            // Deliberately NOT fut.cancel: cancellation makes get() throw
+            // immediately while the write thread may still be committing —
+            // and the rm() below would race it, potentially leaving the
+            // very partial dir it exists to remove. cancelJobGroup makes
+            // the action throw inside call(); wait (bounded) to OBSERVE
+            // the thread actually finish before cleaning up.
+            try fut.get(30, TimeUnit.SECONDS)
+            catch { case _: Throwable => () }
             "TIMEOUT"
           case e: Throwable =>
             val root = Option(e.getCause).getOrElse(e)

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -53,7 +53,7 @@ case class BottomKSample(child: Expression, k: Int, seed: Long,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
-  with UnaryLike[Expression] {
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -62,6 +62,10 @@ case class BottomKSample(child: Expression, k: Int, seed: Long,
   override def prettyName: String = "bottom_k_sample"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
+  // analysis-time contract + implicit widening: int/short children cast
+  // to long instead of a runtime ClassCastException in update().
+  // (Seq[DataType] — AbstractDataType is private[sql]; covariant return)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Buf = new Buf()
 

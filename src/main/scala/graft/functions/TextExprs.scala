@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{coalesce, lit}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen expression for the reference's one surviving UDF: the
@@ -25,10 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokenizers never produce them.
   */
 case class MultisetIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "multiset_intersect_count"
+  // analysis-time contract: without this, a SQL call on e.g. int arrays
+  // resolves and then getUTF8String reads garbage at runtime
+  // (Seq[DataType] — AbstractDataType is private[sql]; covariant return)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     MultisetIntersectCount.count(

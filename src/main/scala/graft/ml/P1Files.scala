@@ -19,9 +19,11 @@ import graft.sources.Tables
 object P1Files {
 
   /** Run p1 from reference-format files; returns (scored candidates,
-    * threshold-sweep metrics). `trainEdges` keeps only label==1 rows as
-    * ground truth does not exist for the training side — the labeled
-    * training file itself carries supervision (reference :158-167). */
+    * threshold-sweep metrics). The train filter drops rows whose label
+    * failed the ANSI-safe parse (malformed lines → null, Tables
+    * .labeledEdges) — BOTH label values are kept: LR needs positives and
+    * negatives, and the labeled training file itself carries supervision
+    * (reference :158-167). */
   def run(spark: SparkSession, nodeCsvPath: String, trainingPath: String,
       testingPath: String, groundTruthPath: String,
       maxIter: Int = 100): (DataFrame, DataFrame) = {

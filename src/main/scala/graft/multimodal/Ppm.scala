@@ -120,21 +120,26 @@ object Ppm {
   /** Real image-feature kernel (Multimodal.extractFeaturesBatched
     * signature): for payloads that decode as P6 — [width, height, mean R,
     * mean G, mean B (0-1 scaled), 8-bin luminance histogram (mass-
-    * normalized)], a 13-dim vector; payloads that are not PPM fall back
-    * to `fallback` (the deterministic fake for formats needing external
-    * codecs). */
+    * normalized)], a 13-dim vector; payloads that are not PPM go to
+    * `fallback` (the deterministic fake for formats needing external
+    * codecs) in ONE call for the whole non-PPM slice — a per-payload
+    * fallback call would re-pay a real model kernel's per-invocation
+    * overhead N times and defeat the batched contract. */
   def featureKernel(fallback: Seq[Array[Byte]] => Seq[Array[Float]] =
-      Multimodal.fakeKernel(13)(_))(batch: Seq[Array[Byte]]): Seq[Array[Float]] =
-    batch.map { bytes =>
-      decode(bytes) match {
-        case Some(img) =>
-          val (r, g, b) = meanRgb(img)
-          val n = (img.width.toLong * img.height).toDouble
-          val hist = lumaHistogram(img, 8).map(c => (c / n).toFloat)
-          Array(img.width.toFloat, img.height.toFloat,
-            (r / 255.0).toFloat, (g / 255.0).toFloat, (b / 255.0).toFloat) ++
-            hist
-        case None => fallback(Seq(bytes)).head
-      }
+      Multimodal.fakeKernel(13)(_))(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
+    val decoded = batch.map(b => decode(b))
+    val undecodable = batch.zip(decoded).collect { case (b, None) => b }
+    val fb = if (undecodable.nonEmpty) fallback(undecodable) else Seq.empty
+    val fbIt = fb.iterator
+    decoded.map {
+      case Some(img) =>
+        val (r, g, b) = meanRgb(img)
+        val n = (img.width.toLong * img.height).toDouble
+        val hist = lumaHistogram(img, 8).map(c => (c / n).toFloat)
+        Array(img.width.toFloat, img.height.toFloat,
+          (r / 255.0).toFloat, (g / 255.0).toFloat, (b / 255.0).toFloat) ++
+          hist
+      case None => fbIt.next()
     }
+  }
 }

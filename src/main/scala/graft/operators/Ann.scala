@@ -127,10 +127,13 @@ object Ann {
       }
     }
 
-    val assigned = cv.select($"id", $"v", assignExpr($"v").as("cell"))
+    // norms computed once per row, not per candidate pair (bruteTopK's
+    // shape: a per-pair norm() re-folds O(dim) for every candidate)
+    val assigned = cv.select($"id", $"v", norm($"v").as("nrm"),
+      assignExpr($"v").as("cell"))
     // query probes: top-nProbe cells by centroid similarity (sort the
     // score structs ascending, take the tail, project the cell ids)
-    val probes = qv.select($"q_id", $"q_v",
+    val probes = qv.select($"q_id", $"q_v", norm($"q_v").as("q_nrm"),
         explode(transform(
           slice(reverse(array_sort(cellScores($"q_v"))), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
@@ -138,7 +141,7 @@ object Ann {
     assigned.join(broadcast(probes), Seq("cell"))
       .filter($"id" =!= $"q_id")
       .select($"q_id", $"id",
-        (dot($"q_v", $"v") / (norm($"q_v") * norm($"v"))).as("cosine"))
+        (dot($"q_v", $"v") / ($"q_nrm" * $"nrm")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
   }
@@ -157,19 +160,31 @@ object Ann {
     * pinned in AnnSpec); true near-dup thresholds (cosine ≥ 0.9, p ≥
     * 0.85) tolerate far more bits, and more bits is what shrinks buckets:
     * candidate volume per table is Σ bucket², so at production scale
-    * nBits rises with ln(corpus) to hold buckets at ~candidate budget.
-    * All-pairs work only ever happens WITHIN a bucket — never n². */
+    * nBits rises with log₂(corpus) to hold buckets at the candidate
+    * budget. The `maxBucket` guard (same role as minhashNearDup's) is
+    * the hard backstop: a degenerate bucket — identical/zero vectors
+    * collide in EVERY table at any nBits — is dropped rather than
+    * joined, bounding the pair join by #buckets × maxBucket² regardless
+    * of input; the guard's window count is sort-based (spillable) and
+    * runs on the join key's own partitioning. Pairs lost to the guard
+    * are the pathological self-similar mass exact dedup removes more
+    * cheaply first. */
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-      nTables: Int = 24, nBits: Int = 4, seed: Int = 42): DataFrame = {
+      nTables: Int = 24, nBits: Int = 4, seed: Int = 42,
+      maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size($"vec")).head.getInt(0)
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
       .withColumn("nrm", norm($"v"))
+    val wBucket = Window.partitionBy($"table", $"bucket")
     val b = cv
       .select($"id", explode(
         signLshBuckets($"v", nTables, nBits, dim, seed)).as("bk"))
       .select($"id", $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+      .withColumn("n", count(lit(1)).over(wBucket))
+      .filter($"n" <= maxBucket)
+      .drop("n")
     val cand = b
       .join(b.select($"id".as("b_id"), $"table", $"bucket"),
         Seq("table", "bucket"))

@@ -119,21 +119,27 @@ object Dedup {
       .select($"id", explode(array(bandStructs: _*)).as("bk"))
       .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
 
-    // Bucket-local candidate pairs from ONE pass: groupBy (band, bucket)
-    // with a collect_list, pairs generated in-place per bucket. The
-    // previous self-join-on-bucket shape planned the whole signature
-    // pipeline TWICE (Spark does not share common subplans — the explain
-    // showed two full scan→explode→32-min-agg subtrees) plus a Window
-    // sort for the hot-bucket guard; this form computes signatures once
-    // and the guard is a size filter on the membership list. Memory per
-    // group is bounded by the same guard (≤ maxBucket slim ids), and the
-    // per-bucket pair expansion (≤ maxBucket²) equals the join output it
-    // replaces. Pairs are deduped across bands FIRST (a pair colliding in
-    // m bands would otherwise be exact-verified m times).
+    // Bucket-local candidate pairs from ONE pass: hot-bucket guard FIRST
+    // (a sort-based window count over the (band, bucket) partitions —
+    // spillable, so a degenerate bucket of any size survives the count),
+    // THEN collect_list over the surviving rows, pairs generated in-place
+    // per bucket. Ordering matters: counting via the collect_list itself
+    // (the earlier form) built the full membership array in one
+    // non-spillable aggregation buffer BEFORE the size filter could drop
+    // it — the guard bounded output, not memory. The window shuffles on
+    // the same key as the groupBy, so no extra exchange; the previous
+    // self-join-on-bucket shape additionally planned the whole signature
+    // pipeline twice (Spark does not share common subplans). After the
+    // guard, list and pair expansion are ≤ maxBucket / maxBucket² by
+    // construction. Pairs are deduped across bands FIRST (a pair
+    // colliding in m bands would otherwise be exact-verified m times).
+    val wBucket = Window.partitionBy($"band", $"bucket")
     val cand = buckets
+      .withColumn("n", count(lit(1)).over(wBucket))
+      .filter($"n".between(2, maxBucket))
       .groupBy($"band", $"bucket")
       .agg(collect_list($"id").as("ids"))
-      .filter(size($"ids").between(2, maxBucket))
+      .filter(size($"ids") >= 2)
       .select(explode(flatten(transform($"ids", x =>
         transform(filter($"ids", y => y > x),
           y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))

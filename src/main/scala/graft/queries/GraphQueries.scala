@@ -47,6 +47,13 @@ object GraphQueries {
       graft.operators.Graph.connectedComponents(pairGraph(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop this session's materialized components — same contract as
+    * TextAnalysis.invalidateCache (stale-on-rewrite, long-lived JVMs). */
+  def invalidateCache(s: SparkSession): Unit =
+    ccCache.keys.filter(_._1 eq s).foreach { k =>
+      ccCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   /** Near-dup clusters: (doc_id, component) with component = min doc_id
     * reachable through near-dup pairs. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {

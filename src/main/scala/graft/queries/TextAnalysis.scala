@@ -179,6 +179,17 @@ object TextAnalysis {
           maxDf = 10000)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop this session's materialized pair frames — call when a `dir` is
+    * rewritten in place (the cache would serve stale pairs) or at session
+    * teardown in a long-lived multi-session JVM (entries otherwise pin
+    * the session object and its cached blocks; the harness mains are
+    * one-session-per-JVM, so they never need this). Sibling:
+    * GraphQueries.invalidateCache. */
+  def invalidateCache(s: SparkSession): Unit =
+    nearDupCache.keys.filter(_._1 eq s).foreach { k =>
+      nearDupCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   /** Token arrays for the shingle path, materialized BEHIND an exchange.
     * Without the barrier, CollapseProject inlines `t = split(text)` into
     * the shingle lambda, and `element_at(split(text), i)` re-runs the

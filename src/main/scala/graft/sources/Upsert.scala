@@ -22,7 +22,14 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 object Upsert {
 
   /** Base ∖ keys(updates) ∪ updates. Schemas must match by name
-    * (unionByName, so column order is free). */
+    * (unionByName, so column order is free).
+    *
+    * PRECONDITION: update keys are unique — duplicate keys in `updates`
+    * would both land in the merged result (the anti-join removes the base
+    * row once, the union appends every update row), silently corrupting
+    * key uniqueness. Lazy-plan callers own the check; `upsertSnapshot`
+    * enforces it (Delta/Iceberg MERGE likewise errors on multiple
+    * matches). */
   def upsert(base: DataFrame, updates: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
@@ -32,10 +39,21 @@ object Upsert {
       .unionByName(updates)
   }
 
-  /** Upsert `updates` into the snapshot at `basePath`, writing `destPath`. */
+  /** Upsert `updates` into the snapshot at `basePath`, writing `destPath`.
+    * Rejects duplicate update keys (one cheap agg over the update frame —
+    * always small next to the snapshot rewrite). */
   def upsertSnapshot(spark: SparkSession, basePath: String,
       updates: DataFrame, keyCols: Seq[String], destPath: String): Unit = {
     require(destPath != basePath, "upsert writes a new snapshot")
+    val Array(total, distinct) = updates
+      .select(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.countDistinct(
+          keyCols.head, keyCols.tail: _*))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(total == distinct,
+      s"duplicate keys in updates: $total rows, $distinct distinct keys " +
+        s"on (${keyCols.mkString(", ")})")
     upsert(spark.read.parquet(basePath), updates, keyCols)
       .write.mode(SaveMode.Overwrite).parquet(destPath)
   }

@@ -47,6 +47,25 @@ class SketchAggsSpec extends SparkSpec {
     assert(a !== b)
   }
 
+  test("int columns widen implicitly; non-numeric types fail analysis") {
+    graft.plans.GraftExtensions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(3, 1, 2).toDF("v").createOrReplaceTempView("bks_int")
+    // INT child: ImplicitCastInputTypes widens to long instead of a
+    // runtime ClassCastException
+    val got = spark.sql("SELECT bottom_k_sample(v, 5, 1) FROM bks_int")
+      .head().getSeq[Long](0)
+    assert(got === Seq(1L, 2L, 3L))
+    // non-castable child (array): rejected at analysis time, not at
+    // task runtime (strings implicitly cast like any numeric agg and
+    // fail per-value at runtime — standard Spark semantics)
+    Seq(Seq(1L)).toDF("a").createOrReplaceTempView("bks_arr")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bottom_k_sample(a, 5, 1) FROM bks_arr").collect()
+    }
+  }
+
   test("per-group sampling via groupBy, null inputs skipped") {
     val spark2 = spark
     import spark2.implicits._

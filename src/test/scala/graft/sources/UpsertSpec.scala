@@ -35,6 +35,18 @@ class UpsertSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, "a", 10), (2L, "z", 99)))
   }
 
+  test("snapshot upsert rejects duplicate update keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-dup").toString
+    Seq((1L, 10)).toDF("id", "v").write.parquet(s"$dir/v1")
+    val dup = Seq((2L, 99), (2L, 77)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertSnapshot(spark, s"$dir/v1", dup, Seq("id"), s"$dir/v2")
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
   test("snapshot upsert + deleteWhere leave the old snapshot untouched") {
     val spark2 = spark
     import spark2.implicits._
