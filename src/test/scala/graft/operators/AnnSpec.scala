@@ -113,6 +113,20 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("lshNearDupPairs maxBucket guard cuts a degenerate identical-vector mass") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 50 identical vectors collide in EVERY table at any nBits — the
+    // guard must cut them; a distinct near-dup pair must survive
+    val degenerate = (100L until 150L).map(i => (i, Array(1.0f, 0f, 0f, 0f)))
+    val pair = Seq((1L, Array(0f, 1.0f, 0.05f, 0f)), (2L, Array(0f, 1.0f, 0f, 0.05f)))
+    val df = (degenerate ++ pair).toDF("id", "vec")
+    val out = Ann.lshNearDupPairs(df, threshold = 0.9, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.exists(p => p._1 >= 100L || p._2 >= 100L))
+    assert(out === Set((1L, 2L)))
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._

@@ -41,6 +41,27 @@ class DedupSpec extends SparkSpec {
     assert(j12 === 1.0)                           // identical shingle sets
   }
 
+  test("minhashNearDup maxBucket guard drops degenerate buckets, keeps the rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 identical docs (one degenerate bucket in every band) + one
+    // small near-dup pair that must survive the guard
+    val degenerate = (100L until 140L)
+      .map(i => (i, "same same same same same same same same"))
+    val pair = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (degenerate ++ pair).toDF("id", "text")
+      .withColumn("tokens", split($"text", " "))
+    val out = Dedup.minhashNearDup(df, "id", "tokens",
+        shingleN = 2, k = 32, bands = 16, threshold = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-doc bucket exceeds maxBucket=10 → its C(40,2) pairs are cut
+    assert(!out.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // the small pair's bucket is untouched
+    assert(out === Set((1L, 2L)))
+  }
+
   test("keepRepresentatives removes all but min-id per transitive cluster") {
     val spark2 = spark
     import spark2.implicits._
