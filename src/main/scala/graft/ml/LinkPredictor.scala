@@ -44,9 +44,14 @@ object LinkPredictor {
       if (c == "id") "__fid" else s"${c}_from"): _*)
     val to = preparedNodes.toDF(preparedNodes.columns.map(c =>
       if (c == "id") "__tid" else s"${c}_to"): _*)
+    // No broadcast() hint: a forced broadcast of the prepared node table
+    // (full token arrays, shipped TWICE as from/to) caps the operator at
+    // the 8 GB broadcast limit. AQE picks broadcast at runtime when the
+    // cached table is actually small — same plan at test scale, shuffle
+    // join when the node table outgrows an executor.
     edges
-      .join(broadcast(from), edges("srcId") === col("__fid"))
-      .join(broadcast(to), edges("dstId") === col("__tid"))
+      .join(from, edges("srcId") === col("__fid"))
+      .join(to, edges("dstId") === col("__tid"))
       .drop("__fid", "__tid")
   }
 
@@ -131,7 +136,11 @@ object LinkPredictor {
       .withColumn("total_pos", sum(col("pos")).over(wAll))
       .select(col("score").as("threshold"),
         (col("cum_tp").cast("double") / col("cum_pred").cast("double")).as("precision"),
-        (col("cum_tp").cast("double") / col("total_pos").cast("double")).as("recall"))
+        // all-negative evaluation sets have total_pos = 0 — recall is 0
+        // by convention, not the IEEE NaN the bare division yields
+        when(col("total_pos") === 0L, 0.0)
+          .otherwise(col("cum_tp").cast("double") / col("total_pos").cast("double"))
+          .as("recall"))
       .withColumn("f1",
         when(col("precision") + col("recall") === 0.0, 0.0)
           .otherwise(lit(2.0) * col("precision") * col("recall") /
@@ -147,8 +156,13 @@ object LinkPredictor {
     val prepared = prepareNodes(nodes).cache()
     val trainFeat = featurize(attachNodeAttrs(trainEdges, prepared))
     val (model, _) = train(trainFeat, maxIter)
-    // J3: left-outer membership probe labels the candidates (Q3: directed)
-    val gt = groundTruth.select(col("srcId").as("g_src"), col("dstId").as("g_dst"))
+    // J3: left-outer membership probe labels the candidates (Q3: directed).
+    // dropDuplicates: it is a MEMBERSHIP probe — a ground-truth dump
+    // listing an edge twice would otherwise fan each matching candidate
+    // into duplicate scored rows and double-count it in the metrics.
+    val gt = groundTruth
+      .select(col("srcId").as("g_src"), col("dstId").as("g_dst"))
+      .dropDuplicates()
     val labeled = candidateEdges
       .join(gt, col("srcId") === col("g_src") && col("dstId") === col("g_dst"),
         "left_outer")
@@ -158,6 +172,11 @@ object LinkPredictor {
       assemble(featurize(attachNodeAttrs(labeled, prepared)))).cache()
     scored.count()        // materialize before dropping the node cache
     prepared.unpersist()
-    (model, scored, sweepMetrics(scored, "p1"))
+    // sweep on probabilities bucketed to 3 decimals: raw p1 is distinct
+    // per candidate, and sweepMetrics' global cumsum window would pull
+    // every candidate into ONE task (the bound Extended.linkpredE2e
+    // applies for the same reason); ≤1001 buckets keeps it tiny
+    (model, scored,
+      sweepMetrics(scored.withColumn("p1r", round(col("p1"), 3)), "p1r"))
   }
 }

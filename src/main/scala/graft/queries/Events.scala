@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import graft.sources.Tables
 
@@ -35,7 +36,10 @@ object Events {
     import s.implicits._
     Tables.events(s, dir)
       .select($"event_type",
-        get_json_object($"props", "$.k").cast("int").as("k"))
+        // try_cast: a malformed k (non-integer string) nulls the row
+        // instead of aborting the query under ANSI — same convention as
+        // Tables.labeledEdges / TextOps.yearDiff
+        get_json_object($"props", "$.k").try_cast(IntegerType).as("k"))
       .groupBy($"event_type")
       .agg(
         sum($"k").cast("long").as("sum_k"),

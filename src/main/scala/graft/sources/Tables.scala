@@ -28,7 +28,15 @@ object Tables {
     * default. Read it as a long (legacy conf, runtime-settable) and rebuild
     * a µs TimestampType with integer DIV — floor division matches DuckDB's
     * ns→µs truncation exactly, and avoids the double-division precision
-    * loss a `col/1000` would hit at ~1.7e18 ns. */
+    * loss a `col/1000` would hit at ~1.7e18 ns.
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: the conf must still be set when
+    * the lazy scan EXECUTES, so a set/restore scope around this call would
+    * break the read. It changes how any OTHER nanos-timestamp parquet in
+    * the same session is read (LongType instead of an error) — this corpus
+    * has exactly one such table, and graft readers all come through here;
+    * embedders with their own nanos parquet should set the conf at session
+    * build instead. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")
@@ -57,14 +65,23 @@ object Tables {
   /** S2: whitespace-delimited labeled edge list (Predictor.scala:158-167),
     * pure-DataFrame — no RDD. ANSI-safe int cast via try_cast-equivalent.
     */
+  // short-line-safe field access: ANSI (Spark 4 default) turns an
+  // out-of-bounds getItem into INVALID_ARRAY_INDEX, so a blank or
+  // truncated line would abort the whole read instead of parsing to the
+  // nulls the malformed-line contract promises (P1Files filters them)
+  private def field(f: org.apache.spark.sql.Column, i: Int) = {
+    import org.apache.spark.sql.functions._
+    when(size(f) > i, f.getItem(i))
+  }
+
   def labeledEdges(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.read.text(path)
       .select(split(col("value"), " ").as("f"))
       .select(
-        col("f").getItem(0).as("srcId"),
-        col("f").getItem(1).as("dstId"),
-        col("f").getItem(2).try_cast(IntegerType).as("label"))
+        field(col("f"), 0).as("srcId"),
+        field(col("f"), 1).as("dstId"),
+        field(col("f"), 2).try_cast(IntegerType).as("label"))
   }
 
   /** S3: unlabeled edge list (Predictor.scala:176-185). */
@@ -72,7 +89,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.read.text(path)
       .select(split(col("value"), " ").as("f"))
-      .select(col("f").getItem(0).as("srcId"), col("f").getItem(1).as("dstId"))
+      .select(field(col("f"), 0).as("srcId"), field(col("f"), 1).as("dstId"))
   }
 
   /** S4: tab-delimited SNAP edge list with '#' comment headers

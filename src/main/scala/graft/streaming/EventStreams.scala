@@ -105,7 +105,17 @@ object EventStreams {
       for ((_, eUs) <- sorted) {
         st match {
           case Some(s) if eUs - s.last_us <= gapUs =>
-            st = Some(s.copy(last_us = eUs, n_events = s.n_events + 1))
+            // min/max, not overwrite: an event from a LATER batch can be
+            // earlier than the stored state (in-batch sorting can't order
+            // across batches; the watermark admits it). Overwriting
+            // last_us with an older timestamp inverted sessions
+            // (end < start) and made the next gap test measure from the
+            // wrong edge, splitting sessions spuriously. Such a late
+            // event extends the session conservatively backward.
+            st = Some(s.copy(
+              start_us = math.min(s.start_us, eUs),
+              last_us = math.max(s.last_us, eUs),
+              n_events = s.n_events + 1))
           case Some(s) =>
             out += SessionOut(userId, s.start_us, s.last_us, s.n_events)
             st = Some(SessionState(eUs, eUs, 1))

@@ -102,4 +102,35 @@ class EventStreamsSpec extends SparkSpec {
       assert(out(1).getAs[Long]("n_events") === 2)
     } finally q.stop()
   }
+
+  test("sessionize handles cross-batch out-of-order events (no inverted sessions)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = EventStreams.sessionize(events, gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions_ooo_test")
+      .outputMode("append").start()
+    try {
+      // batch 1 establishes state at :20; batch 2 delivers an EARLIER
+      // event (:12, within the 10-min watermark) then a later one (:28).
+      // Pre-fix, :12 overwrote last_us and the :28 gap test measured
+      // 16 min from the wrong edge — splitting one true session in two.
+      mem.addData((1L, ts(20)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(12)), (1L, ts(28)))
+      q.processAllAvailable()
+      // time the session out
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sessions_ooo_test").filter($"user_id" === 1L)
+        .collect()
+      assert(out.length === 1, s"expected one merged session, got ${out.toSeq}")
+      assert(out(0).getAs[Long]("n_events") === 3)
+      assert(out(0).getAs[Long]("start_us") <= out(0).getAs[Long]("end_us"))
+    } finally q.stop()
+  }
 }
