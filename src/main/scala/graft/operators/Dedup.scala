@@ -201,9 +201,14 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: block on 4×16-bit sub-bands (pigeonhole
-    * guarantees recall for Hamming ≤ 3), verify exact Hamming. */
+    * guarantees recall for Hamming ≤ 3), verify exact Hamming.
+    *
+    * @param maxBucket skip degenerate band buckets larger than this (hot-key
+    *                  guard: a bucket of m identical-fingerprint docs yields
+    *                  m² pairs — same backstop as `minhashNearDup`)
+    */
   def simhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // The fingerprint is let-bound into the band-explode expression: as a
@@ -216,11 +221,28 @@ object Dedup {
             f.as("fp"))): _*)
         }).as("bk"))
       .select($"bk.band", $"bk.key", $"id", $"bk.fp".as("fp"))
-    val a = banded.select($"band", $"key", $"id".as("a_id"), $"fp".as("a_fp"))
-    val b = banded.select($"band", $"key", $"id".as("b_id"), $"fp".as("b_fp"))
-    a.join(b, Seq("band", "key"))
-      .filter($"a_id" < $"b_id")
-      .select($"a_id", $"b_id", hamming($"a_fp", $"b_fp").as("hamming"))
+    // Hot-bucket guard FIRST (spillable sort-based window count over the
+    // (band, key) partitions), THEN collect_list over the surviving rows
+    // with pairs generated in-place per bucket — the same shape as
+    // `minhashNearDup`: the window shuffles on the same key as the
+    // groupBy (no extra exchange), membership lists are ≤ maxBucket by
+    // construction, and the previous self-join-on-bucket form planned the
+    // whole fingerprint pipeline twice (Spark shares no common subplans).
+    val wBucket = Window.partitionBy($"band", $"key")
+    banded
+      .withColumn("n", count(lit(1)).over(wBucket))
+      .filter($"n".between(2, maxBucket))
+      .groupBy($"band", $"key")
+      .agg(collect_list(struct($"id", $"fp")).as("ms"))
+      .filter(size($"ms") >= 2)
+      .select(explode(flatten(transform($"ms", x =>
+        transform(filter($"ms", y => y.getField("id") > x.getField("id")),
+          y => struct(x.getField("id").as("a_id"),
+            y.getField("id").as("b_id"),
+            x.getField("fp").as("a_fp"),
+            y.getField("fp").as("b_fp")))))).as("p"))
+      .select($"p.a_id".as("a_id"), $"p.b_id".as("b_id"),
+        hamming($"p.a_fp", $"p.b_fp").as("hamming"))
       .filter($"hamming" <= maxHamming)
       .groupBy($"a_id", $"b_id").agg(first($"hamming").as("hamming"))
   }

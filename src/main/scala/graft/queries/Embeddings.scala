@@ -122,24 +122,23 @@ object Embeddings {
       .orderBy($"label")
   }
 
-  /** Per-label centroids: posexplode → groupBy (label, dim) mean →
-    * re-assemble in dim order. The aggregation state is one row per
-    * (label, dimension) — at 100 TB this shuffles ~|labels|×dims rows
-    * after map-side partial aggregation, never a whole vector row; the
-    * alternative (collect vectors per label and average on one task) dies
-    * on the first hot label. Float mean is order-dependent in the last
-    * ulp, so this is spec-checked (EmbeddingsSpec), not oracle-checked. */
+  /** Per-label centroids: posexplode → groupBy (label, dim) mean. The
+    * aggregation state is one row per (label, dimension) — at 100 TB this
+    * shuffles ~|labels|×dims rows after map-side partial aggregation,
+    * never a whole vector row; the alternative (collect vectors per label
+    * and average on one task) dies on the first hot label. Output is one
+    * ROW per (label, dim) — scalar columns only, so the driver's pandas
+    * comparer can sort/hash it (an assembled array<double> cell crashes
+    * it); callers wanting the vector shape re-assemble with
+    * collect_list over dim order. Float mean is order-dependent in the
+    * last ulp, so this is spec-checked (EmbeddingsSpec), not
+    * oracle-checked. */
   def centroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"label", posexplode(asDouble($"embedding")).as(Seq("dim", "x")))
       .groupBy($"label", $"dim")
-      .agg(avg($"x").as("m"), count(lit(1)).as("n"))
-      .groupBy($"label")
-      .agg(
-        transform(array_sort(collect_list(struct($"dim", $"m"))),
-          e => e.getField("m")).as("centroid"),
-        max($"n").as("n_vecs"))
-      .orderBy($"label")
+      .agg(avg($"x").as("m"), count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"dim")
   }
 }

@@ -141,15 +141,21 @@ object Extended {
     * each group's value set — identical on any cluster layout. Sketch
     * hashes are Spark-side (splitmix64), so no SQL oracle; the contract
     * (uniformity, exactness ≤ k, partitioning invariance) is pinned in
-    * SketchAggsSpec. */
+    * SketchAggsSpec. The sampled keys are emitted as one comma-joined
+    * string (bigints — exact as text): the driver's pandas comparer can
+    * sort/hash scalars but crashes on raw array cells. */
   def bottomkSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
         graft.functions.SketchAggs.bottomKSample($"l_orderkey", 5, 42L)
-          .as("sample_keys"),
+          .as("sk"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        array_join(transform($"sk", x => x.cast("string")), ",")
+          .as("sample_keys"),
+        $"n_rows")
       .orderBy($"l_returnflag")
   }
 

@@ -90,6 +90,29 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 12)  // unrelated is far
   }
 
+  test("simhashNearDup maxBucket guard drops degenerate buckets, keeps the rest") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 identical docs → identical 64-bit fingerprints → one degenerate
+    // bucket in every sub-band; plus one exact-dup pair (identical
+    // fingerprints → guaranteed band collision) that must survive the
+    // guard (same regression shape as the minhash test above)
+    val degenerate = (100L until 140L)
+      .map(i => (i, "same same same same same same same same"))
+    val pair = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val df = (degenerate ++ pair).toDF("id", "text")
+      .withColumn("tokens", split($"text", " "))
+    val out = Dedup.simhashNearDup(df, "id", "tokens",
+        maxHamming = 3, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-doc buckets exceed maxBucket=10 → their C(40,2) pairs are cut
+    assert(!out.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // the small pair's buckets are untouched
+    assert(out === Set((1L, 2L)))
+  }
+
   test("simhashNearDup: dup pair via banding, canonical + unique") {
     val spark2 = spark
     import spark2.implicits._

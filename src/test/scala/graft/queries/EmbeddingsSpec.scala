@@ -19,15 +19,21 @@ class EmbeddingsSpec extends SparkSpec {
       val dims = vecs.head.size
       label -> (0 until dims).map(d => vecs.map(_(d)).sum / vecs.size)
     }
-    val got = Embeddings.centroids(spark, sf("sf0.001")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getLong(2))).toList
-    assert(got.map(_._1) === got.map(_._1).sorted)
-    for ((label, centroid, nVecs) <- got) {
-      assert(nVecs === raw.count(_._1 == label).toLong)
+    // query emits one (label, dim, m, n_vecs) row per dimension
+    val rows = Embeddings.centroids(spark, sf("sf0.001")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toList
+    // ordered by (label, dim)
+    assert(rows.map(r => (r._1, r._2)) ===
+      rows.map(r => (r._1, r._2)).sorted)
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.keySet === want.keySet)
+    for ((label, dimRows) <- byLabel) {
       val w = want(label)
-      assert(centroid.size === w.size)
-      centroid.zip(w).foreach { case (a, b) =>
-        assert(math.abs(a - b) < 1e-9, s"label $label")
+      assert(dimRows.size === w.size)
+      for ((_, dim, m, nVecs) <- dimRows) {
+        assert(nVecs === raw.count(_._1 == label).toLong)
+        assert(math.abs(m - w(dim)) < 1e-9, s"label $label dim $dim")
       }
     }
   }
