@@ -103,6 +103,9 @@ object Ann {
     var centroids: Seq[Array[Double]] = cv
       .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
       .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
+    if (centroids.isEmpty)  // empty corpus: no cells, no neighbors
+      return queries.select($"id".as("q_id"), $"id".as("id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
 
     // score-struct array: array_max/array_sort order structs by field
     // order, so (dot, cell) sorts by similarity with cell as tie-break
@@ -174,7 +177,11 @@ object Ann {
       maxBucket: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size($"vec")).head.getInt(0)
+    val dims = corpus.select(size($"vec")).take(1)
+    if (dims.isEmpty)  // empty corpus: no dim to read, no pairs to emit
+      return corpus.select($"id".as("a_id"), $"id".as("b_id"),
+        lit(0.0).as("cosine")).limit(0)
+    val dim = dims(0).getInt(0)
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
       .withColumn("nrm", norm($"v"))
     val wBucket = Window.partitionBy($"table", $"bucket")
@@ -206,7 +213,11 @@ object Ann {
       nTables: Int = 8, nBits: Int = 12, seed: Int = 42): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size($"vec")).head.getInt(0)
+    val dims = corpus.select(size($"vec")).take(1)
+    if (dims.isEmpty)  // empty corpus: no dim to read, no neighbors to emit
+      return queries.select($"id".as("q_id"), $"id".as("id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val dim = dims(0).getInt(0)
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
     val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
     // Bucket frames carry ONLY (table, bucket, id): the nTables×nBits

@@ -41,6 +41,10 @@ object RangeJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // withColumn silently replaces a same-named caller column — fail fast
+    require(!points.columns.contains("__bucket") &&
+        !intervals.columns.contains("__bucket"),
+      "inputs already have a __bucket column (reserved by RangeJoin)")
     val bucket = (c: org.apache.spark.sql.Column) =>
       floor(c.cast("double") / bucketWidth).cast("long")
     val p = points.withColumn("__bucket", bucket(col(pointCol)))

@@ -48,6 +48,13 @@ object SkewJoin {
   def salted(probe: DataFrame, build: DataFrame, cond: Column,
       saltOn: Column, salts: Int = 16): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    // withColumn REPLACES an existing column of the same name — a caller
+    // column named like our salt would be silently clobbered and the join
+    // keyed on garbage, so fail fast instead.
+    require(!probe.columns.contains("__salt"),
+      "probe input already has a __salt column (reserved by SkewJoin)")
+    require(!build.columns.contains("__b_salt"),
+      "build input already has a __b_salt column (reserved by SkewJoin)")
     val p = probe.withColumn("__salt", pmod(xxhash64(saltOn), lit(salts)))
     val b = build.withColumn("__b_salt",
       explode(array((0 until salts).map(lit): _*)))

@@ -75,8 +75,12 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"$what must be a literal, got $other")
       }
-      graft.functions.BottomKSample(args(0),
-        lit(args(1), "k").toInt, lit(args(2), "seed"))
+      val k = lit(args(1), "k")
+      // a bare .toInt would silently wrap (k = 2^32 + 2 → 2)
+      if (k < 1 || k > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"k must be in [1, ${Int.MaxValue}], got $k")
+      graft.functions.BottomKSample(args(0), k.toInt, lit(args(2), "seed"))
     }
 
   /** Register into an already-built session (tests, REPLs) — the class

@@ -26,7 +26,7 @@ object Maintenance {
     * the input mid-scan). */
   def compact(spark: SparkSession, path: String, dest: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    require(dest != path, "compact writes to a new location")
+    PathGuard.requireDistinct(spark, path, dest, "compact")
     val bytes = inputBytes(spark, path)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(path)

@@ -24,12 +24,16 @@ object Upsert {
   /** Base ∖ keys(updates) ∪ updates. Schemas must match by name
     * (unionByName, so column order is free).
     *
-    * PRECONDITION: update keys are unique — duplicate keys in `updates`
-    * would both land in the merged result (the anti-join removes the base
-    * row once, the union appends every update row), silently corrupting
-    * key uniqueness. Lazy-plan callers own the check; `upsertSnapshot`
-    * enforces it (Delta/Iceberg MERGE likewise errors on multiple
-    * matches). */
+    * PRECONDITIONS (this is a lazy plan builder, so callers own them;
+    * `upsertSnapshot` enforces both in one agg pass):
+    *  - update keys are unique — duplicate keys in `updates` would both
+    *    land in the merged result (the anti-join removes the base row
+    *    once, the union appends every update row), silently corrupting
+    *    key uniqueness (Delta/Iceberg MERGE likewise errors on multiple
+    *    matches);
+    *  - update keys are non-null — a null key never matches the anti-join
+    *    (SQL null-equality), so a null-key update row always APPENDS
+    *    rather than replaces. */
   def upsert(base: DataFrame, updates: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
@@ -40,29 +44,41 @@ object Upsert {
   }
 
   /** Upsert `updates` into the snapshot at `basePath`, writing `destPath`.
-    * Rejects duplicate update keys (one cheap agg over the update frame —
-    * always small next to the snapshot rewrite). */
+    * Rejects null and duplicate update keys (one cheap agg over the update
+    * frame — always small next to the snapshot rewrite). */
   def upsertSnapshot(spark: SparkSession, basePath: String,
       updates: DataFrame, keyCols: Seq[String], destPath: String): Unit = {
-    require(destPath != basePath, "upsert writes a new snapshot")
-    val Array(total, distinct) = updates
-      .select(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.countDistinct(
-          keyCols.head, keyCols.tail: _*))
+    PathGuard.requireDistinct(spark, basePath, destPath, "upsert")
+    requireSoundKeys(updates, keyCols)
+    upsert(spark.read.parquet(basePath), updates, keyCols)
+      .write.mode(SaveMode.Overwrite).parquet(destPath)
+  }
+
+  /** One agg pass over `updates` checking both key preconditions, with
+    * failures that name the real problem (countDistinct alone skips nulls,
+    * so a null key used to surface as a confusing count mismatch). */
+  private def requireSoundKeys(updates: DataFrame,
+      keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val anyNull = keyCols.map(updates.col(_).isNull).reduce(_ || _)
+    val Array(total, distinct, nulls) = updates
+      .select(count(lit(1)), countDistinct(keyCols.head, keyCols.tail: _*),
+        count(when(anyNull, 1)))
       .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nulls == 0,
+      s"null key values in updates: $nulls of $total rows have a null in " +
+        s"(${keyCols.mkString(", ")}) — a null key never matches the " +
+        "anti-join, so the row would silently append instead of replace")
     require(total == distinct,
       s"duplicate keys in updates: $total rows, $distinct distinct keys " +
         s"on (${keyCols.mkString(", ")})")
-    upsert(spark.read.parquet(basePath), updates, keyCols)
-      .write.mode(SaveMode.Overwrite).parquet(destPath)
   }
 
   /** Anti-delete: drop rows matching `predicate` (takedown/expiry),
     * writing a new snapshot. */
   def deleteWhere(spark: SparkSession, basePath: String,
       predicate: Column, destPath: String): Unit = {
-    require(destPath != basePath, "delete writes a new snapshot")
+    PathGuard.requireDistinct(spark, basePath, destPath, "delete")
     spark.read.parquet(basePath).filter(!predicate)
       .write.mode(SaveMode.Overwrite).parquet(destPath)
   }

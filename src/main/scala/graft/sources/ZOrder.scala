@@ -55,9 +55,15 @@ object ZOrder {
     * tight on every listed dimension. */
   def cluster(df: DataFrame, cols: Seq[String], bits: Int = 12,
       numFiles: Int = 16): DataFrame = {
+    // withColumn silently replaces a same-named caller column — fail fast
+    require(!df.columns.contains("__z"),
+      "input already has a __z column (reserved by ZOrder)")
     val stats = df.select(cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
       .head
+    // Empty input or an all-null dimension leaves null min/max: there is
+    // nothing to cluster on, so return df unchanged rather than NPE.
+    if ((0 until 2 * cols.size).exists(stats.isNullAt)) return df
     val buckets = cols.zipWithIndex.map { case (c, i) =>
       quantize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
     }

@@ -66,6 +66,24 @@ class SketchAggsSpec extends SparkSpec {
     }
   }
 
+  test("out-of-range k literal errors instead of silently wrapping") {
+    graft.plans.GraftExtensions.register(spark)
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(3L, 1L, 2L).toDF("v").createOrReplaceTempView("bks_range")
+    // 4294967298 = 2^32 + 2: a bare .toInt would make this k = 2
+    val e = intercept[Throwable] {
+      spark.sql("SELECT bottom_k_sample(v, 4294967298, 1) FROM bks_range")
+        .collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("k must be in [1,"))
+    intercept[Throwable] {
+      spark.sql("SELECT bottom_k_sample(v, 0, 1) FROM bks_range").collect()
+    }
+  }
+
   test("per-group sampling via groupBy, null inputs skipped") {
     val spark2 = spark
     import spark2.implicits._

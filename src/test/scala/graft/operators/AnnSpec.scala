@@ -127,6 +127,16 @@ class AnnSpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("empty corpus yields empty results, not a driver crash") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    val queries = Seq((0L, Array(1.0f, 0f, 0f, 0f))).toDF("id", "vec")
+    assert(Ann.lshNearDupPairs(empty, threshold = 0.9).count() === 0L)
+    assert(Ann.lshTopK(empty, queries, k = 3).count() === 0L)
+    assert(Ann.ivfTopK(empty, queries, k = 3).count() === 0L)
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._

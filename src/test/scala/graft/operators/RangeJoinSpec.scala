@@ -36,6 +36,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((-5.0, "neg"), (-0.5, "neg")))
   }
 
+  test("reserved __bucket column on an input fails fast, not clobber") {
+    val spark2 = spark
+    import spark2.implicits._
+    val p = Seq((1.0, 0L)).toDF("p", "__bucket")
+    val i = Seq(("a", 0.0, 10.0)).toDF("name", "lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(p, "p", i, "lo", "hi", 4.0)
+    }
+    assert(e.getMessage.contains("__bucket"))
+  }
+
   test("randomized agreement with the naive theta join") {
     val rnd = new Random(2026)
     val points = Seq.fill(300)(rnd.nextDouble() * 200 - 100)

@@ -31,6 +31,22 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.sorted.toSeq === plain.sorted.toSeq)
   }
 
+  test("reserved salt columns on the inputs fail fast, not clobber") {
+    val spark2 = spark
+    import spark2.implicits._
+    val withSalt = Seq((1L, "a", 0)).toDF("id", "k", "__salt")
+    val clean = Seq(("a", 1)).toDF("bk", "v")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.salted(withSalt, clean, $"k" === $"bk", saltOn = $"id")
+    }
+    assert(e.getMessage.contains("__salt"))
+    val withBSalt = Seq(("a", 1, 0)).toDF("bk", "v", "__b_salt")
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(clean.toDF("id", "k"), withBSalt, $"k" === $"bk",
+        saltOn = $"id")
+    }
+  }
+
   test("non-equi conjuncts ride along unchanged") {
     val spark2 = spark
     import spark2.implicits._

@@ -35,6 +35,21 @@ class MaintenanceSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("compact rejects an equivalent (not just string-equal) destination") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Files.createTempDirectory("graft-compact-self").toString
+    Seq((1L, 1)).toDF("id", "v").write.parquet(s"$base/t")
+    for (alias <- Seq(s"$base/t", s"$base/t/", s"$base/./t")) {
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.compact(spark, s"$base/t", alias)
+      }
+      assert(e.getMessage.contains("new location"), s"alias $alias")
+    }
+    // the data survived every rejected call
+    assert(spark.read.parquet(s"$base/t").count() === 1L)
+  }
+
   test("readEvolved unions schemas; old files null-fill the new column") {
     val spark2 = spark
     import spark2.implicits._

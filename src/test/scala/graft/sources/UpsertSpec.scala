@@ -47,6 +47,36 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("snapshot upsert rejects null update keys by name") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-null").toString
+    Seq((1L, 10)).toDF("id", "v").write.parquet(s"$dir/v1")
+    val withNull = Seq((Some(2L), 99), (None, 77)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertSnapshot(spark, s"$dir/v1", withNull, Seq("id"), s"$dir/v2")
+    }
+    assert(e.getMessage.contains("null key"))
+  }
+
+  test("equivalent destination paths are rejected, not just string-equal") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-self").toString
+    Seq((1L, 10)).toDF("id", "v").write.parquet(s"$dir/v1")
+    val up = Seq((1L, 99)).toDF("id", "v")
+    // trailing slash and a dot segment both resolve to the source itself
+    for (alias <- Seq(s"$dir/v1/", s"$dir/./v1")) {
+      val e = intercept[IllegalArgumentException] {
+        Upsert.upsertSnapshot(spark, s"$dir/v1", up, Seq("id"), alias)
+      }
+      assert(e.getMessage.contains("new location"), s"alias $alias")
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.deleteWhere(spark, s"$dir/v1", $"id" === 1L, s"$dir/v1/")
+    }
+  }
+
   test("snapshot upsert + deleteWhere leave the old snapshot untouched") {
     val spark2 = spark
     import spark2.implicits._

@@ -34,6 +34,26 @@ class ZOrderSpec extends SparkSpec {
     assert(got === got.sorted)
   }
 
+  test("cluster on empty or all-null input returns the frame unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("x", "y")
+    assert(ZOrder.cluster(empty, Seq("x", "y")).count() === 0L)
+    val allNull = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("x", "y")
+    assert(ZOrder.cluster(allNull, Seq("x", "y")).count() === 2L)
+  }
+
+  test("reserved __z column on the input fails fast, not clobber") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1.0, 2.0, 0L)).toDF("x", "y", "__z")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.cluster(df, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("__z"))
+  }
+
   test("non-leading-dimension filter touches fewer files after z-order") {
     val spark2 = spark
     import spark2.implicits._
