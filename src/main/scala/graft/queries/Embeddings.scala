@@ -87,14 +87,21 @@ object Embeddings {
     * (operators.Ann.lshNearDupPairs) — the scale path next to the
     * label-blocked cosineNearDup: no blocking column needed, recall
     * calibrated by (nBits, nTables); spec-gated against the exact join
-    * in AnnSpec. */
+    * in AnnSpec and against the real corpus in NearDupCrossGateSpec.
+    *
+    * nTables = 32 (over the operator's 24 default): at this query's
+    * threshold (0.35 ≈ 69° — far looser than typical dedup cutoffs) the
+    * per-table collision odds for a borderline pair are only ~0.14, and
+    * 24 tables measurably missed 3/26 borderline pairs on the sf0.01
+    * corpus (recall 0.885). 32 tables lifts the S-curve to ≥0.99 there —
+    * +33% bucketing cost, linear, no change in candidate dedup shape. */
   def cosineNearDupLsh(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Ann.lshNearDupPairs(e, threshold)
+    graft.operators.Ann.lshNearDupPairs(e, threshold, nTables = 32)
       .orderBy($"a_id", $"b_id")
   }
 
