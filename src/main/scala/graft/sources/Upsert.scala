@@ -10,10 +10,10 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
   * MATCHED THEN INSERT, expressed as the classic two-op dataflow:
   * anti-join the base against the update keys (drops matched rows), then
   * union the updates. One shuffle on the key; at 100 TB the win is
-  * combining this with PartitionedLayout — only partitions containing
-  * matched keys need rewriting, the rest move by reference (a catalog's
-  * job; here the whole snapshot rewrites, which is exactly what
-  * copy-on-write formats do per-file).
+  * combining this with PartitionedLayout — `mergePartitioned` rewrites
+  * only partitions containing matched or inserted keys and moves every
+  * other partition's files by reference (hard link on a local fs, byte
+  * copy elsewhere), so merge cost tracks the TOUCHED data, not the table.
   *
   * Writes to a NEW snapshot directory: readers of the old snapshot are
   * never disturbed, and a failed job leaves no half-written table —
@@ -72,6 +72,137 @@ object Upsert {
     require(total == distinct,
       s"duplicate keys in updates: $total rows, $distinct distinct keys " +
         s"on (${keyCols.mkString(", ")})")
+  }
+
+  /** Partition-scoped MERGE into a hive-partitioned snapshot
+    * (PartitionedLayout.writePartitioned's directory scheme): only the
+    * partitions that actually change are rewritten through Spark; every
+    * untouched partition's files move into the new snapshot BY REFERENCE
+    * (hard link when source and destination share a local filesystem,
+    * byte-for-byte copy otherwise). At 100 TB with date/lang-partitioned
+    * corpora and incremental recrawls, touched partitions are a small
+    * fraction of the table — this is the difference between a merge that
+    * costs O(delta) and one that rewrites 100 TB.
+    *
+    * A partition is touched when an update row lands in it, OR when a
+    * base row whose key matches an update lives in it (a key may move
+    * partitions: its old partition must rewrite to drop the stale row).
+    * Finding the latter costs one column-pruned scan of (key, partition)
+    * columns — footer-level column pruning makes that cheap next to any
+    * rewrite.
+    *
+    * `partCols` must be exactly the snapshot's partition columns, in
+    * nesting order; updates must carry them non-null. Same key
+    * preconditions as `upsertSnapshot`.
+    *
+    * @return relative paths of the rewritten (touched) partitions */
+  def mergePartitioned(spark: SparkSession, basePath: String,
+      updates: DataFrame, keyCols: Seq[String], partCols: Seq[String],
+      destPath: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    PathGuard.requireDistinct(spark, basePath, destPath, "merge")
+    require(partCols.nonEmpty, "mergePartitioned needs partition columns")
+    require(keyCols.nonEmpty, "mergePartitioned needs key columns")
+    requireSoundKeys(updates, keyCols)
+    val nullParts = updates
+      .filter(partCols.map(updates.col(_).isNull).reduce(_ || _)).count()
+    require(nullParts == 0,
+      s"$nullParts update rows have null partition values in " +
+        s"(${partCols.mkString(", ")}) — null partitions are not supported")
+
+    val base = spark.read.parquet(basePath)
+    // touched = partitions receiving update rows ∪ partitions holding a
+    // matched key (the semi-join scan reads only key+partition columns)
+    val updKeys = updates.select(keyCols.map(updates.col): _*)
+      .dropDuplicates(keyCols)
+    val touched = updates.select(partCols.map(updates.col): _*).distinct()
+      .unionByName(
+        base.join(updKeys, keyCols, "left_semi")
+          .select(partCols.map(col): _*).distinct())
+      .distinct().collect()
+
+    // rewrite ONLY the touched partitions (partition pruning keeps the
+    // base scan to exactly those directories)
+    val touchedPred = touched.map(r =>
+        partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    upsert(base.filter(touchedPred), updates, keyCols)
+      .repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).parquet(destPath)
+
+    // move every untouched partition by reference
+    val touchedRel = touched.map(partRelPath(partCols, _)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(basePath)
+    val fs = srcRoot.getFileSystem(conf)
+    val destRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
+    for (dir <- leafPartitionDirs(fs, srcRoot, partCols)
+         if !touchedRel.contains(dir)) {
+      val from = new org.apache.hadoop.fs.Path(srcRoot, dir)
+      val to = new org.apache.hadoop.fs.Path(destRoot, dir)
+      fs.mkdirs(to)
+      for (st <- fs.listStatus(from) if st.isFile
+           && !st.getPath.getName.startsWith("_")
+           && !st.getPath.getName.startsWith(".")) {
+        linkOrCopy(fs, conf, st.getPath,
+          new org.apache.hadoop.fs.Path(to, st.getPath.getName))
+      }
+    }
+    touchedRel.toSeq.sorted
+  }
+
+  /** Directory segment path for one partition-value row, using Spark's
+    * own hive-path escaping so it matches what the writer produced. */
+  private def partRelPath(partCols: Seq[String],
+      r: org.apache.spark.sql.Row): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    partCols.zipWithIndex.map { case (c, i) =>
+      ExternalCatalogUtils.escapePathName(c) + "=" +
+        ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))
+    }.mkString("/")
+  }
+
+  /** Relative paths of the base snapshot's leaf partition directories,
+    * validating the directory tree really is partitioned by `partCols`
+    * (a mispartitioned base would otherwise silently drop data from the
+    * merged snapshot). */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, partCols: Seq[String]): Seq[String] = {
+    def level(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[String] = {
+      if (depth == partCols.size) return Seq("")
+      val prefix = partCols(depth) + "="
+      fs.listStatus(dir).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          require(st.isDirectory && st.getPath.getName.startsWith(prefix),
+            s"base snapshot is not partitioned by " +
+              s"(${partCols.mkString(", ")}): found ${st.getPath}")
+          level(st.getPath, depth + 1)
+            .map(rest => st.getPath.getName +
+              (if (rest.isEmpty) "" else s"/$rest"))
+        }
+    }
+    level(root, 0)
+  }
+
+  /** Hard link when both ends are on a local filesystem (free, and the
+    * test of reference-moving is byte identity), stream copy otherwise
+    * (object stores / HDFS without hard links; a real catalog would move
+    * the manifest pointer instead). */
+  private def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
+    val localScheme = fs.makeQualified(from).toUri.getScheme == "file"
+    if (localScheme) {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(fs.makeQualified(to).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(from).toUri.getPath))
+    } else {
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+        /* deleteSource = */ false, /* overwrite = */ false, conf)
+    }
   }
 
   /** Anti-delete: drop rows matching `predicate` (takedown/expiry),

@@ -77,6 +77,52 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("partition-scoped merge rewrites only touched partitions; the rest are byte-identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-merge-part").toString
+    val base = Seq(
+      (1L, "en", "old-1"), (2L, "en", "old-2"),
+      (42L, "fr", "old-42"), (43L, "fr", "old-43"),
+      (7L, "de", "old-7"), (8L, "de", "old-8"))
+      .toDF("id", "lang", "text")
+    PartitionedLayout.writePartitioned(base, s"$dir/v1", Seq("lang"))
+    val updates = Seq(
+      (2L, "en", "NEW-2"),   // in-place replace in en
+      (42L, "en", "MOVED"),  // key moves fr → en: fr must drop the stale row
+      (99L, "es", "NEW-99")) // insert into a brand-new partition
+      .toDF("id", "lang", "text")
+    val rewritten = Upsert.mergePartitioned(spark, s"$dir/v1", updates,
+      keyCols = Seq("id"), partCols = Seq("lang"), destPath = s"$dir/v2")
+    assert(rewritten === Seq("lang=en", "lang=es", "lang=fr"))
+
+    val got = spark.read.parquet(s"$dir/v2")
+      .select($"id", $"lang", $"text").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, "en", "old-1"), (2L, "en", "NEW-2"), (7L, "de", "old-7"),
+      (8L, "de", "old-8"), (42L, "en", "MOVED"), (43L, "fr", "old-43"),
+      (99L, "es", "NEW-99")))
+
+    // the untouched partition moved by reference: same file names, same bytes
+    def dataFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).sortBy(_.getName)
+    val before = dataFiles(s"$dir/v1/lang=de")
+    val after = dataFiles(s"$dir/v2/lang=de")
+    assert(before.nonEmpty)
+    assert(after.map(_.getName) === before.map(_.getName))
+    before.zip(after).foreach { case (b, a) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(b.toPath),
+        java.nio.file.Files.readAllBytes(a.toPath)), s"${b.getName} differs")
+    }
+    // and the rewritten partitions are genuinely new files, not links
+    assert(dataFiles(s"$dir/v2/lang=en").map(_.getName)
+      .intersect(dataFiles(s"$dir/v1/lang=en").map(_.getName)).isEmpty)
+  }
+
   test("snapshot upsert + deleteWhere leave the old snapshot untouched") {
     val spark2 = spark
     import spark2.implicits._
