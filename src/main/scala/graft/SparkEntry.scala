@@ -45,7 +45,8 @@ object SparkEntry {
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
-    "q_pair_pagerank", "q_embed_centroids", "q_multiset_pairs",
+    "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
+    "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup",
     "q_simhash_neardup",
     "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
     "q_pair_pagerank"     -> (GraphQueries.pairPagerank(_, _)),
+    "q_pair_pagerank_fp"  -> (GraphQueries.pairPagerankFixed(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
@@ -590,6 +592,35 @@ object SparkEntry {
          |FROM p e1
          |JOIN p e2 ON e1.b_id = e2.a_id
          |JOIN p e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id""".stripMargin,
+
+    // fixed-point pagerank: 6 unrolled power-iteration CTEs; every
+    // arithmetic step is 64-bit integer (// truncates like Spark's div on
+    // the all-positive ranks), so the match is bit-exact by construction.
+    // sum() in DuckDB widens to HUGEINT — cast back to BIGINT to agree
+    // with Spark's long. Base term (15·S div 100) div n and the damping
+    // multiply-then-divide replicate Graph.pageRankFixedPoint exactly.
+    "q_pair_pagerank_fp" -> {
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT e.dst AS id,
+           |    CAST((SELECT b FROM params) +
+           |      CAST(85 AS BIGINT) * sum(r.rank // e.deg) // 100 AS BIGINT)
+           |      AS rank
+           |  FROM e JOIN $prev r ON e.src = r.id GROUP BY e.dst)""".stripMargin
+      val steps = (1 to 6).map(i => step(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH $pairGraphCte,
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM p
+         |        UNION ALL SELECT b_id, a_id FROM p),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |e AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+         |params AS (SELECT
+         |  (CAST(15 AS BIGINT) * 1000000000 // 100) // count(*) AS b,
+         |  CAST(1000000000 AS BIGINT) // count(*) AS init FROM deg),
+         |r0 AS (SELECT src AS id, (SELECT init FROM params) AS rank FROM deg),
+         |$steps
+         |SELECT id AS doc_id, rank AS pagerank_fp
+         |FROM r6 ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $pairGraphCte,

@@ -96,6 +96,49 @@ object Graph {
     ranks
   }
 
+  /** Fixed-point PageRank: identical dataflow to `pageRank`, but ranks
+    * are BIGINT multiples of 1/`scale` and every divide is integer
+    * division — the result is bit-reproducible across ANY engine that
+    * implements 64-bit integer arithmetic (the float version depends on
+    * summation order). That makes the 6-round power iteration exactly
+    * checkable by a SQL oracle, and at scale removes float-nondeterminism
+    * between runs (partial-agg order varies with partitioning).
+    *
+    * Per round, with S = scale and d = 85/100:
+    *   rank'(v) = (15·S div 100) div n  +  (85 · Σ (rank(u) div deg(u))) div 100
+    * All terms stay well under 2^63: Σ rank ≤ S = 10^9, ×85 ≤ 8.5·10^10.
+    * Truncation loses ≤ deg(u) parts-per-scale per vertex per round —
+    * at S = 10^9 the ranking is unchanged vs float (pinned in GraphSpec).
+    *
+    * @return (id, rank_fp) — rank scaled by `scale`, as a long. */
+  def pageRankFixedPoint(edges: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", iterations: Int = 6,
+      scale: Long = 1000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val withDeg = sym.join(
+        sym.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = withDeg.select($"src").distinct().count()
+    val base = 15L * scale / 100L / n  // driver-side longs: exact
+    var ranks = withDeg.select($"src".as("id")).distinct()
+      .withColumn("rank_fp", lit(scale / n))
+    for (i <- 1 to iterations) {
+      val contribs = withDeg.join(ranks, $"src" === $"id")
+        .select($"dst", expr("rank_fp div deg").as("c"))
+      ranks = contribs.groupBy($"dst".as("id"))
+        .agg(expr(s"${base}L + (85 * sum(c)) div 100").as("rank_fp"))
+      if (i == iterations) ranks = materialize(ranks)
+    }
+    withDeg.unpersist(blocking = false)
+    ranks
+  }
+
   /** Connected components by alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): converges in O(log n) rounds on ANY graph — unlike

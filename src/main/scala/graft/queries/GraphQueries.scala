@@ -78,6 +78,19 @@ object GraphQueries {
       .orderBy($"doc_id")
   }
 
+  /** Fixed-point PageRank twin of q_pair_pagerank: ranks are integer
+    * multiples of 10⁻⁹ and every divide truncates, so 6 power iterations
+    * are bit-reproducible in any 64-bit-integer engine — this is the
+    * oracle-checked face of the pair (the float query keeps the
+    * real-world output; GraphSpec pins the two to the same ranking). */
+  def pairPagerankFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Graph.pageRankFixedPoint(pairGraph(s, dir),
+        iterations = 6)
+      .select($"id".as("doc_id"), $"rank_fp".as("pagerank_fp"))
+      .orderBy($"doc_id")
+  }
+
   /** The deduplicated corpus: documents minus every non-representative
     * cluster member (Dedup.keepRepresentatives over the pair graph). */
   def dedupCorpus(s: SparkSession, dir: String): DataFrame = {

@@ -117,6 +117,25 @@ class GraphSpec extends SparkSpec {
     for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-9, s"node $k")
   }
 
+  test("fixed-point pageRank tracks the float ranks within truncation error") {
+    val es = (1 to 60).map { i =>
+      val h = i * 2654435761L
+      (h % 23L, (h / 23) % 29L)
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val float = prMap(es, iters = 6)
+    val fixed = Graph.pageRankFixedPoint(edgesDf(es), iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed.keySet === float.keySet)
+    // per-vertex truncation loses ≤ deg parts-per-scale per round; at
+    // S = 1e9 over 6 rounds that is far under 1e-5 absolute
+    for ((k, v) <- float)
+      assert(math.abs(fixed(k) / 1e9 - v) < 1e-5, s"node $k")
+    // total mass stays within the cumulative truncation budget of S
+    val total = fixed.values.sum
+    assert(total <= 1000000000L && total > 1000000000L - 1000000L)
+  }
+
   test("connectedComponents agrees with union-find on a random graph") {
     // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
     val es = (1 to 90).map { i =>
