@@ -40,7 +40,8 @@ object SparkEntry {
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
-    "q_token_stats", "q_quality_score", "q_lang_id", "q_fingerprint",
+    "q_token_stats", "q_quality_score", "q_repetition_filter",
+    "q_token_packing", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk", "q_tfidf_topk", "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
@@ -94,6 +95,8 @@ object SparkEntry {
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
     "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
+    "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
+    "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "q_lang_id"           -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
@@ -341,6 +344,60 @@ object SparkEntry {
         |  CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len
         |FROM d
         |ORDER BY doc_id""".stripMargin,
+
+    // repetition filter: modal-bigram mass via unnest + two-level agg;
+    // fractions are single IEEE divisions of exact integers, and the
+    // 1/16 threshold is dyadic, so keep-verdicts match bit-exactly.
+    "q_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    len(list_distinct(t)) AS n_distinct
+        |  FROM t WHERE len(t) >= 2
+        |), b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM t WHERE len(t) >= 2
+        |), modal AS (
+        |  SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+        |  GROUP BY doc_id
+        |)
+        |SELECT base.doc_id, n_tokens, top_bigram_n,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS dup_token_frac,
+        |  CAST(top_bigram_n AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+        |    AS top_bigram_frac,
+        |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.65
+        |    AND CAST(top_bigram_n AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) <= 0.0625
+        |    AS keep
+        |FROM base JOIN modal ON base.doc_id = modal.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    // sequence packing: integer-only window cumsum + div, so the bin
+    // assignment is engine-independent; DuckDB's window/agg sums widen
+    // to HUGEINT — cast back to BIGINT to match Spark's long
+    "q_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum
+        |  FROM t
+        |)
+        |SELECT lang, source,
+        |  CAST((csum - n_tokens) // 2048 AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c
+        |GROUP BY lang, source, bin
+        |ORDER BY lang, source, bin""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextOps
 import graft.sources.Tables
 
 /** Text-analysis operators over the documents table: tokenization, token
@@ -59,6 +60,74 @@ object TextAnalysis {
         ($"n_distinct".cast("double") / $"n_tokens".cast("double")).as("distinct_ratio"),
         ($"n_chars".cast("double") / $"n_tokens".cast("double")).as("avg_token_len"))
       .orderBy($"doc_id")
+  }
+
+  /** Gopher/C4-style repetition quality filter — the complement of
+    * qualityScore's surface stats: repetition is THE dominant failure
+    * mode of crawled training text (boilerplate, templated pages, spam),
+    * and the canonical signals are duplicate-token mass and the mass of
+    * the single most-frequent n-gram (Rae et al. 2021 "Scaling Language
+    * Models", table A1 — their "duplicate n-gram fraction" family).
+    *
+    * Dataflow is the scalable explode shape, not per-row HOF loops: one
+    * slim (doc_id, bigram) explode → map-side-combinable count → per-doc
+    * max. Two shuffles, both keyed by doc_id prefix, each partial-agged.
+    * Thresholds: a dyadic 1/16 for the modal-bigram mass (so the double
+    * comparison is exact in every engine) and 0.65 duplicate-token mass —
+    * both sit between the corpus p50 and p99, so the verdict is
+    * non-vacuous either way. Fractions are single IEEE divisions of
+    * exact integers — bit-identical cross-engine. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"t", size($"t").as("n_tokens"),
+        size(array_distinct($"t")).as("n_distinct"))
+    val modal = t
+      .select($"doc_id", explode(TextOps.shingles($"t", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"))
+    t.drop("t").join(modal, "doc_id")
+      .select($"doc_id", $"n_tokens", $"top_bigram_n",
+        (lit(1.0) - $"n_distinct".cast("double") / $"n_tokens".cast("double"))
+          .as("dup_token_frac"),
+        ($"top_bigram_n".cast("double") /
+          ($"n_tokens" - 1).cast("double")).as("top_bigram_frac"))
+      .withColumn("keep",
+        $"dup_token_frac" <= 0.65 && $"top_bigram_frac" <= 0.0625)
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic sequence packing — assign documents to fixed-budget
+    * token bins, the step that turns a filtered corpus into training
+    * sequences. Documents are packed contiguously in (lang, source,
+    * doc_id) order; a document starting before a bin boundary stays in
+    * its start bin (the standard streaming approximation of first-fit —
+    * exact capacity packing is inherently sequential and not worth a
+    * shuffle-breaking loop). bin = (cumsum − n_tokens) div budget over
+    * a per-(lang, source) window: the window key is the INGEST SHARD,
+    * so at 100 TB each partition is one shard's worth — the sort is
+    * within-shard, never global. All arithmetic is integer, so the
+    * assignment is bit-reproducible in any engine.
+    *
+    * Output is the per-bin manifest (doc span + token mass), i.e. what a
+    * sequence-builder job would consume. */
+  def tokenPacking(s: SparkSession, dir: String,
+      budget: Int = 2048): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(toks($"text")).as("n_tokens"))
+      .withColumn("csum", sum($"n_tokens").over(w))
+      .withColumn("bin", expr(s"(csum - n_tokens) div $budget"))
+      .groupBy($"lang", $"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("bin_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"source", $"bin")
   }
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(

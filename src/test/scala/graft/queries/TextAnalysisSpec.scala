@@ -34,6 +34,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("repetition filter: hand-computed metrics and keep verdicts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = TextAnalysis.repetitionFilter(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, nTok, topN, dup, topFrac, keep) =>
+      assert(nTok >= 2 && topN >= 1 && topN <= nTok - 1, s"doc $id")
+      assert(dup >= 0.0 && dup < 1.0, s"doc $id dup=$dup")
+      assert(topFrac > 0.0 && topFrac <= 1.0, s"doc $id top=$topFrac")
+      assert(keep === (dup <= 0.65 && topFrac <= 0.0625), s"doc $id")
+    }
+    // non-vacuous on the real corpus: both verdicts occur
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
+
+  test("token packing: mass conserved, bins ordered, budget respected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val budget = 2048
+    val got = TextAnalysis.tokenPacking(spark, sf("sf0.001"), budget)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.nonEmpty)
+    // total token mass across bins equals the corpus token mass
+    val totalTokens = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.toks($"text"))).cast("long"))
+      .head.getLong(0)
+    assert(got.map(_._4).sum === totalTokens)
+    got.groupBy(_._1).foreach { case (grp, bins) =>
+      val sorted = bins.sortBy(_._2)
+      assert(sorted.head._2 === 0L, s"group $grp must start at bin 0")
+      // doc spans of consecutive bins never interleave
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"group $grp bins overlap")
+        case _ =>
+      }
+      // a bin holds less than budget + one max-doc of tokens: all docs
+      // STARTING inside the budget window, plus the one that crosses in
+      sorted.foreach { b =>
+        assert(b._4 < 2L * budget,
+          s"group $grp bin ${b._2} mass ${b._4} (docs are far below " +
+            "budget-sized in this corpus)")
+      }
+    }
+  }
+
   test("cap above max df is a no-op (oracle-parity guarantee)") {
     val spark2 = spark
     import spark2.implicits._
