@@ -234,7 +234,6 @@ object Dedup {
       .filter($"n".between(2, maxBucket))
       .groupBy($"band", $"key")
       .agg(collect_list(struct($"id", $"fp")).as("ms"))
-      .filter(size($"ms") >= 2)
       .select(explode(flatten(transform($"ms", x =>
         transform(filter($"ms", y => y.getField("id") > x.getField("id")),
           y => struct(x.getField("id").as("a_id"),

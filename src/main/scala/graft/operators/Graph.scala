@@ -125,6 +125,10 @@ object Graph {
         sym.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = withDeg.select($"src").distinct().count()
+    if (n == 0) {  // empty graph: no vertices, no ranks (and no div-by-0)
+      withDeg.unpersist(blocking = false)
+      return sym.select($"src".as("id"), lit(0L).as("rank_fp")).limit(0)
+    }
     val base = 15L * scale / 100L / n  // driver-side longs: exact
     var ranks = withDeg.select($"src".as("id")).distinct()
       .withColumn("rank_fp", lit(scale / n))

@@ -16,13 +16,24 @@ import org.apache.spark.sql.SparkSession
 private[sources] object PathGuard {
 
   /** Fully-qualified (scheme + authority + absolute, symlinks resolved
-    * when the path exists) form of `s` on its own filesystem. */
+    * when the path exists) form of `s` on its own filesystem.
+    *
+    * Local paths go through File.getCanonicalFile: Hadoop's
+    * Raw/LocalFileSystem.resolvePath is getFileStatus().getPath() — it
+    * does NOT follow symlinks, so a symlinked alias of the source would
+    * slip past a resolvePath-only check. getCanonicalPath resolves
+    * symlinks in every existing component (including parents of a
+    * not-yet-created leaf). */
   private def canonical(spark: SparkSession, s: String): Path = {
     val p = new Path(s)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = fs.makeQualified(p)
-    try fs.resolvePath(q)  // resolves symlinks; throws if q doesn't exist
-    catch { case _: java.io.IOException => q }
+    if (q.toUri.getScheme == "file")
+      new Path("file", null,
+        new java.io.File(q.toUri.getPath).getCanonicalPath)
+    else
+      try fs.resolvePath(q)  // symlink-aware on HDFS; throws if absent
+      catch { case _: java.io.IOException => q }
   }
 
   /** Fail fast when `dest` resolves to the same location as `src`. */

@@ -110,42 +110,83 @@ object Upsert {
       s"$nullParts update rows have null partition values in " +
         s"(${partCols.mkString(", ")}) — null partitions are not supported")
 
-    val base = spark.read.parquet(basePath)
+    // resolve BOTH filesystems before any write, so a cross-fs or
+    // misconfigured destination fails fast instead of after the Spark
+    // rewrite (which would leave a half-written destination snapshot)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(basePath)
+    val srcFs = srcRoot.getFileSystem(conf)
+    val destRootRaw = new org.apache.hadoop.fs.Path(destPath)
+    val destFs = destRootRaw.getFileSystem(conf)
+    val destRoot = destFs.makeQualified(destRootRaw)
+
+    // Partition values are compared AS DIRECTORY STRINGS: type inference
+    // on the base read would round-trip lossily (month=01 inferred as
+    // int 1 renders back as month=1 — a silent partition rename/split),
+    // so it is scoped off and partition columns come back as the exact
+    // unescaped directory values. Update-side partition columns coerce
+    // to string through unionByName below; callers own matching their
+    // string forms to the layout (the common always-string case is
+    // exact by construction).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferWas = spark.conf.get(inferKey)
+    val base =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(basePath) }
+      finally spark.conf.set(inferKey, inferWas)
+
     // touched = partitions receiving update rows ∪ partitions holding a
     // matched key (the semi-join scan reads only key+partition columns)
+    val strParts = (df: DataFrame) =>
+      df.select(partCols.map(c => df.col(c).cast("string").as(c)): _*)
+        .distinct()
     val updKeys = updates.select(keyCols.map(updates.col): _*)
       .dropDuplicates(keyCols)
-    val touched = updates.select(partCols.map(updates.col): _*).distinct()
-      .unionByName(
-        base.join(updKeys, keyCols, "left_semi")
-          .select(partCols.map(col): _*).distinct())
+    val touched = strParts(updates)
+      .unionByName(strParts(base.join(updKeys, keyCols, "left_semi")))
       .distinct().collect()
+    // a matched key inside a null-valued base partition cannot be
+    // rewritten by value equality — fail rather than silently keep the
+    // stale row (null partitions are rejected on the update side above)
+    require(touched.forall(r => !r.anyNull),
+      "a matched key lives in a null-valued base partition " +
+        "(__HIVE_DEFAULT_PARTITION__) — null partitions are not supported")
 
-    // rewrite ONLY the touched partitions (partition pruning keeps the
-    // base scan to exactly those directories)
-    val touchedPred = touched.map(r =>
-        partCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
-          .reduce(_ && _))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    upsert(base.filter(touchedPred), updates, keyCols)
+    // rewrite ONLY the touched partitions. Few partitions → a literal
+    // OR-of-ANDs predicate (static partition pruning, no scan outside
+    // the touched dirs); many → a broadcast semi-join against the
+    // touched set (a 10k-term literal disjunction chokes Catalyst;
+    // dynamic partition pruning handles the join form at scale).
+    val touchedBase =
+      if (touched.length <= 64) {
+        val pred = touched.map(r =>
+            partCols.zipWithIndex.map { case (c, i) =>
+              col(c).cast("string") === lit(r.getString(i)) }
+              .reduce(_ && _))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        base.filter(pred)
+      } else {
+        val touchedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(touched.toSeq, 1),
+          org.apache.spark.sql.types.StructType(partCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType))))
+        base.join(broadcast(touchedDf), partCols, "left_semi")
+      }
+    upsert(touchedBase, updates, keyCols)
       .repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).parquet(destPath)
 
     // move every untouched partition by reference
     val touchedRel = touched.map(partRelPath(partCols, _)).toSet
-    val conf = spark.sparkContext.hadoopConfiguration
-    val srcRoot = new org.apache.hadoop.fs.Path(basePath)
-    val fs = srcRoot.getFileSystem(conf)
-    val destRoot = fs.makeQualified(new org.apache.hadoop.fs.Path(destPath))
-    for (dir <- leafPartitionDirs(fs, srcRoot, partCols)
+    for (dir <- leafPartitionDirs(srcFs, srcRoot, partCols)
          if !touchedRel.contains(dir)) {
       val from = new org.apache.hadoop.fs.Path(srcRoot, dir)
       val to = new org.apache.hadoop.fs.Path(destRoot, dir)
-      fs.mkdirs(to)
-      for (st <- fs.listStatus(from) if st.isFile
+      destFs.mkdirs(to)
+      for (st <- srcFs.listStatus(from) if st.isFile
            && !st.getPath.getName.startsWith("_")
            && !st.getPath.getName.startsWith(".")) {
-        linkOrCopy(fs, conf, st.getPath,
+        linkOrCopy(srcFs, destFs, conf, st.getPath,
           new org.apache.hadoop.fs.Path(to, st.getPath.getName))
       }
     }
@@ -187,20 +228,22 @@ object Upsert {
     level(root, 0)
   }
 
-  /** Hard link when both ends are on a local filesystem (free, and the
+  /** Hard link when BOTH ends are on a local filesystem (free, and the
     * test of reference-moving is byte identity), stream copy otherwise
-    * (object stores / HDFS without hard links; a real catalog would move
-    * the manifest pointer instead). */
-  private def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+    * (cross-fs moves, object stores, HDFS without hard links; a real
+    * catalog would move the manifest pointer instead). */
+  private def linkOrCopy(srcFs: org.apache.hadoop.fs.FileSystem,
+      destFs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit = {
-    val localScheme = fs.makeQualified(from).toUri.getScheme == "file"
-    if (localScheme) {
+    val bothLocal = srcFs.makeQualified(from).toUri.getScheme == "file" &&
+      destFs.makeQualified(to).toUri.getScheme == "file"
+    if (bothLocal) {
       java.nio.file.Files.createLink(
-        java.nio.file.Paths.get(fs.makeQualified(to).toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(from).toUri.getPath))
+        java.nio.file.Paths.get(destFs.makeQualified(to).toUri.getPath),
+        java.nio.file.Paths.get(srcFs.makeQualified(from).toUri.getPath))
     } else {
-      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, destFs, to,
         /* deleteSource = */ false, /* overwrite = */ false, conf)
     }
   }

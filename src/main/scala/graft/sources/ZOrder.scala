@@ -61,10 +61,14 @@ object ZOrder {
     val stats = df.select(cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
       .head
-    // Empty input or an all-null dimension leaves null min/max: there is
-    // nothing to cluster on, so return df unchanged rather than NPE.
-    if ((0 until 2 * cols.size).exists(stats.isNullAt)) return df
-    val buckets = cols.zipWithIndex.map { case (c, i) =>
+    // A dimension with null min/max (all-null column, or empty input)
+    // carries no clustering signal: drop IT, keep clustering on the
+    // others — one dead dimension must not silently disable the whole
+    // layout. With no live dimension left, return df unchanged.
+    val live = cols.zipWithIndex
+      .filterNot { case (_, i) => stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1) }
+    if (live.isEmpty) return df
+    val buckets = live.map { case (c, i) =>
       quantize(col(c), stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bits)
     }
     df.withColumn("__z", interleave(buckets, bits))

@@ -134,6 +134,8 @@ class GraphSpec extends SparkSpec {
     // total mass stays within the cumulative truncation budget of S
     val total = fixed.values.sum
     assert(total <= 1000000000L && total > 1000000000L - 1000000L)
+    // empty graph: empty result, not a driver division-by-zero
+    assert(Graph.pageRankFixedPoint(edgesDf(Seq.empty)).count() === 0L)
   }
 
   test("connectedComponents agrees with union-find on a random graph") {

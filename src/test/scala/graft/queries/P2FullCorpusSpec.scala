@@ -28,9 +28,10 @@ class P2FullCorpusSpec extends SparkSpec {
       .select($"a_id", $"b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val wallSec = (System.nanoTime() - t0) / 1e9
-    // generous bound (host timings swing ~10x): the point is "completes
-    // in seconds", vs a quadratic bucket verify that does not complete
-    assert(wallSec < 120.0, s"full-corpus banding took $wallSec s")
+    // bound far above nominal (~5 s) but far below "does not complete":
+    // host timings swing ~10x, so the gate is completion-in-minutes vs a
+    // quadratic bucket verify that runs out of memory or hours
+    assert(wallSec < 600.0, s"full-corpus banding took $wallSec s")
     assert(full.nonEmpty)
 
     val sampled = Extended.similarityJoinP2(spark, dir)

@@ -77,6 +77,83 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("a symlinked destination alias of the source is rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-upsert-link").toString
+    Seq((1L, 10)).toDF("id", "v").write.parquet(s"$dir/v1")
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$dir/alias"),
+      java.nio.file.Paths.get(s"$dir/v1"))
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertSnapshot(spark, s"$dir/v1",
+        Seq((1L, 99)).toDF("id", "v"), Seq("id"), s"$dir/alias")
+    }
+    assert(e.getMessage.contains("new location"))
+    assert(spark.read.parquet(s"$dir/v1").count() === 1L)
+  }
+
+  test("merge keeps numeric-looking string partitions intact (no inference rename)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-merge-infer").toString
+    // month=01: type inference would read this back as int 1 and the
+    // rewrite would emit a NEW month=1 directory — a silent layout split
+    val base = Seq((1L, "01", "a"), (2L, "01", "b"), (3L, "02", "c"))
+      .toDF("id", "month", "text")
+    PartitionedLayout.writePartitioned(base, s"$dir/v1", Seq("month"))
+    Upsert.mergePartitioned(spark, s"$dir/v1",
+      Seq((2L, "01", "B")).toDF("id", "month", "text"),
+      Seq("id"), Seq("month"), s"$dir/v2")
+    val dirs = new java.io.File(s"$dir/v2").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs === Seq("month=01", "month=02"))
+    // read back with inference off too, or this read itself turns 01→1
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    spark.conf.set(inferKey, "false")
+    val got =
+      try spark.read.parquet(s"$dir/v2")
+        .select($"id", $"month", $"text").orderBy($"id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      finally spark.conf.set(inferKey, "true")
+    assert(got === Seq((1L, "01", "a"), (2L, "01", "B"), (3L, "02", "c")))
+  }
+
+  test("merge fails loudly when a matched key lives in a null base partition") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-merge-nullpart").toString
+    Seq((Some(1L), Option.empty[String], "a"), (Some(2L), Some("en"), "b"))
+      .toDF("id", "lang", "text")
+      .write.partitionBy("lang").parquet(s"$dir/v1")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergePartitioned(spark, s"$dir/v1",
+        Seq((1L, "en", "MOVED")).toDF("id", "lang", "text"),
+        Seq("id"), Seq("lang"), s"$dir/v2")
+    }
+    assert(e.getMessage.contains("null-valued base partition"))
+  }
+
+  test("merge with many touched partitions takes the semi-join path correctly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-merge-many").toString
+    // 70 single-row partitions: above the 64-partition literal-predicate
+    // cutoff, so the broadcast semi-join branch plans the rewrite
+    val base = (0 until 70).map(i => (i.toLong, f"p$i%02d", s"old-$i"))
+      .toDF("id", "part", "text")
+    PartitionedLayout.writePartitioned(base, s"$dir/v1", Seq("part"))
+    val updates = (0 until 70).map(i => (i.toLong, f"p$i%02d", s"new-$i"))
+      .toDF("id", "part", "text")
+    val rewritten = Upsert.mergePartitioned(spark, s"$dir/v1", updates,
+      Seq("id"), Seq("part"), s"$dir/v2")
+    assert(rewritten.size === 70)
+    val got = spark.read.parquet(s"$dir/v2")
+      .select($"id", $"text").orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === (0 until 70).map(i => (i.toLong, s"new-$i")))
+  }
+
   test("partition-scoped merge rewrites only touched partitions; the rest are byte-identical") {
     val spark2 = spark
     import spark2.implicits._

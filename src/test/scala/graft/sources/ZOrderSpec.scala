@@ -34,14 +34,23 @@ class ZOrderSpec extends SparkSpec {
     assert(got === got.sorted)
   }
 
-  test("cluster on empty or all-null input returns the frame unchanged") {
+  test("degenerate dimensions are dropped, not allowed to disable clustering") {
     val spark2 = spark
     import spark2.implicits._
     val empty = Seq.empty[(Double, Double)].toDF("x", "y")
     assert(ZOrder.cluster(empty, Seq("x", "y")).count() === 0L)
-    val allNull = Seq((Some(1.0), Option.empty[Double]),
-      (Some(2.0), Option.empty[Double])).toDF("x", "y")
-    assert(ZOrder.cluster(allNull, Seq("x", "y")).count() === 2L)
+    // y is all-null: clustering must still happen on x — the layout on
+    // the live dimension equals clustering on x alone
+    val mixed = Seq((Some(5.0), Option.empty[Double]),
+      (Some(1.0), Option.empty[Double]), (Some(3.0), Option.empty[Double]))
+      .toDF("x", "y")
+    val clustered = ZOrder.cluster(mixed, Seq("x", "y"), numFiles = 1)
+    assert(clustered.count() === 3L)
+    assert(clustered.collect().map(_.getDouble(0)).toSeq === Seq(1.0, 3.0, 5.0))
+    // both dimensions dead → unchanged
+    val dead = Seq((Option.empty[Double], Option.empty[Double]))
+      .toDF("x", "y")
+    assert(ZOrder.cluster(dead, Seq("x", "y")).count() === 1L)
   }
 
   test("reserved __z column on the input fails fast, not clobber") {
