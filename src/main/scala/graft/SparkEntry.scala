@@ -41,7 +41,7 @@ object SparkEntry {
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_repetition_filter",
-    "q_token_packing", "q_lang_id", "q_fingerprint",
+    "q_token_packing", "q_doc_chunks", "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk", "q_tfidf_topk", "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
@@ -97,6 +97,7 @@ object SparkEntry {
     "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
     "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
     "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
+    "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "q_lang_id"           -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
@@ -398,6 +399,31 @@ object SparkEntry {
         |FROM c
         |GROUP BY lang, source, bin
         |ORDER BY lang, source, bin""".stripMargin,
+
+    // chunking: window 32 / stride 24; chunk k covers 1-based tokens
+    // [24k+1, 24k+32] (last chunk short). md5 over the space-joined
+    // chunk text matches Spark's md5(concat_ws(' ', slice(...)))
+    // bit-for-bit; list_slice's inclusive end = start + len - 1.
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, n_tokens,
+        |    unnest(generate_series(0,
+        |      CAST(1 + (greatest(n_tokens - 32, 0) + 23) // 24 AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, chunk_id,
+        |  chunk_id * 24 + 1 AS start_tok,
+        |  least(32, n_tokens - chunk_id * 24) AS chunk_len,
+        |  md5(array_to_string(list_slice(t, chunk_id * 24 + 1,
+        |    chunk_id * 24 + least(32, n_tokens - chunk_id * 24)), ' '))
+        |    AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (

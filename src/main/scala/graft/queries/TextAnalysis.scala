@@ -130,6 +130,41 @@ object TextAnalysis {
       .orderBy($"lang", $"source", $"bin")
   }
 
+  /** Context-window chunking with stride — long documents split into
+    * overlapping fixed-size token windows (the standard prep for both
+    * training sequences and retrieval indexing). Chunk k covers 1-based
+    * tokens [k·stride + 1, k·stride + window], the final chunk may be
+    * short, and chunk count is 1 + ceil(max(n − window, 0) / stride) —
+    * every token is covered and consecutive chunks overlap by
+    * window − stride tokens. One generator explode per document; no
+    * shuffle at all until the presentation sort (at scale: none).
+    *
+    * Chunks are emitted as md5 fingerprints + spans, not text: the
+    * driver-side result stays slim, and the fingerprint makes the
+    * chunking bit-checkable cross-engine without hashing arrays. */
+  def docChunks(s: SparkSession, dir: String, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .withColumn("n_tokens", size($"t"))
+      .withColumn("n_chunks", expr(
+        s"1L + (greatest(n_tokens - $window, 0) + ${stride - 1}) div $stride"))
+      .select($"doc_id", $"t", $"n_tokens",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        ($"chunk_id" * stride + 1L).as("start_tok"),
+        least(lit(window.toLong),
+          $"n_tokens" - $"chunk_id" * stride).as("chunk_len"),
+        md5(concat_ws(" ", slice($"t",
+          ($"chunk_id" * stride + 1L).cast("int"),
+          least(lit(window.toLong), $"n_tokens" - $"chunk_id" * stride)
+            .cast("int")))).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "es" -> Seq("el", "la", "de"),

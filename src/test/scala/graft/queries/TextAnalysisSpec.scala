@@ -84,6 +84,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("doc chunking matches a driver-side recompute exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (w, s) = (32, 24)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val nChunks = 1 + (math.max(t.length - w, 0) + s - 1) / s
+      (0 until nChunks).map { k =>
+        val chunk = t.slice(k * s, k * s + math.min(w, t.length - k * s))
+        (id, k.toLong, k.toLong * s + 1, chunk.length.toLong,
+          md5hex(chunk.mkString(" ")))
+      }
+    }.toSet
+    val got = TextAnalysis.docChunks(spark, sf("sf0.001"), w, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(got === want)
+    assert(got.exists(_._2 >= 1L), "corpus should produce multi-chunk docs")
+  }
+
   test("cap above max df is a no-op (oracle-parity guarantee)") {
     val spark2 = spark
     import spark2.implicits._
