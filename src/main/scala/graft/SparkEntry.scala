@@ -41,7 +41,8 @@ object SparkEntry {
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_repetition_filter",
-    "q_token_packing", "q_doc_chunks", "q_lang_id", "q_fingerprint",
+    "q_token_packing", "q_doc_chunks", "q_contamination",
+    "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk", "q_tfidf_topk", "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
     "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "q_contamination"     -> ((s, d) => TextAnalysis.contamination(s, d, n = 3)),
     "q_lang_id"           -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
@@ -424,6 +426,36 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // decontamination at n=3 (see TextAnalysis.contamination scaladoc for
+    // why not the natural-text 8): rate is one double division of exact
+    // integers and the 1/16 flag threshold is dyadic — bit-exact.
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(t) - 2),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 100 = 0
+        |), train AS (
+        |  SELECT doc_id, len(sh) AS n_grams, sh FROM sh WHERE doc_id % 100 != 0
+        |), hits AS (
+        |  SELECT e.doc_id, count(*) AS n_contaminated
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM train) e
+        |  JOIN bench USING (g) GROUP BY e.doc_id
+        |)
+        |SELECT train.doc_id, n_grams,
+        |  coalesce(n_contaminated, 0) AS n_contaminated,
+        |  CAST(coalesce(n_contaminated, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    AS contamination_rate,
+        |  CAST(coalesce(n_contaminated, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+        |    >= 0.0625 AS flagged
+        |FROM train LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (

@@ -165,6 +165,52 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Benchmark decontamination — flag training documents that share long
+    * n-grams with an evaluation set (the canonical pre-training hygiene
+    * step; 8-gram overlap is the published convention, e.g. GPT-3
+    * appendix C). The "benchmark" here is a deterministic stand-in
+    * (doc_id ≡ 0 mod 100): real pipelines substitute their eval-set
+    * table, and the dataflow is unchanged.
+    *
+    * Shape: benchmark n-grams are DISTINCT and broadcast (eval sets are
+    * KB–MB next to a corpus — the one broadcast in this file that is
+    * small BY CONSTRUCTION); training docs explode their distinct
+    * n-grams, inner-join the broadcast set, count per doc, left-join
+    * back so clean docs report 0. Contamination cost is one linear pass
+    * over corpus shingles at any scale.
+    *
+    * The default n = 8 is the published convention for natural text;
+    * q_contamination registers at n = 3 because the synthetic corpus
+    * draws from a ~50-word vocabulary (8-gram collisions require
+    * near-verbatim copies, which the generator only plants between
+    * non-benchmark docs — measured all-zero at n ≥ 5), and a vacuous
+    * always-false flag tests nothing. */
+  def contamination(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import s.implicits._
+    val toksD = Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= n)
+    val isBench = $"doc_id" % 100 === 0
+    val benchGrams = toksD.filter(isBench)
+      .select(explode(array_distinct(TextOps.shingles($"t", n))).as("g"))
+      .distinct()
+    val train = toksD.filter(!isBench)
+      .select($"doc_id",
+        size(array_distinct(TextOps.shingles($"t", n))).as("n_grams"),
+        array_distinct(TextOps.shingles($"t", n)).as("sh"))
+    val hits = train
+      .select($"doc_id", explode($"sh").as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    train.drop("sh").join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_rate",
+        $"n_contaminated".cast("double") / $"n_grams".cast("double"))
+      .withColumn("flagged", $"contamination_rate" >= 0.0625)
+      .orderBy($"doc_id")
+  }
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "es" -> Seq("el", "la", "de"),
