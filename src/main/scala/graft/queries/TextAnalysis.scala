@@ -175,9 +175,10 @@ object TextAnalysis {
     * Shape: benchmark n-grams are DISTINCT and broadcast (eval sets are
     * KB–MB next to a corpus — the one broadcast in this file that is
     * small BY CONSTRUCTION); training docs explode their distinct
-    * n-grams, inner-join the broadcast set, count per doc, left-join
-    * back so clean docs report 0. Contamination cost is one linear pass
-    * over corpus shingles at any scale.
+    * n-grams once, left-join the broadcast set with a hit marker, and a
+    * single per-doc aggregate yields both the gram count and the
+    * contaminated count — clean docs report 0. Contamination cost is one
+    * linear pass over corpus shingles at any scale.
     *
     * The default n = 8 is the published convention for natural text;
     * q_contamination registers at n = 3 because the synthetic corpus
@@ -194,17 +195,18 @@ object TextAnalysis {
     val benchGrams = toksD.filter(isBench)
       .select(explode(array_distinct(TextOps.shingles($"t", n))).as("g"))
       .distinct()
-    val train = toksD.filter(!isBench)
+    // One linear pass over corpus shingles: explode each training doc's
+    // distinct n-grams once, mark benchmark membership via the broadcast
+    // left join, and aggregate per doc (count = n_grams, sum of hit
+    // markers = n_contaminated). Every training doc has >= 1 shingle
+    // (size(t) >= n above), so no doc is lost to the explode.
+    toksD.filter(!isBench)
       .select($"doc_id",
-        size(array_distinct(TextOps.shingles($"t", n))).as("n_grams"),
-        array_distinct(TextOps.shingles($"t", n)).as("sh"))
-    val hits = train
-      .select($"doc_id", explode($"sh").as("g"))
-      .join(broadcast(benchGrams), "g")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
-    train.drop("sh").join(hits, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_grams",
-        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"))
+        explode(array_distinct(TextOps.shingles($"t", n))).as("g"))
+      .join(broadcast(benchGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        coalesce(sum($"hit"), lit(0L)).as("n_contaminated"))
       .withColumn("contamination_rate",
         $"n_contaminated".cast("double") / $"n_grams".cast("double"))
       .withColumn("flagged", $"contamination_rate" >= 0.0625)

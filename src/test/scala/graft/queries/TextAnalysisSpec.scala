@@ -110,20 +110,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.exists(_._2 >= 1L), "corpus should produce multi-chunk docs")
   }
 
-  test("contamination: benchmark docs excluded, clean docs report 0, flags non-vacuous") {
+  test("contamination matches a driver-side recompute exactly") {
     val spark2 = spark
     import spark2.implicits._
     val got = TextAnalysis.contamination(spark, sf("sf0.01"), n = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3), r.getBoolean(4)))
-    assert(got.nonEmpty)
+    // independent recompute (plain Scala, no Spark expressions shared
+    // with the implementation under test)
+    val toksById = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+    val benchGrams = toksById.filter(_._1 % 100 == 0)
+      .flatMap(_._2.sliding(3).map(_.mkString(" "))).toSet
+    val want = toksById.filter(_._1 % 100 != 0).map { case (id, t) =>
+      val grams = t.sliding(3).map(_.mkString(" ")).toSet
+      val nCont = grams.count(benchGrams.contains).toLong
+      val rate = nCont.toDouble / grams.size
+      (id, grams.size, nCont, rate, rate >= 0.0625)
+    }.toSet
+    assert(got.toSet === want)
     // benchmark rows (doc_id % 100 == 0) never appear in the output
     assert(!got.exists(_._1 % 100 == 0))
-    got.foreach { case (id, nGrams, nCont, rate, flagged) =>
-      assert(nCont >= 0L && nCont <= nGrams, s"doc $id")
-      assert(rate === nCont.toDouble / nGrams, s"doc $id")
-      assert(flagged === (rate >= 0.0625), s"doc $id")
-    }
     // at n = 3 on this corpus both verdicts occur (measured: 9 flagged)
     assert(got.exists(_._5) && got.exists(!_._5))
     assert(got.exists(_._3 === 0L), "some docs must be fully clean")
