@@ -33,7 +33,7 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
-    "q_stratified_sample", "q_bottomk_sample", "q_skew_join",
+    "q_stratified_sample", "q_bottomk_sample", "q_hash_split", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
     "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
@@ -131,6 +131,7 @@ object SparkEntry {
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
+    "q_hash_split"        -> (Extended.hashSplit(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
@@ -764,6 +765,18 @@ object SparkEntry {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 'e6' THEN 'train'
+        |       WHEN bucket < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents
+        |)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_skew_join" ->
       """WITH avgs AS (

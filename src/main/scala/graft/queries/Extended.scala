@@ -134,6 +134,30 @@ object Extended {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Deterministic train/val/test split — assignment is a pure function
+    * of the example key (salted md5; first two hex chars = 256 buckets,
+    * 230/13/13 ≈ 89.8/5.1/5.1%). The properties that make this the
+    * standard split for training corpora at scale: map-only (no shuffle,
+    * no sampling state), stable under re-runs and backfills (a doc's
+    * split never changes as the corpus grows around it), and
+    * leakage-controllable by keying on a coarser unit — swap doc_id for
+    * a near-dup cluster representative (GraphQueries.dedupCorpus) or a
+    * source/domain to keep correlated examples on one side of the
+    * boundary. md5 hex and string comparison agree bit-for-bit between
+    * Spark and DuckDB, so the full assignment is oracle-checked. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2)
+          .as("bucket"))
+      .withColumn("split",
+        when($"bucket" < "e6", "train")
+          .when($"bucket" < "f3", "val")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic per-group k-sample of example ids via the graft-native
     * bottom-k sketch aggregate (functions.BottomKSample, a custom Catalyst
     * TypedImperativeAggregate): unlike stratifiedSample (S5 Bernoulli,

@@ -52,6 +52,27 @@ class ExtendedSpec extends SparkSpec {
     assert(again === sampled)
   }
 
+  test("hashSplit matches a driver-side md5 recompute; splits non-vacuous") {
+    val spark2 = spark
+    import spark2.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Extended.hashSplit(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = got.map { case (id, _, _) =>
+      val bucket = md5hex(s"split:$id").substring(0, 2)
+      val split =
+        if (bucket < "e6") "train" else if (bucket < "f3") "val" else "test"
+      (id, bucket, split)
+    }
+    assert(got.toSeq === want.toSeq)
+    // all three splits occur and train dominates (230/256 expected share)
+    val byName = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byName.keySet === Set("train", "val", "test"))
+    assert(byName("train") > got.length * 3 / 4)
+  }
+
   test("lshTopK: decent recall vs exact bruteTopK on real embeddings") {
     val spark2 = spark
     import spark2.implicits._
