@@ -33,7 +33,8 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
-    "q_stratified_sample", "q_bottomk_sample", "q_hash_split", "q_skew_join",
+    "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
+    "q_source_mix", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
     "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
@@ -132,6 +133,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     "q_hash_split"        -> (Extended.hashSplit(_, _)),
+    "q_source_mix"        -> (Extended.sourceMix(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
@@ -777,6 +779,21 @@ object SparkEntry {
         |  FROM documents
         |)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" -> {
+      val rows = graft.queries.Extended.mixTiers
+        .map { case (src, thr) => s"('$src', '$thr')" }.mkString(", ")
+      s"""WITH rates AS (
+         |  SELECT * FROM (VALUES $rows) AS t(source, mix_thr)
+         |)
+         |SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source,
+         |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+         |  FROM documents
+         |) d JOIN rates USING (source)
+         |WHERE bucket < mix_thr
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_skew_join" ->
       """WITH avgs AS (

@@ -158,6 +158,42 @@ object Extended {
       .orderBy($"doc_id")
   }
 
+  /** Mixture tiers for sourceMix: source → exclusive upper bound on the
+    * 2-hex-char hash bucket. "zz" sorts after every hex pair = keep all;
+    * "80"/"40"/"20" keep 128/64/32 of 256 buckets. Single source of
+    * truth — SparkEntry renders the same table into the DuckDB oracle. */
+  val mixTiers: Seq[(String, String)] = Seq.tabulate(20) { i =>
+    val thr = i / 5 match {
+      case 0 => "zz"
+      case 1 => "80"
+      case 2 => "40"
+      case _ => "20"
+    }
+    (s"src$i", thr)
+  }
+
+  /** Source-weighted mixture sampling — the data-mixing step of a
+    * training pipeline (reweight corpus sources toward a target recipe,
+    * e.g. upweight curated tiers, downweight crawl tiers). Each source
+    * carries a keep-rate quantized to 256ths; a doc is kept iff its
+    * salted-md5 bucket falls under the source's threshold. Like
+    * hashSplit this is deterministic, backfill-stable, and map-only at
+    * scale: the 20-row recipe broadcast-joins onto the scan, so there is
+    * no shuffle and no sampling state. Per-doc keep decisions are
+    * oracle-checked bit-for-bit. */
+  def sourceMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = mixTiers.toDF("source", "mix_thr")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 2)
+          .as("bucket"))
+      .join(broadcast(rates), Seq("source"))
+      .filter($"bucket" < $"mix_thr")
+      .select($"doc_id", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic per-group k-sample of example ids via the graft-native
     * bottom-k sketch aggregate (functions.BottomKSample, a custom Catalyst
     * TypedImperativeAggregate): unlike stratifiedSample (S5 Bernoulli,

@@ -73,6 +73,34 @@ class ExtendedSpec extends SparkSpec {
     assert(byName("train") > got.length * 3 / 4)
   }
 
+  test("sourceMix matches a driver-side recompute; tiers act as configured") {
+    val spark2 = spark
+    import spark2.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tiers = Extended.mixTiers.toMap
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"doc_id", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, src) =>
+      val bucket = md5hex(s"mix:$id").substring(0, 2)
+      if (bucket < tiers(src)) Some((id, src, bucket)) else None
+    }.toSet
+    val got = Extended.sourceMix(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got === want)
+    // tier 0 sources (threshold "zz") keep every doc; the whole corpus
+    // is NOT kept (lower tiers actually drop rows)
+    val keptBySrc = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val totalBySrc = docs.groupBy(_._2).view.mapValues(_.size).toMap
+    (0 until 5).map(i => s"src$i").foreach { s0 =>
+      assert(keptBySrc.getOrElse(s0, 0) === totalBySrc(s0), s0)
+    }
+    assert(got.size < docs.length)
+  }
+
   test("lshTopK: decent recall vs exact bruteTopK on real embeddings") {
     val spark2 = spark
     import spark2.implicits._
