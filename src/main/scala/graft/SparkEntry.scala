@@ -44,7 +44,8 @@ object SparkEntry {
     "q_token_stats", "q_quality_score", "q_repetition_filter",
     "q_token_packing", "q_doc_chunks", "q_contamination",
     "q_lang_id", "q_fingerprint",
-    "q_dedup_exact", "q_word_topk", "q_tfidf_topk", "q_embed_stats",
+    "q_dedup_exact", "q_word_topk", "q_frequent_words", "q_tfidf_topk",
+    "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
     "q_word_topk"         -> ((s, d) => TextAnalysis.wordTopK(s, d)),
+    "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     // graph analytics over the near-dup pair graph

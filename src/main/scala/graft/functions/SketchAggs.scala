@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Graft-native sketch aggregates (custom Catalyst
   * TypedImperativeAggregate — the same machinery behind Spark's HLL++ and
@@ -29,6 +30,14 @@ object SketchAggs {
     * (values sorted ascending) per group. */
   def bottomKSample(c: Column, k: Int, seed: Long): Column =
     GraftBridge.column(BottomKSample(GraftBridge.expression(c), k, seed)
+      .toAggregateExpression())
+
+  /** Misra–Gries frequent-items summary of a string column — output
+    * array<struct<item,est,err>> per group, sorted (est desc, item asc).
+    * For every item: est ≤ true ≤ est + err, and any item with
+    * true > err is guaranteed present. */
+  def frequentItems(c: Column, capacity: Int): Column =
+    GraftBridge.column(FrequentItems(GraftBridge.expression(c), capacity)
       .toAggregateExpression())
 }
 
@@ -131,5 +140,154 @@ case class BottomKSample(child: Expression, k: Int, seed: Long,
   override def withNewInputAggBufferOffset(offset: Int): BottomKSample =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): BottomKSample =
+    copy(child = newChild)
+}
+
+/** Mutable Misra–Gries buffer: capped counter map + accumulated
+  * decrement mass (the summary's one-sided error bound). */
+final class FreqBuf(
+    val counts: java.util.HashMap[String, Long] = new java.util.HashMap,
+    var err: Long = 0L)
+
+/** Misra–Gries (frequent-items) aggregate over a string column.
+  *
+  * Heavy-hitters at corpus scale without the exact top-k's full
+  * (group, item) shuffle: each map task keeps at most `capacity`
+  * counters, decrementing all of them by the minimum count whenever a
+  * new item overflows the cap (the batched form of MG's decrement; the
+  * subtracted mass accumulates in `err`). The published deviation from
+  * textbook MG is the merge: instead of re-truncating after every
+  * pairwise merge — whose result would depend on Spark's task-completion
+  * order — merge is a truncation-free pointwise SUM of counters and
+  * errors, and ONE truncation runs at eval. The merged result is then a
+  * pure function of the set of per-partition summaries, not of merge
+  * order, at the cost of a transiently larger final buffer
+  * (≤ partials × capacity entries — for capacity O(100) that is KBs per
+  * group even at thousand-executor width).
+  *
+  * Contract (the mergeable-summaries guarantee, preserved by sum +
+  * single truncation): for every emitted item, est ≤ true ≤ est + err,
+  * and every item with true count > err is present in the summary.
+  * Estimates still depend on how rows were partitioned (each partition
+  * truncates its own view), so unlike BottomKSample the OUTPUT is not
+  * partition-invariant — only the error contract is. Nulls are skipped.
+  */
+case class FrequentItems(child: Expression, capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FreqBuf]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  override def prettyName: String = "mg_freq_items"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def createAggregationBuffer(): FreqBuf = new FreqBuf()
+
+  /** Subtract `delta` from every counter, dropping non-positive ones,
+    * and charge the subtracted mass to the error bound. */
+  private def decrement(buf: FreqBuf, delta: Long): Unit = {
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue <= delta) it.remove()
+      else e.setValue(e.getValue - delta)
+    }
+    buf.err += delta
+  }
+
+  override def update(buf: FreqBuf, input: InternalRow): FreqBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      // UTF8String may alias a reused scan buffer — copy to a String key
+      val s = v.toString
+      buf.counts.merge(s, 1L, (a, b) => a + b)
+      if (buf.counts.size > capacity) {
+        var min = Long.MaxValue
+        val it = buf.counts.values().iterator()
+        while (it.hasNext) { val c = it.next(); if (c < min) min = c }
+        decrement(buf, min)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+    val it = b.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      a.counts.merge(e.getKey, e.getValue, (x, y) => x + y)
+    }
+    a.err += b.err
+    a
+  }
+
+  override def eval(buf: FreqBuf): Any = {
+    import scala.jdk.CollectionConverters._
+    var entries = buf.counts.entrySet().asScala.toArray
+      .map(e => (e.getKey, e.getValue))
+    var err = buf.err
+    if (entries.length > capacity) {
+      // single deterministic truncation of the merged summary: subtract
+      // the (capacity+1)-th largest count, drop what hits zero
+      val delta = entries.map(_._2).sorted(Ordering[Long].reverse)(capacity)
+      entries = entries
+        .collect { case (k, c) if c > delta => (k, c - delta) }
+      err += delta
+    }
+    val sorted = entries.sortBy { case (k, c) => (-c, k) }
+    new GenericArrayData(sorted.map { case (k, c) =>
+      InternalRow(UTF8String.fromString(k), c, err)
+    })
+  }
+
+  override def serialize(buf: FreqBuf): Array[Byte] = {
+    val items = buf.counts.entrySet().iterator()
+    var bytes = 0
+    val enc = new Array[(Array[Byte], Long)](buf.counts.size)
+    var i = 0
+    while (items.hasNext) {
+      val e = items.next()
+      val b = e.getKey.getBytes("UTF-8")
+      enc(i) = (b, e.getValue)
+      bytes += 4 + b.length + 8
+      i += 1
+    }
+    val bb = ByteBuffer.allocate(4 + 8 + bytes)
+    bb.putInt(enc.length)
+    bb.putLong(buf.err)
+    enc.foreach { case (b, c) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FreqBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new FreqBuf()
+    buf.err = bb.getLong
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.counts.put(new String(b, "UTF-8"), bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): FrequentItems =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): FrequentItems =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): FrequentItems =
     copy(child = newChild)
 }

@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BottomKSample].getName,
         "bottom_k_sample"),
       GraftExtensions.bottomKBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("mg_freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FrequentItems].getName,
+        "mg_freq_items"),
+      GraftExtensions.freqItemsBuilder))
   }
 }
 
@@ -83,6 +88,27 @@ object GraftExtensions {
       graft.functions.BottomKSample(args(0), k.toInt, lit(args(2), "seed"))
     }
 
+  private[plans] val freqItemsBuilder: Seq[Expression] => Expression =
+    args => {
+      require(args.length == 2,
+        "mg_freq_items(col, capacity) takes 2 args (capacity a literal int)")
+      val cap = args(1) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value match {
+            case i: Int => i.toLong
+            case l2: Long => l2
+            case other => throw new IllegalArgumentException(
+              s"capacity must be an integer literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"capacity must be a literal, got $other")
+      }
+      if (cap < 1 || cap > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"capacity must be in [1, ${Int.MaxValue}], got $cap")
+      graft.functions.FrequentItems(args(0), cap.toInt)
+    }
+
   /** Register into an already-built session (tests, REPLs) — the class
     * above only applies through SparkSession.builder().withExtensions /
     * spark.sql.extensions. */
@@ -93,5 +119,7 @@ object GraftExtensions {
       spark, "multiset_intersect_count", multisetBuilder)
     org.apache.spark.sql.GraftBridge.registerFunction(
       spark, "bottom_k_sample", bottomKBuilder)
+    org.apache.spark.sql.GraftBridge.registerFunction(
+      spark, "mg_freq_items", freqItemsBuilder)
   }
 }

@@ -443,6 +443,35 @@ object TextAnalysis {
       .orderBy($"lang", $"rnk")
   }
 
+  /** Approximate heavy-hitter words per language via the graft-native
+    * Misra–Gries aggregate (functions.FrequentItems) — the
+    * sketch-shuffle alternative to wordTopK's exact two-phase top-k:
+    * map tasks ship one ≤capacity summary per (partition, lang) instead
+    * of the full (lang, token) count table, so shuffle volume is bounded
+    * by cluster width, not vocabulary size (the win when the
+    * "vocabulary" is raw n-grams or URLs at 100 TB). Estimates carry
+    * the mergeable-summaries contract est ≤ true ≤ est + err (pinned in
+    * SketchAggsSpec together with heavy-hitter completeness); sketch
+    * state is Spark-side, so like q_bottomk_sample this is rows-only
+    * for the driver. capacity 16 < the corpus's 31-word vocabulary, so
+    * the sketch truncates for real here. */
+  def frequentWords(s: SparkSession, dir: String,
+      capacity: Int = 16, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"est".desc, $"word".asc)
+    Tables.documents(s, dir)
+      .select($"lang", explode(toks($"text")).as("word"))
+      .groupBy($"lang")
+      .agg(graft.functions.SketchAggs.frequentItems($"word", capacity)
+        .as("fi"))
+      .select($"lang", explode($"fi").as("e"))
+      .select($"lang", $"e.item".as("word"), $"e.est".as("est"),
+        $"e.err".as("err"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .orderBy($"lang", $"rnk")
+  }
+
   /** Top-k terms per document by TF-IDF, computed relationally (the
     * reference's TF-IDF featurization — Predictor.scala:123-130 HashingTF
     * + IDF — re-expressed as explode → agg → join so it is oracle-checkable;

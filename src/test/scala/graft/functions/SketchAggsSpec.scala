@@ -108,4 +108,85 @@ class SketchAggsSpec extends SparkSpec {
     assert(drawn === 1000)
     assert(counts.values.max <= 30, s"hot value drawn ${counts.values.max}x")
   }
+
+  // --- FrequentItems (Misra–Gries) ---
+
+  private def freqOf(values: Seq[String], capacity: Int,
+      partitions: Int): Seq[(String, Long, Long)] = {
+    val spark2 = spark
+    import spark2.implicits._
+    values.toDF("v").repartition(partitions)
+      .agg(SketchAggs.frequentItems($"v", capacity).as("f"))
+      .select(explode($"f").as("e"))
+      .select($"e.item", $"e.est", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("freq items: exact when distinct values fit the capacity") {
+    val values = Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq("z")
+    for (parts <- Seq(1, 3, 8)) {
+      val got = freqOf(values, capacity = 8, partitions = parts)
+      assert(got.map(t => (t._1, t._2)) === Seq(("x", 7L), ("y", 3L), ("z", 1L)),
+        s"parts=$parts")
+      assert(got.forall(_._3 === 0L), s"parts=$parts err must be 0")
+    }
+  }
+
+  test("freq items: MG contract holds under any partitioning") {
+    // dominant head + zipf tail: w01 appears 2048 times, item i > 1
+    // ceil(512/i) times → n ≈ 3963, so est(w01) ≥ 2048 − err clears any
+    // other item's true count even at the worst-case error bound
+    val values = (1 to 64).flatMap(i =>
+      Seq.fill(if (i == 1) 2048 else (512 + i - 1) / i)(f"w$i%02d"))
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = freqOf(values, capacity = 12, partitions = parts)
+      assert(got.nonEmpty && got.size <= 12, s"parts=$parts")
+      val err = got.head._3
+      got.foreach { case (item, est, e) =>
+        assert(e === err, s"parts=$parts err must be group-uniform")
+        assert(est >= 1 && est <= exact(item), s"parts=$parts $item")
+        assert(exact(item) <= est + err, s"parts=$parts $item")
+      }
+      // completeness: anything with true count > err must be present
+      val present = got.map(_._1).toSet
+      exact.foreach { case (item, n) =>
+        if (n > err) assert(present(item), s"parts=$parts missing $item ($n > $err)")
+      }
+      // a >50%-mass item clears any achievable error bound → always top-1
+      assert(got.head._1 === "w01", s"parts=$parts")
+    }
+  }
+
+  test("freq items: SQL registration and capacity validation") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    Seq("a", "a", "b").toDF("v").createOrReplaceTempView("fi_sql")
+    val got = spark.sql(
+      "SELECT mg_freq_items(v, 4) AS f FROM fi_sql")
+      .select(explode($"f").as("e")).select($"e.item", $"e.est")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+    intercept[Throwable] {
+      spark.sql("SELECT mg_freq_items(v, 0) FROM fi_sql").collect()
+    }
+    intercept[Throwable] {
+      spark.sql(s"SELECT mg_freq_items(v, ${4294967298L}) FROM fi_sql")
+        .collect()
+    }
+  }
+
+  test("freq items: nulls skipped, per-group via groupBy") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("g1", Some("a")), ("g1", Some("a")), ("g1", None),
+      ("g2", Some("z"))).toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(SketchAggs.frequentItems($"v", 4).as("f"))
+      .select($"g", explode($"f").as("e"))
+      .select($"g", $"e.item", $"e.est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("g1", "a", 2L), ("g2", "z", 1L)))
+  }
 }

@@ -138,6 +138,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.exists(_._3 === 0L), "some docs must be fully clean")
   }
 
+  test("frequentWords: MG contract holds against exact corpus counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = TextAnalysis.frequentWords(spark, sf("sf0.01"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    val exact = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"lang", $"text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (lang, word, est, err, _) =>
+      val truth = exact((lang, word))
+      assert(est >= 1 && est <= truth, s"$lang/$word est=$est true=$truth")
+      assert(truth <= est + err, s"$lang/$word true=$truth est+err=${est + err}")
+    }
+    // capacity 16 < 31-word vocab: the sketch truncates for real
+    assert(got.forall(_._4 > 0L), "err must be non-zero on this corpus")
+    // ranks are contiguous 1..k per language
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._5).sorted === (1 to rows.size).toArray)
+    }
+  }
+
   test("cap above max df is a no-op (oracle-parity guarantee)") {
     val spark2 = spark
     import spark2.implicits._
