@@ -42,13 +42,14 @@ object SparkEntry {
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
     "q_token_stats", "q_quality_score", "q_repetition_filter",
-    "q_token_packing", "q_doc_chunks", "q_contamination",
+    "q_token_packing", "q_doc_chunks", "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk", "q_frequent_words", "q_tfidf_topk",
     "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
+    "q_dedup_keepbest",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup",
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
     "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
+    "q_chunk_dedup"       -> ((s, d) => TextAnalysis.chunkDedup(s, d)),
     "q_contamination"     -> ((s, d) => TextAnalysis.contamination(s, d, n = 3)),
     "q_lang_id"           -> (TextAnalysis.langId(_, _)),
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
@@ -114,6 +116,7 @@ object SparkEntry {
     "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
+    "q_dedup_keepbest"    -> (GraphQueries.dedupKeepBest(_, _)),
     "q_pair_pagerank"     -> (GraphQueries.pairPagerank(_, _)),
     "q_pair_pagerank_fp"  -> (GraphQueries.pairPagerankFixed(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
@@ -431,6 +434,37 @@ object SparkEntry {
         |    AS chunk_md5
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // chunk-level exact dedup: same chunk CTE, first-occurrence window on
+    // the content fingerprint, integer per-doc rollup (all-BIGINT output).
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t, n_tokens,
+        |    unnest(generate_series(0,
+        |      CAST(1 + (greatest(n_tokens - 32, 0) + 23) // 24 AS BIGINT) - 1))
+        |      AS chunk_id
+        |  FROM t
+        |), ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    md5(array_to_string(list_slice(t, chunk_id * 24 + 1,
+        |      chunk_id * 24 + least(32, n_tokens - chunk_id * 24)), ' '))
+        |      AS chunk_md5
+        |  FROM c
+        |), k AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY chunk_md5
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM ch
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(*) - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // decontamination at n=3 (see TextAnalysis.contamination scaladoc for
     // why not the natural-text 8): rate is one double division of exact
@@ -768,6 +802,31 @@ object SparkEntry {
          |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM comp WHERE c < id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // keep-best dedup: same components, representative = argmax
+    // distinct-token ratio (single IEEE division of exact integers —
+    // bit-identical ordering cross-engine), ties to the lowest doc_id.
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE $pairGraphCte,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+         |),
+         |comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |q AS (SELECT doc_id AS id,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+         |  FROM documents),
+         |m AS (SELECT comp.id, row_number() OVER (PARTITION BY comp.c
+         |        ORDER BY q.score DESC, comp.id ASC) AS rn
+         |      FROM comp JOIN q USING (id))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM m WHERE rn > 1)
          |ORDER BY doc_id""".stripMargin,
 
     "q_hash_split" ->

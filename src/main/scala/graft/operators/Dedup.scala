@@ -181,6 +181,33 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** keepRepresentatives variant that keeps the BEST cluster member by a
+    * caller-supplied score instead of the minimum id — the production
+    * dedup decision rule (keep the highest-quality representative, not
+    * the first-crawled one). Ties break to the lowest id so the kept set
+    * is deterministic. Docs absent from `components` (never paired)
+    * survive untouched; docs in `components` but absent from `scores`
+    * are treated as unscored and also survive (callers should score the
+    * whole corpus).
+    *
+    * Scale shape: the window runs over `components` (pair-graph nodes
+    * only, not the corpus), keyed by the component id; the corpus is
+    * touched once by the final anti-join on the doc id.
+    *
+    * @param scores (id, score) frame, ids matching the component ids
+    */
+  def keepBestFromComponents(df: DataFrame, components: DataFrame,
+      idCol: String, scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("id").asc)
+    val losers = components
+      .join(scores, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** 64-bit SimHash fingerprint of a token array: bit i of the result is
     * the sign of sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
     * Pure higher-order functions; deterministic. The token-hash array is

@@ -100,4 +100,24 @@ object GraphQueries {
         components(s, dir), "doc_id")
       .orderBy($"doc_id")
   }
+
+  /** Quality-aware deduplicated corpus: like dedupCorpus, but each
+    * near-dup cluster keeps its highest-quality member (distinct-token
+    * ratio, ties to the lowest doc_id) instead of the minimum id — the
+    * production decision rule ("keep the best representative, not the
+    * first-crawled"). The score is one IEEE division of exact integers,
+    * so the ordering — and therefore the kept set — is bit-reproducible
+    * cross-engine; reuses the session-cached components. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val scores = docs
+      .select($"doc_id".as("id"), TextAnalysis.toks($"text").as("t"))
+      .select($"id", (size(array_distinct($"t")).cast("double") /
+        size($"t").cast("double")).as("score"))
+    graft.operators.Dedup.keepBestFromComponents(
+        docs.select($"doc_id", $"lang", $"source"),
+        components(s, dir), "doc_id", scores)
+      .orderBy($"doc_id")
+  }
 }

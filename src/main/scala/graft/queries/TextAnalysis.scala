@@ -144,6 +144,14 @@ object TextAnalysis {
     * chunking bit-checkable cross-engine without hashing arrays. */
   def docChunks(s: SparkSession, dir: String, window: Int = 32,
       stride: Int = 24): DataFrame = {
+    import s.implicits._
+    chunkFrame(s, dir, window, stride).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** The unordered chunk frame behind docChunks/chunkDedup — one row per
+    * (doc, chunk) with position, length, and content fingerprint. */
+  private def chunkFrame(s: SparkSession, dir: String, window: Int,
+      stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     import s.implicits._
@@ -162,7 +170,29 @@ object TextAnalysis {
           ($"chunk_id" * stride + 1L).cast("int"),
           least(lit(window.toLong), $"n_tokens" - $"chunk_id" * stride)
             .cast("int")))).as("chunk_md5"))
-      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Chunk-level exact dedup — the paragraph/substring-dedup analogue
+    * (RefinedWeb/Falcon dedup at sub-document granularity): a chunk
+    * survives only at its FIRST corpus occurrence (global (doc_id,
+    * chunk_id) order — deterministic), and each document reports how
+    * much of it survived. Two shuffles, both content-bounded: the
+    * first-occurrence window keys on the content fingerprint (the 100 TB
+    * shuffle key — never the text; the md5 is 16 bytes however long the
+    * chunk), the per-doc rollup keys on doc_id. */
+  def chunkDedup(s: SparkSession, dir: String, window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"chunk_md5").orderBy($"doc_id", $"chunk_id")
+    chunkFrame(s, dir, window, stride)
+      .select($"doc_id", $"chunk_id", $"chunk_md5")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        ($"n_chunks" - $"n_kept").as("n_dropped"))
+      .orderBy($"doc_id")
   }
 
   /** Benchmark decontamination — flag training documents that share long

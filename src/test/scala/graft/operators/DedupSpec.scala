@@ -72,6 +72,20 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L))
   }
 
+  test("keepBestFromComponents keeps the argmax-score member, ties to min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster {1,2,3}: 2 has the best score → keep 2; 4,5 never paired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val comps = graft.operators.Graph.connectedComponents(pairs)
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.2))
+      .toDF("id", "score")
+    val kept = Dedup.keepBestFromComponents(docs, comps, "id", scores)
+      .select($"id").collect().map(_.getLong(0)).sorted.toSeq
+    // 2 and 3 tie at 0.9 → the lower id (2) wins
+    assert(kept === Seq(2L, 4L, 5L))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = docs.select(Dedup.minhashSignature(col("tokens"), 16).as("s"))
       .collect().map(_.getSeq[Long](0))

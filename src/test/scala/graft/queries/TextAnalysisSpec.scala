@@ -162,6 +162,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("chunkDedup: kept mass equals distinct chunk count, drops are real") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.sum
+    val got = TextAnalysis.chunkDedup(spark, sf("sf0.01"))
+      .agg(sum($"n_chunks"), sum($"n_kept"), sum($"n_dropped"))
+      .collect().head
+    val (total, kept, dropped) =
+      (got.getLong(0), got.getLong(1), got.getLong(2))
+    val distinctChunks = TextAnalysis.docChunks(spark, sf("sf0.01"))
+      .select($"chunk_md5").distinct().count()
+    assert(kept === distinctChunks, "each distinct chunk survives exactly once")
+    assert(total === kept + dropped)
+    assert(dropped > 0, "corpus must exercise the dedup for real")
+  }
+
   test("cap above max df is a no-op (oracle-parity guarantee)") {
     val spark2 = spark
     import spark2.implicits._
