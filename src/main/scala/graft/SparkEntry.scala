@@ -41,13 +41,15 @@ object SparkEntry {
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     // text analysis
-    "q_token_stats", "q_quality_score", "q_repetition_filter",
+    "q_token_stats", "q_source_diversity", "q_quality_score",
+    "q_repetition_filter",
     "q_token_packing", "q_doc_chunks", "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint",
     "q_dedup_exact", "q_word_topk", "q_frequent_words", "q_tfidf_topk",
     "q_embed_stats",
     // pairwise / embeddings / library — heavier
-    "q_linkpred_pairs", "q_ngram_jaccard", "q_pair_degrees",
+    "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
+    "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
     "q_dedup_keepbest",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
@@ -99,6 +101,7 @@ object SparkEntry {
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
     "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
+    "q_source_diversity"  -> (TextAnalysis.sourceDiversity(_, _)),
     "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
     "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
@@ -111,6 +114,7 @@ object SparkEntry {
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
+    "q_ingest_neardup"    -> ((s, d) => TextAnalysis.ingestNearDup(s, d)),
     // graph analytics over the near-dup pair graph
     "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
     "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
@@ -340,6 +344,33 @@ object SparkEntry {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // per-source diversity: exact distinct token/bigram counts; the
+    // ratio is one IEEE division of exact integers.
+    "q_source_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tt AS (
+        |  SELECT source, count(*) AS n_tokens,
+        |    count(DISTINCT w) AS distinct_tokens
+        |  FROM tok GROUP BY source
+        |), bg AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS b
+        |  FROM documents
+        |), bb AS (
+        |  SELECT source, count(DISTINCT b) AS distinct_bigrams
+        |  FROM bg GROUP BY source
+        |), dd AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |)
+        |SELECT dd.source, n_docs, n_tokens, distinct_tokens, distinct_bigrams,
+        |  CAST(distinct_bigrams AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS bigram_diversity
+        |FROM dd JOIN tt USING (source) JOIN bb USING (source)
+        |ORDER BY source""".stripMargin,
+
     "q_quality_score" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,
@@ -544,6 +575,28 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.12
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // incremental ingest dedup: the same pair universe restricted to
+    // pairs touching the simulated batch (doc_id % 10 = 7).
+    "q_ingest_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) AS sz
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7
+        |)
+        |SELECT a_id, b_id, lang,
+        |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.08
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q_linkpred_pairs" ->

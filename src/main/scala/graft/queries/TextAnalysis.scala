@@ -444,6 +444,104 @@ object TextAnalysis {
       .filter($"jaccard" >= threshold)
   }
 
+  /** Per-source corpus diversity — the data-mixing diagnostic read
+    * BEFORE choosing mixture weights (sourceMix): how much lexical
+    * variety each source actually contributes. Exact distinct counts via
+    * the two-phase shape — groupBy(source, item) partial-agg combines
+    * in the map task, then the per-source rollup touches only distinct
+    * items — so the shuffle carries the (source, item) vocabulary, never
+    * the corpus token stream. Type-token ratio is one IEEE division of
+    * exact integers (bit-reproducible cross-engine). */
+  def sourceDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select($"source", explode(toks($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"source").agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"))
+    val bg = docs.select($"source",
+        explode(bigramShingles(toks($"text"))).as("b"))
+      .groupBy($"source", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"source").agg(count(lit(1)).as("distinct_bigrams"))
+    docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(tok, "source").join(bg, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"distinct_tokens",
+        $"distinct_bigrams",
+        ($"distinct_bigrams".cast("double") / $"n_tokens".cast("double"))
+          .as("bigram_diversity"))
+      .orderBy($"source")
+  }
+
+  /** Incremental near-dup ingest: n-gram Jaccard pairs restricted to
+    * pairs touching a NEW batch (`isNew` marks batch membership) — the
+    * nightly-ingest decision "which arriving docs duplicate the standing
+    * corpus (or each other)?" without re-running the corpus×corpus
+    * self-join.
+    *
+    * Scale shape: the standing inverted index is PROBED, not
+    * self-joined — postings are first semi-join-pruned to the shingles
+    * the batch actually contains, so pairing work is Σ_batch-shingles df
+    * (linear in the batch, bounded per shingle by the df cap), never
+    * corpus². On a cluster the posting table would be bucketed on
+    * (lang, shingle) (sources.Bucketing), making the probe a
+    * co-located join with no index-side shuffle. Pair semantics match
+    * ngramJaccardPairsOn exactly over the same df-capped universe:
+    * old×new pairs appear once (old side from the index, new side from
+    * the batch), new×new pairs are canonicalized by id, and the
+    * Jaccard arithmetic is the identical single IEEE division.
+    */
+  def ngramJaccardIncrementalOn(tokens: DataFrame, isNew: Column,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    val d = tokens
+      .select($"doc_id", $"lang", isNew.as("is_new"),
+        array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
+          .as("sh"))
+    val posts = d.select($"lang", $"doc_id", $"is_new",
+      explode($"sh").as("shingle"))
+    val hot = posts.groupBy($"lang", $"shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf)
+      .select($"lang", $"shingle")
+    val kept = posts.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val batch = kept.filter($"is_new")
+      .select($"lang".as("b_lang"), $"doc_id".as("b_id"),
+        $"shingle".as("b_shingle"))
+    // the probe: index postings for batch shingles only
+    val probed = kept.join(
+      batch.select($"b_lang".as("lang"), $"b_shingle".as("shingle")).distinct(),
+      Seq("lang", "shingle"), "left_semi")
+    probed
+      .join(batch,
+        $"lang" === $"b_lang" && $"shingle" === $"b_shingle" &&
+          (!$"is_new" || $"doc_id" < $"b_id"))
+      .select($"lang",
+        least($"doc_id", $"b_id").as("a_id"),
+        greatest($"doc_id", $"b_id").as("b_id"))
+      .groupBy($"a_id", $"b_id", $"lang")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n".as("a_n")), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n".as("b_n")), "b_id")
+      .select($"a_id", $"b_id", $"lang",
+        ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+  }
+
+  /** q_ingest_neardup: incremental dedup of a simulated nightly batch
+    * (doc_id ≡ 7 mod 10 — a 10% ingest) against the standing corpus.
+    * Real pipelines swap the predicate for an ingest-date partition
+    * column; the dataflow is unchanged. */
+  def ingestNearDup(s: SparkSession, dir: String,
+      threshold: Double = 0.08): DataFrame = {
+    import s.implicits._
+    ngramJaccardIncrementalOn(shingleTokens(s, dir),
+        col("doc_id") % 10 === 7, threshold, maxDf = 10000)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Top-k tokens per language: generator (explode) → map-side-combinable
     * count agg → TWO-PHASE top-k. The wordcount shape — at 100 TB the
     * explode never leaves its map task (partial agg combines before the

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.queries.TextAnalysis
+
+/** Streaming face of the corpus-ingest pipeline: documents arrive as a
+  * stream and each micro-batch is deduplicated against the standing
+  * corpus with the SAME incremental operator the batch path uses
+  * (TextAnalysis.ngramJaccardIncrementalOn), via foreachBatch.
+  *
+  * foreachBatch — not a stream-static join — is the right tool here:
+  * the pairing is a multi-step explode/agg/join dataflow that a
+  * stream-static equi-join cannot express incrementally without
+  * unbounded state, while the incremental operator's semi-join prune
+  * IS the bounded state-access path (only postings for the batch's
+  * shingles are touched). This is the canonical "probe a static index
+  * per micro-batch" pattern.
+  *
+  * The standing corpus is static for the lifetime of the query;
+  * production pipelines append accepted batch docs to the corpus table
+  * between micro-batches (sources.Upsert) and restart or re-plan —
+  * intra-batch pairs (new×new) ARE flagged by the operator, so
+  * within-stream duplicates still cannot slip through one batch.
+  */
+object CorpusStreams {
+
+  private def tok(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      TextAnalysis.toks(col("text")).as("t"))
+
+  /** One micro-batch of the ingest dedup: near-dup pairs between `batch`
+    * and corpus ∪ batch, over the shared df-capped shingle universe —
+    * bit-identical to the batch operator on the same inputs. */
+  def ingestBatchPairs(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.08, maxDf: Int = 10000): DataFrame = {
+    val all = tok(corpus).withColumn("__new", lit(false))
+      .unionByName(tok(batch).withColumn("__new", lit(true)))
+    TextAnalysis.ngramJaccardIncrementalOn(all, col("__new"), threshold,
+      maxDf)
+  }
+
+  /** Start the streaming ingest dedup over a stream of (doc_id, text,
+    * lang) documents; `sink` receives each micro-batch's flagged pairs
+    * (a_id, b_id, lang, jaccard) with the batch id. */
+  def ingestDedup(corpus: DataFrame, docsStream: DataFrame,
+      threshold: Double = 0.08, maxDf: Int = 10000)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (b: Dataset[Row], id: java.lang.Long) =>
+        sink(ingestBatchPairs(corpus, b.toDF(), threshold, maxDf), id)
+      }
+      .start()
+}

@@ -178,6 +178,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dropped > 0, "corpus must exercise the dedup for real")
   }
 
+  test("incremental ingest pairs == full self-join filtered to batch-touching") {
+    val spark2 = spark
+    import spark2.implicits._
+    val incr = TextAnalysis.ingestNearDup(spark, sf("sf0.01"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val full = TextAnalysis.ngramJaccardPairs(spark, sf("sf0.01"), 0.08)
+      .filter($"a_id" % 10 === 7 || $"b_id" % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(incr === full, "probe path must reproduce the self-join exactly")
+    assert(incr.nonEmpty, "batch must touch real pairs")
+    // both pair classes exercised: old-new and new-new
+    assert(incr.exists(p => p._1 % 10 == 7 && p._2 % 10 == 7), "new-new")
+    assert(incr.exists(p => (p._1 % 10 == 7) != (p._2 % 10 == 7)), "old-new")
+  }
+
   test("cap above max df is a no-op (oracle-parity guarantee)") {
     val spark2 = spark
     import spark2.implicits._
