@@ -24,23 +24,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default. Read it as a long (legacy conf, runtime-settable) and rebuild
-    * a µs TimestampType with integer DIV — floor division matches DuckDB's
-    * ns→µs truncation exactly, and avoids the double-division precision
-    * loss a `col/1000` would hit at ~1.7e18 ns.
+  /** events.ts normalized to a µs TimestampType, whatever the parquet
+    * footer actually stores. The driver-owned corpus has changed physical
+    * type between generations (TIMESTAMP(NANOS) → TIMESTAMP_NTZ(µs)), so
+    * the reader adapts to the SCANNED schema instead of assuming one shape:
     *
-    * SESSION-WIDE SIDE EFFECT, by design: the conf must still be set when
-    * the lazy scan EXECUTES, so a set/restore scope around this call would
-    * break the read. It changes how any OTHER nanos-timestamp parquet in
-    * the same session is read (LongType instead of an error) — this corpus
-    * has exactly one such table, and graft readers all come through here;
-    * embedders with their own nanos parquet should set the conf at session
-    * build instead. */
+    *  - LongType (TIMESTAMP(NANOS) surfaced via the legacy nanosAsLong
+    *    conf): rebuild with integer DIV — floor division matches DuckDB's
+    *    ns→µs truncation exactly, and avoids the double-division precision
+    *    loss a `col/1000` would hit at ~1.7e18 ns.
+    *  - TimestampNTZType (µs, no zone): cast to TimestampType. Under the
+    *    UTC session timezone (all graft entry points set it) this cast is
+    *    value-preserving on the stored micros, so `unix_micros`/
+    *    `date_trunc`/`session_window` and the DuckDB `epoch_us` oracles
+    *    keep bit-matching.
+    *  - TimestampType: already the target shape; pass through.
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: the nanosAsLong conf must still
+    * be set when the lazy scan EXECUTES, so a set/restore scope around this
+    * call would break the read. It is a no-op for non-NANOS parquet; it
+    * changes how any OTHER nanos-timestamp parquet in the same session is
+    * read (LongType instead of an error) — graft readers all come through
+    * here; embedders with their own nanos parquet should set the conf at
+    * session build instead. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

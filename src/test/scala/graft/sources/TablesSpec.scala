@@ -47,6 +47,40 @@ class TablesSpec extends SparkSpec {
     assert(df.orderBy("srcId").head.getString(0) === "1001")
   }
 
+  test("events reader adapts to the on-disk ts type: nanos-long, NTZ(µs), " +
+      "and LTZ(µs) fixtures all normalize to the same TimestampType micros") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // one instant, three physical shapes; 1.7e18 ns exercises the integer-DIV
+    // precision rationale (a double division would round here)
+    val micros = Seq(1700000000000001L, 1700000000123456L)
+    val base = spark.range(2).toDF("i")
+      .withColumn("event_id", col("i") + 1)
+      .withColumn("us", when(col("i") === 0, micros(0)).otherwise(micros(1)))
+      .withColumn("user_id", lit(7L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.5))
+      .withColumn("props", lit("{}"))
+    def writeShape(name: String, tsCol: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory(s"graft-events-$name").toString
+      base.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val shapes = Map(
+      "nslong" -> writeShape("nslong", (col("us") * 1000).cast(LongType)),
+      "ntz"    -> writeShape("ntz", timestamp_micros(col("us")).cast(TimestampNTZType)),
+      "ltz"    -> writeShape("ltz", timestamp_micros(col("us"))))
+    for ((shape, dir) <- shapes) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType === TimestampType, s"shape=$shape")
+      val got = ev.select(unix_micros(col("ts"))).orderBy("ts")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === micros, s"shape=$shape")
+    }
+  }
+
   test("S5 sampling: seeded Bernoulli sample is deterministic") {
     val df = Tables.documents(spark, sf("sf0.001"))
     val a = df.sample(0.2, 12345L).count()
