@@ -98,11 +98,29 @@ object Bench {
         if (sec > 2.0) System.gc()
       }
     }
-    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = times.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${arr(failed.toSeq)},"timedout":${arr(timedout.toSeq)},"skipped":${arr(skipped.toSeq)}}""")
+    def line(decimals: Int, fullDir: Boolean, allEntries: Boolean) = {
+      val fmt = s"%.${decimals}f"
+      val qs = times
+        .filter { case (_, v) => allEntries || v >= 0 }
+        .map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+        .mkString("{", ",", "}")
+      val sf = if (fullDir) sfDir else new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf","failed":${arr(failed.toSeq)},"timedout":${arr(timedout.toSeq)},"skipped":${arr(skipped.toSeq)}}"""
+    }
+    // The driver captures a bounded tail of this process's output; with
+    // 75+ queries a 3-decimal line overflows it and truncates mid-JSON
+    // (ADVICE r5). Stdout gets the compact form (2 decimals, basename sf,
+    // failed/timedout/skipped entries carried only in their arrays, not
+    // duplicated as -1 times); the full-precision line goes to a repo
+    // file so the complete artifact survives regardless of capture size.
+    println(line(decimals = 2, fullDir = false, allEntries = false))
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try w.println(line(decimals = 3, fullDir = true, allEntries = true))
+      finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

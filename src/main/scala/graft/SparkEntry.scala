@@ -56,8 +56,8 @@ object SparkEntry {
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup",
     "q_simhash_neardup",
-    "q_minhash_neardup", "q_lsh_topk", "q_ivf_topk", "q_similarity_join_p2",
-    "q_linkpred_e2e")
+    "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
+    "q_similarity_join_p2", "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
   def orderedQueryNames: Seq[String] = {
@@ -146,6 +146,7 @@ object SparkEntry {
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
+    "q_neardup_recall"    -> (Extended.neardupRecall(_, _)),
     "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
     "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
@@ -575,6 +576,30 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.12
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // minhash recall gate: the exact strong-pair universe (same shingle
+    // construction as q_ngram_jaccard, threshold 0.7) with found=1 pinned —
+    // the oracle has no approximate side, so it bit-matches exactly when
+    // the Spark-side banding recalled EVERY strong pair.
+    "q_neardup_recall" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) AS sz
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, lang,
+        |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard,
+        |  CAST(1 AS BIGINT) AS found
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,
 
     // incremental ingest dedup: the same pair universe restricted to

@@ -303,6 +303,35 @@ object Extended {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Driver-visible recall gate for the MinHash banding tier: every exact
+    * same-lang n-gram-Jaccard pair at 0.7 — the threshold where the
+    * b=8/r=4 S-curve makes recall deterministic with the fixed band seeds
+    * (NearDupCrossGateSpec proves it corpus-wide) — flagged with whether
+    * the approximate pipeline surfaced it. The DuckDB oracle recomputes
+    * the exact pairs and asserts found=1 on every row, so a single banding
+    * miss breaks the hash match: the spec-level cross-gate, turned into
+    * per-round driver evidence.
+    *
+    * Scale: the exact side reuses the session-materialized df-capped pair
+    * frame (TextAnalysis.scoredNearDupPairs — a filter, no new join); the
+    * approximate side is the bucketed banding join; the final left join is
+    * on the tiny pair frames. */
+  def neardupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = TextAnalysis.ngramJaccardPairs(s, dir, threshold = 0.7)
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val approx = graft.operators.Dedup
+      .minhashNearDup(d, "doc_id", "tokens", shingleN = 2,
+        k = 32, bands = 8, threshold = 0.5)
+      .select($"a_id", $"b_id", lit(1L).as("__hit"))
+    exact.join(approx, Seq("a_id", "b_id"), "left_outer")
+      .select($"a_id", $"b_id", $"lang", $"jaccard",
+        coalesce($"__hit", lit(0L)).as("found"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** SimHash Hamming-distance near-dup over documents. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

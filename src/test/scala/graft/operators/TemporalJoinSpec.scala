@@ -93,6 +93,71 @@ class TemporalJoinSpec extends SparkSpec {
     assert(expected.values.exists(_ != -1L) && expected.values.exists(_ == -1L))
   }
 
+  test("asOf differential on the real corpus (NTZ-µs parquet) vs a naive " +
+      "per-row reference — exercises the full reader→unix_micros→asOf path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.sources.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"))
+    val got = TemporalJoin
+      .asOf(purchases, clicks, Seq("user_id"), "ts_us",
+        payloadCols = Seq("click_id"), tieBreak = "click_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val clickRows = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = purchases.collect().map { r =>
+      val (id, u, ts) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val cands = clickRows.filter(c => c._1 == u && c._2 <= ts)
+      id -> (if (cands.isEmpty) -1L else cands.maxBy(c => (c._2, c._3))._3)
+    }.toMap
+    assert(got === expected)
+    assert(expected.nonEmpty && expected.values.exists(_ != -1L))
+  }
+
+  test("asOf differential is shape-independent: the same randomized events " +
+      "written as nanos-long and as NTZ-µs parquet give identical answers") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (1 to 300).map { i =>
+      val typ = if (rnd.nextBoolean()) "click" else "purchase"
+      (i.toLong, 1600000000000000L + rnd.nextInt(1000000) * 1000L,
+        rnd.nextInt(10).toLong, typ, rnd.nextDouble(), "{}")
+    }
+    val base = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+    def write(name: String, tsCol: org.apache.spark.sql.Column): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-asof-$name").toString
+      base.select($"event_id", tsCol.as("ts"), $"user_id", $"event_type",
+          $"value", $"props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dirs = Seq(
+      write("ns", ($"us" * 1000).cast(LongType)),
+      write("ntz", timestamp_micros($"us").cast(TimestampNTZType)))
+    val answers = dirs.map { dir =>
+      graft.queries.Events.asofClickPurchase(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(answers(0) === answers(1))
+    // cross-check shape 0 against a naive reference on the raw tuples
+    val clicks = rows.filter(_._4 == "click")
+    val expected = rows.filter(_._4 == "purchase").map { p =>
+      val cands = clicks.filter(c => c._3 == p._3 && c._2 <= p._2)
+      val best = if (cands.isEmpty) (-1L, -1L)
+        else { val c = cands.maxBy(c => (c._2, c._1)); (c._1, p._2 - c._2) }
+      (p._1, best._1, best._2)
+    }.sortBy(_._1)
+    assert(answers(0) === expected)
+    assert(expected.exists(_._2 != -1L))
+  }
+
   test("timeRangePairs agrees with the naive quadratic join") {
     val spark2 = spark
     import spark2.implicits._
