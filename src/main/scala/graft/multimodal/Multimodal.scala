@@ -8,9 +8,10 @@ import org.apache.spark.sql.types._
   * video payloads ride as opaque `binary` columns next to typed metadata,
   * partitioned so a 1000-executor decode pass is embarrassingly parallel.
   *
-  * Kernels: uncompressed P6 PPM images decode/resize/featurize FOR REAL
-  * (graft.multimodal.Ppm — pure JVM, no codec library needed; see
-  * `resizePpm` and `Ppm.featureKernel`). Compressed formats (JPEG/audio/
+  * Kernels: P6 PPM and baseline PNG images decode/resize/featurize FOR
+  * REAL (graft.multimodal.{Ppm, Png} — pure JVM, zlib from the JDK, no
+  * codec library needed; see `resizeImages` and `Ppm.featureKernel`).
+  * Formats whose codecs genuinely need native libraries (JPEG/audio/
   * video) stay behind a deterministic fake (this container has no media
   * libs — builder prompt): for those, the Spark-side contract — schema,
   * batch shape, partitioning, null paths — is real and tested, and a real
@@ -43,32 +44,46 @@ object Multimodal {
   case class MediaResized(media_id: Long, payload: Array[Byte],
     out_width: Int, out_height: Int)
 
-  /** REAL image resize for P6 PPM payloads: decode → nearest-neighbor
+  /** Combined in-JVM image decode: P6 PPM or baseline PNG, to packed RGB
+    * plus the format tag ("ppm" | "png") so re-encoders can stay
+    * format-preserving. The single seam every image-consuming kernel
+    * goes through; a new codec lands here and every caller gains it. */
+  def decodeImage(bytes: Array[Byte]): Option[(Ppm.Image, String)] =
+    Ppm.decode(bytes).map((_, "ppm"))
+      .orElse(Png.decode(bytes).map((_, "png")))
+
+  /** REAL image resize for PPM and PNG payloads: decode → nearest-neighbor
     * scale to fit `maxSide` (aspect preserved, never upscaled) →
-    * re-encode. Payloads that are not PPM pass through untouched with
-    * out dims -1 (a compressed-format kernel would slot in here).
-    * Distributed as a typed map — one decode+resize per row per task. */
-  def resizePpm(df: DataFrame, maxSide: Int): Dataset[MediaResized] = {
+    * re-encode in the source format. Payloads in neither format pass
+    * through untouched with out dims -1 (a JPEG kernel would slot in
+    * here). Distributed as a typed map — one decode+resize per row per
+    * task. */
+  def resizeImages(df: DataFrame, maxSide: Int): Dataset[MediaResized] = {
     val spark = df.sparkSession
     import spark.implicits._
     require(maxSide > 0, s"maxSide must be positive: $maxSide")
     df.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        Ppm.decode(bytes) match {
-          case Some(img) =>
+        decodeImage(bytes) match {
+          case Some((img, fmt)) =>
             val side = math.max(img.width, img.height)
             if (side <= maxSide) MediaResized(id, bytes, img.width, img.height)
             else {
               val w2 = math.max(1, (img.width.toLong * maxSide / side).toInt)
               val h2 = math.max(1, (img.height.toLong * maxSide / side).toInt)
-              MediaResized(id, Ppm.encode(Ppm.resizeNearest(img, w2, h2)),
-                w2, h2)
+              val small = Ppm.resizeNearest(img, w2, h2)
+              val enc = if (fmt == "png") Png.encode(small) else Ppm.encode(small)
+              MediaResized(id, enc, w2, h2)
             }
           case None => MediaResized(id, bytes, -1, -1)
         }
       }
   }
+
+  /** Former name of resizeImages (it now also handles PNG). */
+  def resizePpm(df: DataFrame, maxSide: Int): Dataset[MediaResized] =
+    resizeImages(df, maxSide)
 
   /** Metadata-only resize stub: passes bytes through, rewrites the
     * metadata the way a real resize kernel would — the planning-shape

@@ -118,16 +118,17 @@ object Ppm {
   }
 
   /** Real image-feature kernel (Multimodal.extractFeaturesBatched
-    * signature): for payloads that decode as P6 — [width, height, mean R,
-    * mean G, mean B (0-1 scaled), 8-bin luminance histogram (mass-
-    * normalized)], a 13-dim vector; payloads that are not PPM go to
-    * `fallback` (the deterministic fake for formats needing external
-    * codecs) in ONE call for the whole non-PPM slice — a per-payload
-    * fallback call would re-pay a real model kernel's per-invocation
-    * overhead N times and defeat the batched contract. */
+    * signature): for payloads that decode in-JVM (P6 PPM or baseline PNG —
+    * Multimodal.decodeImage) — [width, height, mean R, mean G, mean B
+    * (0-1 scaled), 8-bin luminance histogram (mass-normalized)], a 13-dim
+    * vector; undecodable payloads go to `fallback` (the deterministic fake
+    * for formats needing external codecs) in ONE call for the whole
+    * undecodable slice — a per-payload fallback call would re-pay a real
+    * model kernel's per-invocation overhead N times and defeat the
+    * batched contract. */
   def featureKernel(fallback: Seq[Array[Byte]] => Seq[Array[Float]] =
       Multimodal.fakeKernel(13)(_))(batch: Seq[Array[Byte]]): Seq[Array[Float]] = {
-    val decoded = batch.map(b => decode(b))
+    val decoded = batch.map(b => Multimodal.decodeImage(b).map(_._1))
     val undecodable = batch.zip(decoded).collect { case (b, None) => b }
     val fb = if (undecodable.nonEmpty) fallback(undecodable) else Seq.empty
     val fbIt = fb.iterator
