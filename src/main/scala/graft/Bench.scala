@@ -44,6 +44,14 @@ object Bench {
     }
     try graft.sources.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // Plain scans leave the join/aggregate/window codegen and shuffle
+    // writer paths cold — the first timed queries (tiny 6-25 row semi-
+    // joins) were absorbing multi-second JIT penalties at every SF. Two
+    // cheap representative queries compile those paths untimed.
+    Seq("q_top_orders", "q_label_join").foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
 
     // Queries run on daemon pool threads so a hung query (even one that
     // ignores job-group cancellation) can never block JVM exit.

@@ -43,10 +43,11 @@ object SparkEntry {
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter",
-    "q_token_packing", "q_doc_chunks", "q_chunk_dedup", "q_contamination",
-    "q_lang_id", "q_fingerprint",
-    "q_dedup_exact", "q_word_topk", "q_frequent_words", "q_tfidf_topk",
-    "q_embed_stats",
+    "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
+    "q_chunk_dedup", "q_contamination",
+    "q_lang_id", "q_fingerprint", "q_df_score",
+    "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
+    "q_tfidf_topk", "q_embed_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -111,6 +112,10 @@ object SparkEntry {
     "q_fingerprint"       -> (TextAnalysis.fingerprint(_, _)),
     "q_dedup_exact"       -> (TextAnalysis.dedupExact(_, _)),
     "q_word_topk"         -> ((s, d) => TextAnalysis.wordTopK(s, d)),
+    "q_bigram_topk"       -> ((s, d) => TextAnalysis.bigramTopK(s, d)),
+    "q_cdc_chunks"        -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
+    "q_cdc_dedup"         -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
+    "q_df_score"          -> ((s, d) => TextAnalysis.dfScore(s, d)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
@@ -1102,6 +1107,107 @@ object SparkEntry {
         |FROM pr p JOIN inter i ON p.a_id = i.a_id AND p.b_id = i.b_id
         |WHERE i.common_multiset >= 20
         |ORDER BY p.a_id, p.b_id""".stripMargin,
+
+    // content-defined chunking: same boundary rule (salted md5 < '10'),
+    // same strictly-before cumulative boundary count, chunk text
+    // re-assembled in token order for the fingerprint. DuckDB SUM over a
+    // window returns HUGEINT — cast to BIGINT to match Spark's long.
+    "q_cdc_chunks" ->
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(sp))) AS pos,
+        |    unnest(sp) AS tok
+        |  FROM sp
+        |), flagged AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5('cdc:' || tok), 1, 2) < '10'
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM tok
+        |), chunked AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS chunk_id
+        |  FROM flagged
+        |)
+        |SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        |  CAST(min(pos) - 1 AS INTEGER) AS start_pos,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        |FROM chunked
+        |GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // CDC-chunk first-occurrence dedup: same chunk CTEs, then the
+    // fingerprint-keyed window and per-doc survival rollup.
+    "q_cdc_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(sp))) AS pos,
+        |    unnest(sp) AS tok
+        |  FROM sp
+        |), flagged AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5('cdc:' || tok), 1, 2) < '10'
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM tok
+        |), chunked AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS chunk_id
+        |  FROM flagged
+        |), chunks AS (
+        |  SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+        |  FROM chunked GROUP BY doc_id, chunk_id
+        |), ranked AS (
+        |  SELECT doc_id, chunk_id, n_tokens, chunk_md5,
+        |    row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn
+        |  FROM chunks
+        |)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mean token document-frequency: integer sums, one final division.
+    "q_df_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents
+        |), dfs AS (
+        |  SELECT tok, count(*) AS df FROM d GROUP BY tok
+        |)
+        |SELECT d.doc_id, count(*) AS n_distinct,
+        |  CAST(sum(dfs.df) AS BIGINT) AS df_sum,
+        |  CAST(sum(dfs.df) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_df
+        |FROM d JOIN dfs USING (tok)
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_bigram_topk" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END AS bgs
+        |  FROM documents
+        |), bg AS (
+        |  SELECT lang, unnest(bgs) AS bigram FROM d
+        |), counts AS (
+        |  SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY lang, bigram
+        |), ranked AS (
+        |  SELECT lang, bigram, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rnk
+        |  FROM counts
+        |)
+        |SELECT lang, bigram, cnt, rnk FROM ranked
+        |WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
 
     "q_word_topk" ->
       """WITH toks AS (

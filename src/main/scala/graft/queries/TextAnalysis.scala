@@ -62,6 +62,32 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Lexical-commonness scoring: each document's mean document-frequency
+    * over its distinct tokens — the integer-exact stand-in for unigram-LM
+    * perplexity (low mean df = rare/OOV-heavy text: noise, code, wrong
+    * language; high = stopword soup; both tails are filter candidates).
+    * A true log-prob score would sum libm logs, whose value depends on
+    * summation order — unusable for a bit-matching oracle; sum-of-integer
+    * df with ONE final IEEE division is exactly rounded everywhere.
+    *
+    * Shape: distinct-token explode → df agg (map-side combinable, one row
+    * per vocabulary word) → join back (AQE broadcasts the df side when
+    * the vocabulary is small; at web scale both sides shuffle on `tok`,
+    * the high-cardinality key) → per-doc rollup. */
+  def dfScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("tok"))
+    val dfs = d.groupBy($"tok").agg(count(lit(1)).as("df"))
+    d.join(dfs, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum($"df").as("df_sum"),
+        (sum($"df").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_df"))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher/C4-style repetition quality filter — the complement of
     * qualityScore's surface stats: repetition is THE dominant failure
     * mode of crawled training text (boilerplate, templated pages, spam),
@@ -192,6 +218,79 @@ object TextAnalysis {
         sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
       .select($"doc_id", $"n_chunks", $"n_kept",
         ($"n_chunks" - $"n_kept").as("n_dropped"))
+      .orderBy($"doc_id")
+  }
+
+  /** Content-defined chunking — chunk boundaries chosen by a rolling
+    * content hash of the tokens themselves (the CDC idea behind rsync/
+    * LBFS and substring-dedup pipelines), NOT by fixed offsets: a token
+    * whose salted md5 falls below `boundaryHex` ends its chunk. Insert or
+    * delete a token and only the chunk containing the edit (plus at most
+    * its successor boundary) changes its fingerprint — fixed-window
+    * chunking (docChunks) shifts EVERY downstream chunk, defeating
+    * chunk-level dedup across near-identical documents. The expected
+    * chunk length is 256/parseInt(boundaryHex,16) tokens (default "10" →
+    * 16 tokens); CdcSpec pins the edit-locality property.
+    *
+    * Dataflow: posexplode → per-doc running boundary count (window keyed
+    * doc_id — the per-doc sort is within one partition's rows, the same
+    * shape as userSessions) → groupBy (doc, chunk) re-assembling each
+    * chunk's text for its fingerprint. Chunks travel as md5 + span, not
+    * text, so the shuffled rows stay slim at any scale. All decisions are
+    * pure string/md5 arithmetic — bit-reproducible cross-engine. */
+  def cdcChunks(s: SparkSession, dir: String,
+      boundaryHex: String = "10"): DataFrame = {
+    import s.implicits._
+    cdcFrame(s, dir, boundaryHex).orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** The unordered CDC chunk frame behind cdcChunks/cdcDedup. */
+  private def cdcFrame(s: SparkSession, dir: String,
+      boundaryHex: String): DataFrame = {
+    import s.implicits._
+    require(boundaryHex.length == 2 &&
+      boundaryHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"boundaryHex must be two lowercase hex digits: $boundaryHex")
+    // boundary token ENDS its chunk → chunk id = boundaries seen STRICTLY
+    // before this token (rowsBetween excludes the current row)
+    val wPrev = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("b",
+        when(substring(md5(concat(lit("cdc:"), $"tok")), 1, 2) < boundaryHex, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", coalesce(sum($"b").over(wPrev), lit(0L)))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min($"pos").as("start_pos"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")))).as("chunk_md5"))
+  }
+
+  /** CDC-chunk dedup — chunkDedup's first-occurrence survival accounting
+    * over content-defined chunks instead of fixed windows. Because CDC
+    * boundaries are content-anchored, a near-duplicate document's chunks
+    * hash-match the original's even when edits shift token offsets, so
+    * the per-doc survival fraction here is the honest cross-document
+    * redundancy measure (fixed windows only catch aligned duplicates).
+    * Same two content-bounded shuffles: fingerprint window, doc rollup. */
+  def cdcDedup(s: SparkSession, dir: String,
+      boundaryHex: String = "10"): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"chunk_md5").orderBy($"doc_id", $"chunk_id")
+    cdcFrame(s, dir, boundaryHex)
+      .select($"doc_id", $"chunk_id", $"n_tokens", $"chunk_md5")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rn" === 1, $"n_tokens").otherwise(0L)).as("kept_tokens"),
+        sum($"n_tokens").as("total_tokens"))
+      .select($"doc_id", $"n_chunks", $"n_kept",
+        ($"n_chunks" - $"n_kept").as("n_dropped"),
+        $"kept_tokens", $"total_tokens")
       .orderBy($"doc_id")
   }
 
@@ -568,6 +667,31 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= k)
       .select($"lang", $"token", $"cnt", $"rnk")
+      .orderBy($"lang", $"rnk")
+  }
+
+  /** Top-k bigrams per language — wordTopK lifted to 2-grams, the phrase-
+    * level vocabulary diagnostic (boilerplate and templated text surface
+    * as hot bigrams long before hot unigrams). Same two-phase top-k: the
+    * bucketed window spreads the bigram vocabulary — far larger than the
+    * unigram one at real scale — over 32×|langs| partitions before the
+    * final per-lang rank. */
+  def bigramTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val buckets = 32
+    val wB = Window.partitionBy($"lang", $"bucket")
+      .orderBy($"cnt".desc, $"bigram".asc)
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"bigram".asc)
+    Tables.documents(s, dir)
+      .select($"lang", explode(TextOps.shingles(toks($"text"), 2)).as("bigram"))
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket", pmod(xxhash64($"bigram"), lit(buckets)))
+      .withColumn("rb", row_number().over(wB))
+      .filter($"rb" <= k)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"lang", $"bigram", $"cnt", $"rnk")
       .orderBy($"lang", $"rnk")
   }
 
