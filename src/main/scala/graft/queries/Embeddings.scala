@@ -89,19 +89,26 @@ object Embeddings {
     * calibrated by (nBits, nTables); spec-gated against the exact join
     * in AnnSpec and against the real corpus in NearDupCrossGateSpec.
     *
-    * nTables = 32 (over the operator's 24 default): at this query's
-    * threshold (0.35 ≈ 69° — far looser than typical dedup cutoffs) the
-    * per-table collision odds for a borderline pair are only ~0.14, and
-    * 24 tables measurably missed 3/26 borderline pairs on the sf0.01
-    * corpus (recall 0.885). 32 tables lifts the S-curve to ≥0.99 there —
-    * +33% bucketing cost, linear, no change in candidate dedup shape. */
+    * Calibration history at this query's loose threshold (0.35 ≈ 69°,
+    * per-hyperplane collision p ≈ 0.614 for a borderline pair):
+    * 4 bits × 24 tables missed 3/26 borderline pairs on the sf0.01
+    * corpus (recall 0.885); 4 bits × 32 tables recalls all 26. A
+    * 5-bit retune was MEASURED and rejected: 5×32 drops recall back to
+    * 0.885 (the real borderline pairs sit harder on the boundary than
+    * the S-curve midpoint suggests), and 5×40 — recall-green, and ~0.6×
+    * the expected random-pair collisions — ran 9.3 s vs 7.9 s at sf0.1:
+    * at this corpus size the extra 72 signature dot-products/row cost
+    * more than the candidate savings. At production corpus sizes the
+    * candidate term (Σ bucket², quadratic in rows-per-bucket) dominates
+    * the linear signature term and the rebalance flips — retune nBits
+    * upward with log₂(corpus), as the operator scaladoc prescribes. */
   def cosineNearDupLsh(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Ann.lshNearDupPairs(e, threshold, nTables = 32)
+    graft.operators.Ann.lshNearDupPairs(e, threshold, nTables = 32, nBits = 4)
       .orderBy($"a_id", $"b_id")
   }
 
