@@ -117,4 +117,44 @@ object Tables {
       .schema(StructType(Seq(
         StructField("srcId", StringType), StructField("dstId", StringType))))
       .csv(path)
+
+  // ---- JSONL ingest/egress (the dominant training-corpus interchange) ----
+
+  /** JSON-lines reader with a REQUIRED explicit schema: schema inference
+    * is a full extra pass over the data — never acceptable at corpus
+    * scale — and silently widens types between batches. Malformed lines
+    * land in `_corrupt` (PERMISSIVE) with every data column null, so an
+    * ingest job can split good/bad with one filter instead of dying
+    * mid-corpus (same malformed-line contract as labeledEdges). Caveat
+    * (Spark UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN): a
+    * query whose referenced columns are ONLY `_corrupt` is rejected on
+    * raw-file scans — select at least one data column alongside it (any
+    * real good/bad split does), or cache the parsed frame first.
+    * Compressed inputs (.gz/.zst per-file) decompress transparently;
+    * note gzip files are unsplittable — one task per file, so shard
+    * uploads into many files (the 100 TB layout is thousands of
+    * .jsonl.gz shards, which is exactly this reader's parallelism). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** The documents table's JSONL twin (corpus interchange shape). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    jsonl(spark, path, documentsSchema)
+
+  /** JSONL sink; `compression` "gzip"/"none". Writes one shard per
+    * partition — repartition upstream to choose the shard count. */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
 }

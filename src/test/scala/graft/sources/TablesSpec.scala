@@ -81,6 +81,37 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("JSONL round-trip: gzip shards, explicit schema, row equality") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    Tables.writeJsonl(docs.repartition(3), dir, compression = "gzip")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.endsWith(".json.gz")) === 3, files.toSeq.toString)
+    // reference a data column alongside _corrupt: a corrupt-column-only
+    // query on a raw-file scan is rejected by Spark (see reader scaladoc)
+    val back = Tables.documentsJsonl(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("_corrupt")).collect()
+    assert(back.forall(_.isNullAt(5)))
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = back.sortBy(_.getLong(0)).map(_.toSeq.init).toSeq
+    assert(a === b)
+  }
+
+  test("JSONL malformed lines land in _corrupt, not as a job failure") {
+    import org.apache.spark.sql.functions._
+    val p = tmpFile("jsonl", Seq(
+      """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}""",
+      """{"doc_id": oops not json""",
+      """{"doc_id": 3, "text": "also ok", "lang": "de", "source": "s", "n_chars": 7}"""))
+    val rows = Tables.documentsJsonl(spark, p).collect()
+    val (bad, good) = rows.partition(r => !r.isNullAt(r.fieldIndex("_corrupt")))
+    assert(good.length === 2)
+    assert(bad.length === 1 && bad(0).getAs[String]("_corrupt").contains("oops"))
+    assert(bad(0).isNullAt(bad(0).fieldIndex("doc_id")))
+  }
+
   test("S5 sampling: seeded Bernoulli sample is deterministic") {
     val df = Tables.documents(spark, sf("sf0.001"))
     val a = df.sample(0.2, 12345L).count()
