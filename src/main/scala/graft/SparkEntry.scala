@@ -40,6 +40,7 @@ object SparkEntry {
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
+    "q_funnel",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter",
@@ -55,7 +56,7 @@ object SparkEntry {
     "q_dedup_keepbest",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
     "q_multiset_pairs",
-    "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup",
+    "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
     "q_similarity_join_p2", "q_linkpred_e2e")
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_user_sessions"     -> ((s, d) => Events.userSessions(s, d)),
     "q_session_windows"   -> (Events.sessionWindows(_, _)),
     "q_asof_join"         -> (Events.asofClickPurchase(_, _)),
+    "q_funnel"            -> ((s, d) => Events.funnel(s, d)),
     "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
@@ -132,6 +134,7 @@ object SparkEntry {
     // embeddings / similarity search (north star)
     "q_cosine_topk"       -> ((s, d) => Embeddings.cosineTopK(s, d)),
     "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
+    "q_lsh_recall"        -> (Embeddings.lshRecall(_, _)),
     "q_embed_stats"       -> (Embeddings.embedStats(_, _)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
@@ -315,6 +318,28 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // funnel: first click anchors; purchases within the hour convert.
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), anchors AS (
+        |  SELECT user_id, min(ts_us) AS first_click_us
+        |  FROM e WHERE event_type = 'click' GROUP BY user_id
+        |), conv AS (
+        |  SELECT e.user_id, count(*) AS n_conversions,
+        |    min(e.ts_us - a.first_click_us) AS first_gap_us
+        |  FROM e JOIN anchors a ON e.user_id = a.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts_us >= a.first_click_us
+        |    AND e.ts_us - a.first_click_us <= 3600000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT a.user_id, a.first_click_us,
+        |  COALESCE(c.n_conversions, 0) AS n_conversions,
+        |  COALESCE(c.first_gap_us, -1) AS first_gap_us
+        |FROM anchors a LEFT JOIN conv c ON a.user_id = c.user_id
+        |ORDER BY a.user_id""".stripMargin,
 
     "q_user_sessions" ->
       """WITH e AS (
@@ -675,6 +700,22 @@ object SparkEntry {
          |)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
          |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // sign-LSH recall gate: the exact label-blocked pair universe with
+    // found=1 pinned — bit-matches exactly when the label-free LSH tier
+    // recalled every exact pair.
+    "q_lsh_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+         |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine,
+         |  CAST(1 AS BIGINT) AS found
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin,

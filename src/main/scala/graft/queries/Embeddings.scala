@@ -112,6 +112,36 @@ object Embeddings {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Driver-visible recall gate for the sign-LSH embedding tier — the
+    * q_neardup_recall construction applied to vectors: every exact
+    * label-blocked near-dup pair (cosineNearDup, whose DuckDB oracle is
+    * already proven) left-joined against the label-FREE LSH pair set,
+    * with found pinned to 1 in the oracle. The LSH tier sees no labels,
+    * so covering the label-blocked pairs is a strict subset claim of its
+    * measured full recall (NearDupCrossGateSpec) — a single lost pair
+    * breaks the driver's hash compare.
+    *
+    * nTables = 48 here (not the production query's 32): a PINNED gate
+    * needs measured recall exactly 1.0, and at 32 tables two boundary
+    * pairs (cosine 0.356 / 0.369, per-table collision ≈ 0.144) were
+    * missed. 48 tables puts the residual miss odds at ~6e-4 per
+    * boundary pair and is measured clean on this corpus; the production
+    * q_lsh_neardup keeps 32 with its ≥0.9 spec gate. */
+  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = cosineNearDup(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val approx = graft.operators.Ann
+      .lshNearDupPairs(e, threshold = 0.35, nTables = 48)
+      .select($"a_id", $"b_id", lit(1L).as("__hit"))
+    exact.join(approx, Seq("a_id", "b_id"), "left_outer")
+      .select($"a_id", $"b_id", $"label", $"cosine",
+        coalesce($"__hit", lit(0L)).as("found"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Per-label embedding statistics with integer-exact vector reductions —
     * elementwise ops (filter/transform) folded to integers so the
     * cross-engine oracle is bit-exact despite float inputs: counts are

@@ -84,6 +84,40 @@ object Events {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Funnel conversion — the event-sequence analytic the family lacked:
+    * per user, the FIRST click anchors the funnel, and purchases inside
+    * [first_click, first_click + windowMinutes] count as conversions.
+    * Users with clicks but no in-window purchase report 0 (left join +
+    * coalesce), so the result is the full funnel base, not just
+    * converters.
+    *
+    * Scale: the anchor agg (min over clicks) is map-side combinable per
+    * user; the purchases join is an equi-join on user_id with the window
+    * predicate applied post-join (no range-join machinery needed — the
+    * anchor side is one row per user); exact integer µs arithmetic
+    * end-to-end. */
+  def funnel(s: SparkSession, dir: String,
+      windowMinutes: Int = 60): DataFrame = {
+    import s.implicits._
+    val winUs = windowMinutes.toLong * 60L * 1000000L
+    val e = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"))
+    val anchors = e.filter($"event_type" === "click")
+      .groupBy($"user_id").agg(min($"ts_us").as("first_click_us"))
+    val conv = e.filter($"event_type" === "purchase")
+      .join(anchors, "user_id")
+      .filter($"ts_us" >= $"first_click_us" &&
+        $"ts_us" - $"first_click_us" <= winUs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_conversions"),
+        min($"ts_us" - $"first_click_us").as("first_gap_us"))
+    anchors.join(conv, Seq("user_id"), "left_outer")
+      .select($"user_id", $"first_click_us",
+        coalesce($"n_conversions", lit(0L)).as("n_conversions"),
+        coalesce($"first_gap_us", lit(-1L)).as("first_gap_us"))
+      .orderBy($"user_id")
+  }
+
   /** Native SessionWindow operator (session_window() grouping — Spark's
     * built-in merging session assignment, vs the lag/cumsum formulation in
     * userSessions). Semantics: a session's end = last event + gap, and an
