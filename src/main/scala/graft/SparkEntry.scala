@@ -43,7 +43,7 @@ object SparkEntry {
     "q_funnel",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
-    "q_repetition_filter",
+    "q_repetition_filter", "q_profile",
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score",
@@ -150,6 +150,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     "q_hash_split"        -> (Extended.hashSplit(_, _)),
+    "q_profile"           -> (Extended.profileDocuments(_, _)),
     "q_source_mix"        -> (Extended.sourceMix(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
@@ -1178,6 +1179,31 @@ object SparkEntry {
         |FROM chunked
         |GROUP BY doc_id, chunk_id
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // column profiler: one UNION ALL branch per column, stats rendered
+    // as strings; binary string collation matches Spark's.
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(doc_id) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_str,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_str
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*) - count(lang),
+        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*) - count(source),
+        |    count(DISTINCT source), min(source), max(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*), count(*) - count(text),
+        |    count(DISTINCT text), min(text), max(text) FROM documents
+        |) ORDER BY col_name""".stripMargin,
 
     // CDC-chunk first-occurrence dedup: same chunk CTEs, then the
     // fingerprint-keyed window and per-doc survival rollup.

@@ -33,6 +33,34 @@ object Extended {
       .orderBy($"nationkey")
   }
 
+  /** Column profiler — the data-quality sweep run before any pipeline
+    * decision: one row per column with row/null/distinct counts and
+    * min/max rendered as strings (a single typed frame over
+    * heterogeneous columns). Generic over any DataFrame; registered on
+    * documents. Each column is one map-combinable aggregate (exact
+    * distinct is the two-phase shape; swap approx_count_distinct at
+    * scales where a per-column exact distinct is itself a job), and the
+    * per-column frames union into one plan Spark runs as parallel
+    * stages. String min/max use binary collation in both engines, so
+    * the oracle is exact. */
+  def profile(df: DataFrame): DataFrame = {
+    val perCol = df.columns.toSeq.map { name =>
+      val c = col(name)
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast(StringType).as("min_str"),
+        max(c).cast(StringType).as("max_str"))
+        .select(lit(name).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+    }
+    perCol.reduce(_.unionByName(_)).orderBy(col("col_name"))
+  }
+
+  def profileDocuments(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.documents(s, dir))
+
   /** Null handling (P1 shape): left join produces nulls; na.fill +
     * coalesce aggregate. */
   def nullFill(s: SparkSession, dir: String): DataFrame = {

@@ -53,4 +53,20 @@ object CorpusStreams {
         sink(ingestBatchPairs(corpus, b.toDF(), threshold, maxDf), id)
       }
       .start()
+
+  /** Streaming JSONL landing-directory source — the production shape of
+    * corpus ingest: upstream jobs drop .jsonl(.gz) shards into a
+    * directory, the stream picks each file up EXACTLY ONCE (file-source
+    * checkpointing; restarts resume without reprocessing — pinned in
+    * CorpusStreamsSpec), and `maxFilesPerTrigger` bounds a micro-batch so
+    * a backlog drains in bounded-memory steps instead of one giant batch.
+    * Schema is the explicit documents shape (same rule as Tables.jsonl:
+    * no inference pass, no silent widening). Feed the result to
+    * ingestDedup for the full landing-dir → dedup-gate pipeline. */
+  def jsonlStream(spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(graft.sources.Tables.documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
 }

@@ -36,6 +36,41 @@ class CorpusStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("jsonl landing-dir stream: each shard exactly once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val land = java.nio.file.Files.createTempDirectory("graft-land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def drop(name: String, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"doc_id": $i, "text": "doc $i", "lang": "en", "source": "s", "n_chars": 5}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$land/$name"),
+        lines.mkString("\n").getBytes)
+      ()
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // one bounded drain of everything new since the checkpoint, then stop —
+    // the restart-shaped trigger (AvailableNow)
+    def drain(): Unit = {
+      val q = CorpusStreams.jsonlStream(spark, land).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: java.lang.Long) =>
+          got.synchronized { got ++= b.collect().map(_.getLong(0)) }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drop("shard1.jsonl", Seq(1L, 2L, 3L))
+    drain()
+    assert(got.sorted.toSeq === Seq(1L, 2L, 3L))
+    drop("shard2.jsonl", Seq(4L, 5L))
+    drain() // restart from checkpoint: shard1 must NOT reprocess
+    assert(got.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("ingestBatchPairs equals the batch incremental operator") {
     val spark2 = spark
     import spark2.implicits._
