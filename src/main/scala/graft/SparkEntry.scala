@@ -27,7 +27,8 @@ object SparkEntry {
     * in `queries` but missing here runs in the middle, alphabetically. */
   val runOrder: Seq[String] = Seq(
     // relational core — cheap, oracle-checked
-    "q_top_orders", "q_pricing_summary", "q_orders_rollup", "q_label_join",
+    "q_top_orders", "q_pricing_summary", "q_ship_priority",
+    "q_orders_rollup", "q_label_join",
     "q_customers_with_orders", "q_customers_without_orders",
     "q_customer_top_orders", "q_region_revenue", "q_triplet_join",
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
@@ -72,6 +73,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational core (SURVEY §2.2-2.5)
     "q_pricing_summary"   -> (Relational.pricingSummary(_, _)),
+    "q_ship_priority"     -> ((s, d) => Relational.shipPriority(s, d)),
     "q_region_revenue"    -> (Relational.regionRevenue(_, _)),
     "q_top_orders"        -> (Relational.topOrders(_, _)),
     "q_customer_top_orders" -> ((s, d) => Relational.customerTopOrders(s, d)),
@@ -197,6 +199,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // TPC-H Q3 shape; IN-subquery = the Spark side's semi-join.
+    "q_ship_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -43,6 +43,37 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers semi-
+    * restrict orders, a 3-way join with post-cutoff lineitems, revenue
+    * per order, global top-k. The classic selective-join + top-k plan:
+    * all three filters reach their parquet scans (PushedFilters), the
+    * customer side reduces to a semi-join (it only FILTERS — carrying
+    * its columns through the join would widen every shuffle row), and
+    * orderBy().limit(k) plans as TakeOrderedAndProject — each partition
+    * keeps k rows, the driver merges, no global sort. Revenue sums in
+    * decimal (exact, order-independent) and casts to double once. */
+  def shipPriority(s: SparkSession, dir: String, segment: String = "BUILDING",
+      cutoff: String = "1998-06-01", k: Int = 10): DataFrame = {
+    import s.implicits._
+    val cut = lit(cutoff).cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === segment).select($"c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" < cut)
+      .join(c, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > cut)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") *
+          (lit(1).cast("decimal(18,2)") - dec($"l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate".asc, $"l_orderkey".asc)
+      .limit(k)
+  }
+
   /** TPC-H Q5 shape: revenue by region/nation through a 5-way join chain.
     * nation/region are broadcast (constant-size dims); lineitem⋈orders and
     * orders⋈customer shuffle on their keys and AQE picks the strategy. */
