@@ -117,13 +117,16 @@ object Bench {
       val sf = if (fullDir) sfDir else new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf","failed":${arr(failed.toSeq)},"timedout":${arr(timedout.toSeq)},"skipped":${arr(skipped.toSeq)}}"""
     }
-    // The driver captures a bounded tail of this process's output; with
-    // 75+ queries a 3-decimal line overflows it and truncates mid-JSON
-    // (ADVICE r5). Stdout gets the compact form (2 decimals, basename sf,
-    // failed/timedout/skipped entries carried only in their arrays, not
-    // duplicated as -1 times); the full-precision line goes to a repo
-    // file so the complete artifact survives regardless of capture size.
-    println(line(decimals = 2, fullDir = false, allEntries = false))
+    // The driver captures a bounded (~2000-char) tail of this process's
+    // output; with 75+ queries a 3-decimal line overflows it and
+    // truncates mid-JSON (ADVICE r5), and sbt's epilogue lines eat into
+    // the same tail. Stdout gets the compact form (1 decimal — 0.1 s
+    // resolution; basename sf; failed/timedout/skipped entries carried
+    // only in their arrays, not duplicated as -1 times) — 84 queries ≈
+    // 1900 chars. Full precision goes to stderr per-query lines and the
+    // bench_last.json repo file, which survive regardless of capture
+    // size.
+    println(line(decimals = 1, fullDir = false, allEntries = false))
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line(decimals = 3, fullDir = true, allEntries = true))
