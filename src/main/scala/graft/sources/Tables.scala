@@ -59,8 +59,30 @@ object Tables {
         s"events.ts: unsupported physical type $other (expected nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings normalize to their canonical column types on
+    * read — same driver-owned-corpus lesson as `events`: the physical
+    * types can change between corpus generations (int32 ids, float vs
+    * double embeddings), and the typed views (graft.schema) plus every
+    * downstream operator assume one shape. The casts are no-ops that
+    * Catalyst's SimplifyCasts removes when the footer already matches,
+    * so the canonical case pays nothing; a changed footer degrades to a
+    * widening cast instead of an analysis-time crash (r5 lost the whole
+    * events family to exactly that). Columns are selected by NAME — a
+    * reordered footer is also survived. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(
+      org.apache.spark.sql.functions.col("doc_id").cast(LongType).as("doc_id"),
+      org.apache.spark.sql.functions.col("text").cast(StringType).as("text"),
+      org.apache.spark.sql.functions.col("lang").cast(StringType).as("lang"),
+      org.apache.spark.sql.functions.col("source").cast(StringType).as("source"),
+      org.apache.spark.sql.functions.col("n_chars").cast(LongType).as("n_chars"))
+
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").select(
+      org.apache.spark.sql.functions.col("vec_id").cast(LongType).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding")
+        .cast(ArrayType(FloatType)).as("embedding"),
+      org.apache.spark.sql.functions.col("label").cast(IntegerType).as("label"))
 
   // ---- reference text/CSV formats (SURVEY.md §2.1 S1-S4), schema-explicit ----
 

@@ -81,6 +81,33 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("documents/embeddings readers normalize drifted physical types " +
+      "to the canonical schema (same lesson as the events ts change)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = Files.createTempDirectory("graft-drift").toString
+    // int32 ids, float64 embeddings, reordered columns — plausible
+    // regenerations of the same logical tables
+    Seq((1, "hello world", "en", "s", 11))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select($"text", $"lang", $"doc_id".cast(IntegerType).as("doc_id"),
+        $"source", $"n_chars".cast(IntegerType).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((7, Array(0.5, 1.5), 3))
+      .toDF("vec_id", "embedding", "label")
+      .select($"vec_id".cast(IntegerType).as("vec_id"),
+        $"embedding".cast(ArrayType(DoubleType)).as("embedding"),
+        $"label".cast(LongType).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val d = graft.schema.documents(spark, dir).head()
+    assert(d.doc_id === 1L && d.n_chars === 11L && d.text === "hello world")
+    val e = graft.schema.embeddings(spark, dir).head()
+    assert(e.vec_id === 7L && e.label === 3 &&
+      e.embedding.toSeq === Seq(0.5f, 1.5f))
+  }
+
   test("JSONL round-trip: gzip shards, explicit schema, row equality") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf("sf0.001"))
