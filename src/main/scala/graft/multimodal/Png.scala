@@ -80,6 +80,10 @@ object Png {
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
     }
+    // the IHDR gate bounds w*h*3, but a forged wide-and-flat header
+    // (w ≈ 700M, h = 1) still overflows Int in w*channels for 4-channel
+    // types — guard before any array sizing happens
+    if (width.toLong * channels > Int.MaxValue - 64) return None
     val stride = width * channels
     val rawLen = (stride + 1).toLong * height
     if (rawLen > Int.MaxValue - 64) return None

@@ -237,7 +237,16 @@ object TextAnalysis {
     * shape as userSessions) → groupBy (doc, chunk) re-assembling each
     * chunk's text for its fingerprint. Chunks travel as md5 + span, not
     * text, so the shuffled rows stay slim at any scale. All decisions are
-    * pure string/md5 arithmetic — bit-reproducible cross-engine. */
+    * pure string/md5 arithmetic — bit-reproducible cross-engine.
+    *
+    * Bound caveat: chunk length is probabilistic (geometric, mean
+    * 256/boundary), not hard-capped — a document whose tokens all hash
+    * above the boundary forms ONE chunk, and its reassembly group is the
+    * whole document (the aggregate is sort-based and spills, so this
+    * degrades, not breaks). FastCDC-style hard min/max cuts are
+    * inherently sequential from the last cut and would cost the
+    * edit-locality property if approximated with aligned positions; run
+    * exact dedup first and this tail is the already-degenerate mass. */
   def cdcChunks(s: SparkSession, dir: String,
       boundaryHex: String = "10"): DataFrame = {
     import s.implicits._

@@ -149,6 +149,20 @@ class PngSpec extends SparkSpec {
     assert(Png.decode(deep) === None)   // (CRC now wrong too — either gate rejects)
     // PPM bytes are not PNG
     assert(Png.decode(Ppm.encode(testImage(2, 2))) === None)
+    // forged wide-and-flat RGBA header: w*h*3 passes the IHDR gate but
+    // w*channels would overflow Int — must reject, not throw
+    val ihdr = new Array[Byte](13)
+    val w = 700000000
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(7) = 1 // height 1
+    ihdr(8) = 8; ihdr(9) = 6 // RGBA
+    val forged = new java.io.ByteArrayOutputStream()
+    forged.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'), 0, 8)
+    forged.write(chunk("IHDR", ihdr))
+    forged.write(chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))))
+    forged.write(chunk("IEND", Array.emptyByteArray))
+    assert(Png.decode(forged.toByteArray) === None)
   }
 
   test("featureKernel computes real features for PNG payloads") {
