@@ -27,7 +27,7 @@ object SparkEntry {
     * in `queries` but missing here runs in the middle, alphabetically. */
   val runOrder: Seq[String] = Seq(
     // relational core — cheap, oracle-checked
-    "q_top_orders", "q_pricing_summary", "q_ship_priority",
+    "q_top_orders", "q_pricing_summary", "q_ship_priority", "q_mv_refresh",
     "q_orders_rollup", "q_label_join",
     "q_customers_with_orders", "q_customers_without_orders",
     "q_customer_top_orders", "q_region_revenue", "q_triplet_join",
@@ -74,6 +74,7 @@ object SparkEntry {
     // relational core (SURVEY §2.2-2.5)
     "q_pricing_summary"   -> (Relational.pricingSummary(_, _)),
     "q_ship_priority"     -> ((s, d) => Relational.shipPriority(s, d)),
+    "q_mv_refresh"        -> (Relational.mvRefresh(_, _)),
     "q_region_revenue"    -> (Relational.regionRevenue(_, _)),
     "q_top_orders"        -> (Relational.topOrders(_, _)),
     "q_customer_top_orders" -> ((s, d) => Relational.customerTopOrders(s, d)),
@@ -199,6 +200,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // incremental refresh vs full recompute: the oracle IS the full
+    // group-by, so the hash match proves refresh == recompute.
+    "q_mv_refresh" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // TPC-H Q3 shape; IN-subquery = the Spark side's semi-join.
     "q_ship_priority" ->
       """SELECT l_orderkey,

@@ -43,6 +43,35 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Incremental materialized-view refresh (operators.IncrementalAgg):
+    * the standing order-status rollup is maintained by MERGING partial
+    * aggregates with a delta batch (simulated: orders with
+    * o_orderkey % 10 = 7 arrive late), never by re-aggregating the
+    * base. avg_price is derived from the additive parts at read time —
+    * storing it would be the avg-of-avgs bug, which this construction
+    * makes unrepresentable. The DuckDB oracle is the FULL recompute, so
+    * the driver's bit-compare IS the refresh-equals-recompute theorem
+    * on real data (the decimal sum is order-independent, so merge order
+    * cannot drift the double). */
+  def mvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).as("total_dec"))
+    val o = Tables.orders(s, dir)
+    val state = partial(o.filter($"o_orderkey" % 10 =!= 7))
+    val delta = partial(o.filter($"o_orderkey" % 10 === 7))
+    graft.operators.IncrementalAgg
+      .refresh(state, delta, keys = Seq("o_orderstatus"),
+        sumCols = Seq("n_orders", "total_dec"))
+      .select($"o_orderstatus", $"n_orders",
+        $"total_dec".cast("double").as("total_price"),
+        ($"total_dec".cast("double") / $"n_orders".cast("double"))
+          .as("avg_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** TPC-H Q3 shape (shipping priority): segment-filtered customers semi-
     * restrict orders, a 3-way join with post-cutoff lineitems, revenue
     * per order, global top-k. The classic selective-join + top-k plan:
