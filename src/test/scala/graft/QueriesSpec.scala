@@ -25,4 +25,26 @@ class QueriesSpec extends SparkSpec {
       assert(df.columns.distinct.length === df.columns.length) // no dup names
     }
   }
+
+  test("no registered query plans a Cartesian product or nested-loop join") {
+    // The scale regression net: a refactor that drops an equi-join key
+    // (or turns a salted join back into a cross) surfaces here before it
+    // surfaces as an sf0.1 bench cliff. Initial physical plans — AQE can
+    // only improve on them, never introduce a cartesian.
+    //
+    // q_cosine_topk is the one sanctioned nested-loop: the brute-force
+    // exact baseline is DEFINITIONALLY all-pairs — corpus × a small
+    // broadcast query set in one scan is its correct plan (the scale
+    // path is q_lsh_topk/q_ivf_topk). Everything else must be an
+    // equi-join.
+    val sanctioned = Set("q_cosine_topk")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => sanctioned.contains(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+        Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+          .filter(plan.contains).map(op => s"$name: $op")
+      }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
 }
