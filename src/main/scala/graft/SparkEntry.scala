@@ -60,7 +60,7 @@ object SparkEntry {
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
-    "q_similarity_join_p2", "q_linkpred_e2e")
+    "q_ivf_recall", "q_similarity_join_p2", "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
   def orderedQueryNames: Seq[String] = {
@@ -162,6 +162,7 @@ object SparkEntry {
     "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
     "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
+    "q_ivf_recall"        -> (Extended.ivfRecall(_, _)),
     "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
   )
 
@@ -196,6 +197,27 @@ object SparkEntry {
     (a: String, b: String) =>
       s"list_reduce(list_transform(generate_series(1, len($a)), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Exact cosine top-k (query set vec_id < 10, k = 5) — the oracle for
+    * BOTH q_cosine_topk (brute force) and q_ivf_recall (IVF at full
+    * probe, which must equal brute force bit-for-bit). */
+  private lazy val exactTopKSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), pairs AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id != q.vec_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, vec_id, cosine, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -702,23 +724,12 @@ object SparkEntry {
         |FROM pairs
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "q_cosine_topk" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |), pairs AS (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
-         |  FROM e JOIN e q ON q.vec_id < 10 AND e.vec_id != q.vec_id
-         |), ranked AS (
-         |  SELECT q_id, vec_id, cosine,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS rank
-         |  FROM pairs
-         |)
-         |SELECT q_id, vec_id, cosine, rank FROM ranked
-         |WHERE rank <= 5
-         |ORDER BY q_id, rank""".stripMargin,
+    "q_cosine_topk" -> exactTopKSql,
+
+    // IVF at full probe (nProbe = nCells) is exactly brute force — same
+    // oracle as q_cosine_topk, so the bit-compare proves the quantizer/
+    // probe/re-rank machinery loses nothing when probing everything.
+    "q_ivf_recall" -> exactTopKSql,
 
     "q_cosine_neardup" ->
       s"""WITH e AS (

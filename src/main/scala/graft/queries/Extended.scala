@@ -402,6 +402,24 @@ object Extended {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Driver-visible exactness gate for the IVF tier: at nProbe = nCells
+    * every cell is probed, so the quantizer/probe/re-rank machinery must
+    * reproduce brute force exactly — the oracle is q_cosine_topk's exact
+    * SQL, and the bit-compare is the proof (AnnSpec pins the same
+    * equality operator-level; this pins it per round on the real
+    * corpus). Same cosine expression and (cosine desc, id asc) tie-break
+    * as the brute path, so the doubles and ranks are bit-identical. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter($"id" < 10)
+    graft.operators.Ann.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 16)
+      .select($"q_id", $"id".as("vec_id"), $"cosine", $"rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** p1 end-to-end (reference Predictor.scala:350-380) on a node table
     * derived from documents: train LR on labeled same-source pairs, score
     * held-out candidates, emit the threshold-sweep metric rows. */
