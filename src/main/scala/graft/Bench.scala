@@ -115,7 +115,16 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
         .mkString("{", ",", "}")
       val sf = if (fullDir) sfDir else new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf","failed":${arr(failed.toSeq)},"timedout":${arr(timedout.toSeq)},"skipped":${arr(skipped.toSeq)}}"""
+      // outcome arrays are this engine's addition to the contract line —
+      // on the compact form, emit them only when non-empty (every char
+      // counts against the bounded output capture; the full-file form
+      // always carries all three)
+      val outcomes = Seq(
+        "failed" -> failed.toSeq, "timedout" -> timedout.toSeq,
+        "skipped" -> skipped.toSeq)
+        .filter { case (_, xs) => allEntries || xs.nonEmpty }
+        .map { case (k, xs) => s""","$k":${arr(xs)}""" }.mkString
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf"$outcomes}"""
     }
     // The driver captures a bounded (~2000-char) tail of this process's
     // output; with 75+ queries a 3-decimal line overflows it and
