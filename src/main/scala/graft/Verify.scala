@@ -22,7 +22,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
-    val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP", "30").toLong
+    // 120 matches the documented contract above (the code briefly said 30,
+    // which left the ~8 s gate queries a <4× margin in a slow driver env)
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_CAP", "120").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
