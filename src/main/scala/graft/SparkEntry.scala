@@ -41,7 +41,7 @@ object SparkEntry {
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
-    "q_funnel",
+    "q_funnel", "q_hourly_delta",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -53,7 +53,8 @@ object SparkEntry {
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
-    "q_pair_triangles", "q_dedup_clusters", "q_dedup_corpus",
+    "q_pair_triangles", "q_dedup_clusters", "q_cluster_sizes",
+    "q_dedup_corpus",
     "q_dedup_keepbest",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
     "q_multiset_pairs",
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_session_windows"   -> (Events.sessionWindows(_, _)),
     "q_asof_join"         -> (Events.asofClickPurchase(_, _)),
     "q_funnel"            -> ((s, d) => Events.funnel(s, d)),
+    "q_hourly_delta"      -> (Events.hourlyDelta(_, _)),
     "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
@@ -128,6 +130,7 @@ object SparkEntry {
     // graph analytics over the near-dup pair graph
     "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
     "q_pair_triangles"    -> (GraphQueries.pairTriangles(_, _)),
+    "q_cluster_sizes"     -> (GraphQueries.clusterSizes(_, _)),
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
     "q_dedup_keepbest"    -> (GraphQueries.dedupKeepBest(_, _)),
@@ -368,6 +371,24 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // hour-over-hour deltas: lag over the hourly rollup; first hour per
+    // type dropped (no predecessor).
+    "q_hourly_delta" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY hour, event_type
+        |), lagged AS (
+        |  SELECT hour, event_type, n_events,
+        |    lag(n_events, 1) OVER (PARTITION BY event_type ORDER BY hour)
+        |      AS prev_events
+        |  FROM hourly
+        |)
+        |SELECT hour, event_type, n_events, prev_events,
+        |  n_events - prev_events AS delta
+        |FROM lagged WHERE prev_events IS NOT NULL
+        |ORDER BY hour, event_type""".stripMargin,
 
     // funnel: first click anchors; purchases within the hour convert.
     "q_funnel" ->
@@ -951,6 +972,25 @@ object SparkEntry {
          |)
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // cluster-size histogram: the component CTE rolled up twice.
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $pairGraphCte,
+         |e AS (SELECT a_id AS u, b_id AS v FROM p
+         |      UNION SELECT b_id, a_id FROM p),
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+         |),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sizes AS (
+         |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+         |)
+         |SELECT cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     "q_dedup_corpus" ->
       s"""WITH RECURSIVE $pairGraphCte,

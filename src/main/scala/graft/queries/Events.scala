@@ -84,6 +84,28 @@ object Events {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Hour-over-hour volume deltas per event type — the drift/anomaly
+    * diagnostic over the tumbling-window rollup (a spike shows as a
+    * delta outlier long before totals move). The lag window runs over
+    * the ALREADY-AGGREGATED hourly frame (one row per (hour, type)), so
+    * its sort is over thousands of rows at any corpus scale; first hour
+    * per type is dropped (no predecessor — kept semantics exact instead
+    * of a sentinel). Integer arithmetic end-to-end. */
+  def hourlyDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour")
+    hourly
+      .withColumn("prev_events", lag($"n_events", 1).over(w))
+      .filter($"prev_events".isNotNull)
+      .select($"hour", $"event_type", $"n_events", $"prev_events",
+        ($"n_events" - $"prev_events").as("delta"))
+      .orderBy($"hour", $"event_type")
+  }
+
   /** Funnel conversion — the event-sequence analytic the family lacked:
     * per user, the FIRST click anchors the funnel, and purchases inside
     * [first_click, first_click + windowMinutes] count as conversions.

@@ -63,6 +63,22 @@ object GraphQueries {
       .orderBy($"doc_id")
   }
 
+  /** Cluster-size distribution — the dedup PLANNING diagnostic read
+    * before choosing a representative-selection policy: how much of the
+    * near-dup mass sits in pairs vs long chains (a corpus dominated by
+    * size-2 clusters dedups cheaply; heavy clusters want keep-best
+    * scoring). Two map-combinable rollups over the component frame:
+    * component → size, then size → how many clusters and docs. */
+  def clusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    components(s, dir)
+      .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
   /** PageRank over the near-dup pair graph — which documents sit at the
     * center of duplicate clusters (a dedup-representative-selection signal
     * richer than min-id). Float power iteration, so rows-only + GraphSpec
