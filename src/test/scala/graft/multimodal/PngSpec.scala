@@ -165,6 +165,20 @@ class PngSpec extends SparkSpec {
     assert(Png.decode(forged.toByteArray) === None)
   }
 
+  test("interlaced and bad-palette images are rejected, not thrown") {
+    // Adam7 interlace is outside the supported baseline
+    val img = testImage(4, 4)
+    val plain = Png.encode(img)
+    val interlaced = plain.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR interlace byte (CRC now wrong too)
+    assert(Png.decode(interlaced) === None)
+    // palette index beyond PLTE length must reject during expansion
+    val shortPal = Array.tabulate[Byte](3)(i => (i * 10).toByte) // 1 entry
+    val idx = Array[Byte](0, 2) // index 2 has no palette entry
+    assert(Png.decode(buildPng(2, 1, 3, 1, idx, Seq(0),
+      palette = Some(shortPal))) === None)
+  }
+
   test("featureKernel computes real features for PNG payloads") {
     val img = testImage(8, 6)
     val Seq(fromPng, fromPpm) =
