@@ -71,6 +71,33 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("landing-dir -> streaming dedup end-to-end: a dropped shard's " +
+      "near-dup is flagged against the standing corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val land = java.nio.file.Files.createTempDirectory("graft-land2").toString
+    val corpus = Seq(
+      (1L, "a b c d e f g h", "en"),
+      (2L, "z y x w v u t s", "en")).toDF("doc_id", "text", "lang")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$land/batch.jsonl"),
+      Seq(
+        """{"doc_id": 10, "text": "a b c d e f g x", "lang": "en", "source": "s", "n_chars": 15}""",
+        """{"doc_id": 11, "text": "p q r m n o k j", "lang": "en", "source": "s", "n_chars": 15}""")
+        .mkString("\n").getBytes)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val stream = CorpusStreams.jsonlStream(spark, land)
+      .select($"doc_id", $"text", $"lang")
+    val q = CorpusStreams.ingestDedup(corpus, stream, threshold = 0.3) {
+      (pairs, _) =>
+        got.synchronized {
+          got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(got.toSet === Set((1L, 10L)))
+  }
+
   test("ingestBatchPairs equals the batch incremental operator") {
     val spark2 = spark
     import spark2.implicits._
