@@ -16,6 +16,13 @@ import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
   *
   * Queries run cheap-core-first so a budget cut trims the heavy library
   * tail, never the oracle-checked relational core.
+  *
+  * Timing is min-of-N: pass 1 runs everything once (cold), then the
+  * remaining budget re-runs queries most-expensive-first and each query
+  * reports the MIN across its runs — single-run noise (GC pause, page-
+  * cache miss, JIT) stops masquerading as a 3× regression. The full-file
+  * form (bench_last.json) also carries `first_run` (cold pass-1 time)
+  * and `reps` per query so noise and warm-cache effects stay separable.
   */
 object Bench {
 
@@ -62,48 +69,85 @@ object Bench {
     val ordered = SparkEntry.orderedQueryNames
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val reps = scala.collection.mutable.LinkedHashMap[String, Int]()
     val failed = scala.collection.mutable.ListBuffer[String]()
     val timedout = scala.collection.mutable.ListBuffer[String]()
     val skipped = scala.collection.mutable.ListBuffer[String]()
     val loopStart = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - loopStart) / 1e9
+
+    // One timed execution; returns (outcome, seconds). Shared by both
+    // passes so pass-2 minimums are measured identically to pass 1.
+    def runOnce(name: String, recordOutcome: Boolean): (String, Double) = {
+      val fn = all(name)
+      val fut = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).count()
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      val t0 = System.nanoTime()
+      val outcome =
+        try { fut.get(capSec, TimeUnit.SECONDS); "ok" }
+        catch {
+          case _: TimeoutException =>
+            spark.sparkContext.cancelJobGroup(name); fut.cancel(true)
+            if (recordOutcome) timedout += name
+            "timeout"
+          case e: Throwable =>
+            if (recordOutcome) failed += name
+            val root = Option(e.getCause).getOrElse(e)
+            System.err.println(s"[bench] $name FAILED: ${root.toString.take(300)}")
+            "failed"
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // GC between heavy queries so eviction debt doesn't land in the
+      // successor's timing. Deliberately NOT catalog.clearCache(): that
+      // would drop the session-scoped materialized intermediates
+      // (TextAnalysis.scoredNearDupPairs, GraphQueries.components) the
+      // pair-graph queries share; every other cache in the engine is
+      // unpersisted by its owning operator, and broadcast/shuffle state
+      // is reclaimed by the ContextCleaner.
+      if (sec > 2.0) System.gc()
+      (outcome, sec)
+    }
+
+    // Pass 1: every query once, cheap-core-first — a complete bench is
+    // guaranteed before any budget is spent on repetition.
     ordered.foreach { name =>
-      val elapsed = (System.nanoTime() - loopStart) / 1e9
-      if (elapsed > budgetSec) { skipped += name; times(name) = -1.0 }
+      if (elapsedSec > budgetSec) { skipped += name; times(name) = -1.0 }
       else {
-        val fn = all(name)
-        val fut = pool.submit(new Callable[Long] {
-          def call(): Long = {
-            spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-            try fn(spark, sfDir).count()
-            finally spark.sparkContext.clearJobGroup()
-          }
-        })
-        val t0 = System.nanoTime()
-        val outcome =
-          try { fut.get(capSec, TimeUnit.SECONDS); "ok" }
-          catch {
-            case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(name); fut.cancel(true)
-              timedout += name; "timeout"
-            case e: Throwable =>
-              failed += name
-              val root = Option(e.getCause).getOrElse(e)
-              System.err.println(s"[bench] $name FAILED: ${root.toString.take(300)}")
-              "failed"
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
+        val (outcome, sec) = runOnce(name, recordOutcome = true)
         // failures record -1 (not a fake tiny timing); timeouts record the
         // real wall spent before cancellation — they did burn that time.
         times(name) = if (outcome == "failed") -1.0 else sec
+        firstRun(name) = times(name)
+        reps(name) = 1
         System.err.println(f"[bench] $name%-28s $sec%8.2f s  [$outcome]")
-        // GC between heavy queries so eviction debt doesn't land in the
-        // successor's timing. Deliberately NOT catalog.clearCache(): that
-        // would drop the session-scoped materialized intermediates
-        // (TextAnalysis.scoredNearDupPairs, GraphQueries.components) the
-        // pair-graph queries share; every other cache in the engine is
-        // unpersisted by its owning operator, and broadcast/shuffle state
-        // is reclaimed by the ContextCleaner.
-        if (sec > 2.0) System.gc()
+      }
+    }
+    // Pass 2 (budget permitting): re-run ok queries and keep the per-query
+    // MIN, so a single GC pause / page-cache miss / JIT hiccup can't
+    // masquerade as a regression (two rounds were spent adjudicating 3×
+    // swings that were noise). Most-expensive-first: the heavy tail is
+    // where unattributable swings live. Caveat, preserved for the reader
+    // of bench_last.json: reruns are warm (page cache + session-scoped
+    // shared intermediates), so `queries` is min-of-N while `first_run`
+    // keeps the cold pass-1 time — compare both to separate noise from
+    // warm-cache effects.
+    val okOnce = times.filter { case (n, v) =>
+      v >= 0 && !timedout.contains(n) && !skipped.contains(n) }.keys.toSeq
+    okOnce.sortBy(n => -times(n)).foreach { name =>
+      // leave headroom: don't start a rerun the budget can't absorb
+      if (elapsedSec + times(name) <= budgetSec) {
+        val (outcome, sec) = runOnce(name, recordOutcome = false)
+        if (outcome == "ok") {
+          times(name) = math.min(times(name), sec)
+          reps(name) = reps(name) + 1
+        }
+        System.err.println(f"[bench] $name%-28s $sec%8.2f s  [rerun-$outcome]")
       }
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -124,7 +168,16 @@ object Bench {
         "skipped" -> skipped.toSeq)
         .filter { case (_, xs) => allEntries || xs.nonEmpty }
         .map { case (k, xs) => s""","$k":${arr(xs)}""" }.mkString
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf"$outcomes}"""
+      // full form only (the compact stdout line is size-bounded): the cold
+      // first-pass time and per-query rep count behind each min
+      val extras = if (!allEntries) "" else {
+        val fr = firstRun.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
+          .mkString("{", ",", "}")
+        val rp = reps.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        s""","first_run":$fr,"reps":$rp"""
+      }
+      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf"$outcomes$extras}"""
     }
     // The driver captures a bounded (~2000-char) tail of this process's
     // output; with 75+ queries a 3-decimal line overflows it and

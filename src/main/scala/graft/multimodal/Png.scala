@@ -87,6 +87,12 @@ object Png {
     val stride = width * channels
     val rawLen = (stride + 1).toLong * height
     if (rawLen > Int.MaxValue - 64) return None
+    // zlib's worst-case expansion is ~1032:1 (stored blocks bound it far
+    // tighter, but 1032 covers every legal stream) — a few-hundred-byte
+    // forged IDAT therefore cannot legitimately claim a multi-GB raw
+    // buffer, so gate the allocation on the REAL payload size, same as
+    // Ppm.decode gates on actual bytes present
+    if (rawLen > idat.size.toLong * 1032L + 64L) return None
     val raw = new Array[Byte](rawLen.toInt)
     val inflater = new Inflater()
     try {
@@ -94,7 +100,10 @@ object Png {
       var off = 0
       while (off < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, off, raw.length - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // zero bytes out while unfinished = no forward progress possible:
+        // truncated stream (needsInput), FDICT preset-dictionary stream
+        // (needsDictionary), or any other stall — all malformed here
+        if (n == 0 && !inflater.finished()) return None
         off += n
       }
       if (off != raw.length) return None

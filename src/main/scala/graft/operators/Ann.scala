@@ -91,7 +91,13 @@ object Ann {
       seed: Int = 42): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the fit phase runs 1 + lloydIters actions over the corpus (seeding
+    // collect + each Lloyd mean); persist the scan+cast lineage once so
+    // they hit the cache instead of re-reading parquet per pass —
+    // estimator-state pattern, released before the (unavoidable) final
+    // assignment scan below
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
 
     def unit(a: Array[Double]): Array[Double] = {
@@ -103,9 +109,11 @@ object Ann {
     var centroids: Seq[Array[Double]] = cv
       .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
       .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
-    if (centroids.isEmpty)  // empty corpus: no cells, no neighbors
+    if (centroids.isEmpty) {  // empty corpus: no cells, no neighbors
+      cv.unpersist(blocking = false)
       return queries.select($"id".as("q_id"), $"id".as("id"),
         lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    }
 
     // score-struct array: array_max/array_sort order structs by field
     // order, so (dot, cell) sorts by similarity with cell as tie-break
@@ -129,6 +137,10 @@ object Ann {
         if (updated.forall(_ == 0.0)) centroids(c) else unit(updated)
       }
     }
+    // fit is done (centroids are plan literals now); drop the cache so the
+    // lazily-evaluated result below reads the corpus once from source
+    // rather than pinning executor memory past the operator's lifetime
+    cv.unpersist(blocking = false)
 
     // norms computed once per row, not per candidate pair (bruteTopK's
     // shape: a per-pair norm() re-folds O(dim) for every candidate)

@@ -61,12 +61,20 @@ object CorpusStreams {
     * CorpusStreamsSpec), and `maxFilesPerTrigger` bounds a micro-batch so
     * a backlog drains in bounded-memory steps instead of one giant batch.
     * Schema is the explicit documents shape (same rule as Tables.jsonl:
-    * no inference pass, no silent widening). Feed the result to
-    * ingestDedup for the full landing-dir → dedup-gate pipeline. */
+    * no inference pass, no silent widening), INCLUDING the
+    * PERMISSIVE/`_corrupt` channel — malformed shard lines land there
+    * with data columns null, so the stream can split good/bad with one
+    * filter instead of silently emitting all-null document rows. Feed
+    * the result to ingestDedup for the full landing-dir → dedup-gate
+    * pipeline (filter `_corrupt IS NULL` first, as the batch path does). */
   def jsonlStream(spark: org.apache.spark.sql.SparkSession, dir: String,
       maxFilesPerTrigger: Int = 16): DataFrame =
     spark.readStream
-      .schema(graft.sources.Tables.documentsSchema)
+      .schema(graft.sources.Tables.documentsSchema
+        .add(org.apache.spark.sql.types.StructField("_corrupt",
+          org.apache.spark.sql.types.StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 }

@@ -179,6 +179,39 @@ class PngSpec extends SparkSpec {
       palette = Some(shortPal))) === None)
   }
 
+  test("FDICT (preset-dictionary) zlib stream is rejected, not an infinite loop") {
+    // zlib header 0x78 0x20: CMF=0x78, FLG has FDICT set and passes the
+    // %31 check (30720+32 = 30752 = 31*992). Inflater stalls with
+    // needsDictionary() — inflate returns 0 forever — so the decoder must
+    // treat the stall as malformed instead of spinning.
+    val idat = Array[Byte](0x78, 0x20, 0, 0, 0, 1) // header + dict id
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 2; ihdr(7) = 2; ihdr(8) = 8; ihdr(9) = 2 // 2x2 RGB
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'), 0, 8)
+    png.write(chunk("IHDR", ihdr))
+    png.write(chunk("IDAT", idat))
+    png.write(chunk("IEND", Array.emptyByteArray))
+    assert(Png.decode(png.toByteArray) === None)
+  }
+
+  test("header-claimed dimensions far beyond the IDAT payload are rejected") {
+    // 20000x20000 gray passes the IHDR w*h*3 gate, but the raw scanline
+    // buffer it claims (~400 MB) exceeds any legal zlib expansion of the
+    // ~12-byte IDAT — must reject BEFORE allocating, like Ppm.decode
+    val ihdr = new Array[Byte](13)
+    val d = 20000
+    ihdr(2) = (d >>> 8).toByte; ihdr(3) = d.toByte
+    ihdr(6) = (d >>> 8).toByte; ihdr(7) = d.toByte
+    ihdr(8) = 8; ihdr(9) = 0 // 8-bit gray
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'), 0, 8)
+    png.write(chunk("IHDR", ihdr))
+    png.write(chunk("IDAT", deflate(Array[Byte](0, 1, 2, 3))))
+    png.write(chunk("IEND", Array.emptyByteArray))
+    assert(Png.decode(png.toByteArray) === None)
+  }
+
   test("featureKernel computes real features for PNG payloads") {
     val img = testImage(8, 6)
     val Seq(fromPng, fromPpm) =

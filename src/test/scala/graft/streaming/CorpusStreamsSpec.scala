@@ -98,6 +98,40 @@ class CorpusStreamsSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 10L)))
   }
 
+  test("jsonl landing-dir stream routes malformed lines to _corrupt, " +
+      "not all-null document rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val land = java.nio.file.Files.createTempDirectory("graft-land3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt3").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$land/mixed.jsonl"),
+      Seq(
+        """{"doc_id": 1, "text": "good line", "lang": "en", "source": "s", "n_chars": 9}""",
+        """{"doc_id": 2, "text": "broken""", // truncated JSON
+        """not json at all""").mkString("\n").getBytes)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[Long], Option[String])]
+    val q = CorpusStreams.jsonlStream(spark, land)
+      .select("doc_id", "_corrupt").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: java.lang.Long) =>
+        rows.synchronized {
+          rows ++= b.collect().map(r => (
+            if (r.isNullAt(0)) None else Some(r.getLong(0)),
+            Option(r.getString(1))))
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val (good, bad) = rows.partition(_._2.isEmpty)
+    assert(good.map(_._1) === Seq(Some(1L)))      // clean line parses
+    assert(bad.size === 2)                         // both bad lines captured
+    assert(bad.forall(_._2.exists(_.nonEmpty)))    // raw text preserved
+  }
+
   test("ingestBatchPairs equals the batch incremental operator") {
     val spark2 = spark
     import spark2.implicits._
