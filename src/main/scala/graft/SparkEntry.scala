@@ -49,7 +49,7 @@ object SparkEntry {
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
-    "q_tfidf_topk", "q_embed_stats",
+    "q_tfidf_topk", "q_embed_stats", "q_png_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -59,7 +59,7 @@ object SparkEntry {
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
-    "q_simhash_neardup",
+    "q_simhash_neardup", "q_simhash_recall",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
     "q_ivf_recall", "q_similarity_join_p2", "q_linkpred_e2e")
 
@@ -142,6 +142,10 @@ object SparkEntry {
     "q_cosine_neardup"    -> ((s, d) => Embeddings.cosineNearDup(s, d)),
     "q_lsh_recall"        -> (Embeddings.lshRecall(_, _)),
     "q_embed_stats"       -> (Embeddings.embedStats(_, _)),
+    // multimodal driver evidence: generated seeded PNGs encoded + decoded
+    // through the real codec seam; rows-only by design (DuckDB cannot
+    // decode PNG — exact sums for one id are pinned in PngSpec instead)
+    "q_png_stats"         -> ((s, _) => graft.multimodal.Multimodal.pngStats(s)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
@@ -163,6 +167,7 @@ object SparkEntry {
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
     "q_neardup_recall"    -> (Extended.neardupRecall(_, _)),
     "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
+    "q_simhash_recall"    -> (Extended.simhashRecall(_, _)),
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
     "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
     "q_ivf_recall"        -> (Extended.ivfRecall(_, _)),
@@ -699,6 +704,31 @@ object SparkEntry {
         |SELECT a_id, b_id, lang,
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard,
         |  CAST(1 AS BIGINT) AS found
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // simhash recall gate: the same exact strong-pair universe with
+    // covered=1 pinned. Spark-side, covered = found-by-SimHash OR outside
+    // the Hamming-3 pigeonhole guarantee — so the bit-match asserts no
+    // GUARANTEED pair was missed (deterministic, unlike an empirical
+    // found pin); non-vacuity is pinned in NearDupCrossGateSpec.
+    "q_simhash_recall" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) + len(b.sh) AS sz
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, lang,
+        |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard,
+        |  CAST(1 AS BIGINT) AS covered
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.7
         |ORDER BY a_id, b_id""".stripMargin,

@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
   * video payloads ride as opaque `binary` columns next to typed metadata,
   * partitioned so a 1000-executor decode pass is embarrassingly parallel.
   *
-  * Kernels: P6 PPM and baseline PNG images decode/resize/featurize FOR
-  * REAL (graft.multimodal.{Ppm, Png} — pure JVM, zlib from the JDK, no
-  * codec library needed; see `resizeImages` and `Ppm.featureKernel`).
-  * Formats whose codecs genuinely need native libraries (JPEG/audio/
-  * video) stay behind a deterministic fake (this container has no media
-  * libs — builder prompt): for those, the Spark-side contract — schema,
-  * batch shape, partitioning, null paths — is real and tested, and a real
-  * kernel (JNI or `mapInPandas` on a PySpark deployment) swaps in without
+  * Kernels: P6 PPM, baseline PNG and baseline JPEG images decode/resize/
+  * featurize FOR REAL (graft.multimodal.{Ppm, Png, Jpeg} — pure JVM,
+  * zlib from the JDK, own Huffman+IDCT; no codec library needed; see
+  * `resizeImages` and `Ppm.featureKernel`). Formats whose codecs
+  * genuinely need native libraries (audio/video) stay behind a
+  * deterministic fake (this container has no media libs — builder
+  * prompt): for those, the Spark-side contract — schema, batch shape,
+  * partitioning, null paths — is real and tested, and a real kernel
+  * (JNI or `mapInPandas` on a PySpark deployment) swaps in without
   * touching callers.
   */
 object Multimodal {
@@ -44,13 +45,15 @@ object Multimodal {
   case class MediaResized(media_id: Long, payload: Array[Byte],
     out_width: Int, out_height: Int)
 
-  /** Combined in-JVM image decode: P6 PPM or baseline PNG, to packed RGB
-    * plus the format tag ("ppm" | "png") so re-encoders can stay
-    * format-preserving. The single seam every image-consuming kernel
-    * goes through; a new codec lands here and every caller gains it. */
+  /** Combined in-JVM image decode: P6 PPM, baseline PNG or baseline JPEG,
+    * to packed RGB plus the format tag ("ppm" | "png" | "jpg") so
+    * re-encoders can stay format-preserving. The single seam every
+    * image-consuming kernel goes through; a new codec lands here and
+    * every caller gains it. */
   def decodeImage(bytes: Array[Byte]): Option[(Ppm.Image, String)] =
     Ppm.decode(bytes).map((_, "ppm"))
       .orElse(Png.decode(bytes).map((_, "png")))
+      .orElse(Jpeg.decode(bytes).map((_, "jpg")))
 
   /** REAL image resize for PPM and PNG payloads: decode → nearest-neighbor
     * scale to fit `maxSide` (aspect preserved, never upscaled) →
@@ -73,7 +76,11 @@ object Multimodal {
               val w2 = math.max(1, (img.width.toLong * maxSide / side).toInt)
               val h2 = math.max(1, (img.height.toLong * maxSide / side).toInt)
               val small = Ppm.resizeNearest(img, w2, h2)
-              val enc = if (fmt == "png") Png.encode(small) else Ppm.encode(small)
+              val enc = fmt match {
+                case "png" => Png.encode(small)
+                case "jpg" => Jpeg.encode(small)
+                case _     => Ppm.encode(small)
+              }
               MediaResized(id, enc, w2, h2)
             }
           case None => MediaResized(id, bytes, -1, -1)
@@ -84,6 +91,49 @@ object Multimodal {
   /** Former name of resizeImages (it now also handles PNG). */
   def resizePpm(df: DataFrame, maxSide: Int): Dataset[MediaResized] =
     resizeImages(df, maxSide)
+
+  case class PngStat(media_id: Long, width: Int, height: Int,
+    sum_r: Long, sum_g: Long, sum_b: Long, decoded: Boolean)
+
+  /** Driver-evidence query for the REAL PNG codec (q_png_stats): the test
+    * corpus has no image table, so the batch is generated — each row
+    * builds a deterministic seeded RGB image (dims and pixels pure
+    * functions of media_id), encodes it with Png.encode, decodes it back
+    * through the SAME decodeImage seam every production kernel uses, and
+    * emits per-image dimensions + exact per-channel pixel sums (integer,
+    * so reruns bit-match). A codec regression — filter, CRC, zlib,
+    * expansion — changes sums or flips `decoded` and shows up in the
+    * round's rows/values; exact sums for one id are additionally pinned
+    * against the generator formula in PngSpec. Distributed shape: one
+    * encode+decode per row in a typed map, embarrassingly parallel. */
+  def pngStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val w = 4 + (id % 13).toInt
+        val h = 3 + (id % 7).toInt
+        val px = Array.tabulate[Byte](w * h * 3)(i =>
+          ((i * 31 + id * 17) % 256).toByte)
+        decodeImage(Png.encode(Ppm.Image(w, h, px))) match {
+          case Some((d, "png")) =>
+            var (r, g, b) = (0L, 0L, 0L)
+            var i = 0
+            while (i < d.pixels.length) {
+              r += d.pixels(i) & 0xff
+              g += d.pixels(i + 1) & 0xff
+              b += d.pixels(i + 2) & 0xff
+              i += 3
+            }
+            PngStat(id, d.width, d.height, r, g, b, decoded = true)
+          case _ => PngStat(id, -1, -1, 0, 0, 0, decoded = false)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
 
   /** Metadata-only resize stub: passes bytes through, rewrites the
     * metadata the way a real resize kernel would — the planning-shape

@@ -66,6 +66,49 @@ object Embeddings {
   def cosineNearDup(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
+    val pairs =
+      if (threshold >= BaseCosineThreshold)
+        // any threshold ≥ the base is a pure filter over the shared
+        // materialized pair frame — exact because the cached `cosine`
+        // doubles are the very values the direct plan would compare
+        exactNearDupPairs(s, dir).filter($"cosine" >= threshold)
+      else cosineNearDupPairsOn(s, dir, threshold)
+    pairs.orderBy($"a_id", $"b_id")
+  }
+
+  /** Base threshold of the shared materialized exact pair frame — the
+    * loosest any consumer (q_cosine_neardup, lshRecall) asks for. */
+  val BaseCosineThreshold = 0.35
+
+  private val exactPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Session-scoped materialized intermediate: the exact label-blocked
+    * cosine pair frame at the base threshold, persisted on first use.
+    * Both q_cosine_neardup and the lshRecall gate consume it, and the
+    * salted all-pairs join that produces it dominates their cost —
+    * recomputing it per query was 10 of q_lsh_recall's 21 s (ADVICE r6).
+    * The frame is tiny (one row per near-dup pair), so MEMORY_AND_DISK
+    * holds it at any scale where the pair join itself is feasible — the
+    * same shared-CTE pattern as TextAnalysis.scoredNearDupPairs. */
+  def exactNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    exactPairCache.getOrElseUpdate((s, dir),
+      cosineNearDupPairsOn(s, dir, BaseCosineThreshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop this session's materialized pair frames — for a `dir` rewritten
+    * in place or session teardown in a multi-session JVM (the harness
+    * mains are one-session-per-JVM). Sibling: TextAnalysis
+    * .invalidateCache. */
+  def invalidateCache(s: SparkSession): Unit =
+    exactPairCache.keys.filter(_._1 eq s).foreach { k =>
+      exactPairCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
+  /** The direct (uncached) exact pair plan; see cosineNearDup. */
+  private def cosineNearDupPairsOn(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
@@ -80,7 +123,6 @@ object Embeddings {
       .select($"a_id", $"b_id", $"label",
         (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
       .filter($"cosine" >= threshold)
-      .orderBy($"a_id", $"b_id")
   }
 
   /** Label-free near-dup pairs via sign-LSH blocking
@@ -126,10 +168,36 @@ object Embeddings {
     * pairs (cosine 0.356 / 0.369, per-table collision ≈ 0.144) were
     * missed. 48 tables puts the residual miss odds at ~6e-4 per
     * boundary pair and is measured clean on this corpus; the production
-    * q_lsh_neardup keeps 32 with its ≥0.9 spec gate. */
-  def lshRecall(s: SparkSession, dir: String): DataFrame = {
+    * q_lsh_neardup keeps 32 with its ≥0.9 spec gate.
+    *
+    * Cost shape: the exact side is the session-materialized
+    * exactNearDupPairs frame — a tiny cached lookup when
+    * q_cosine_neardup already ran, ONE salted join per session
+    * otherwise (it was recomputed from scratch here, r6's single
+    * biggest bench line at 21 s).
+    *
+    * `sampleFraction` bounds the gate at production scale, where even
+    * one full exact-pair pass per round is a scale-killer: fraction f
+    * keeps vectors whose seeded id-hash falls below f (deterministic —
+    * both pair endpoints must survive, matching the pairs a sampled
+    * corpus would produce), so the gate checks recall on ~f² of the
+    * exact pairs while the approx side still runs the full corpus. A
+    * tier whose true recall regressed to r still trips the gate with
+    * probability 1 − r^(f²·N) — at N near-dup pairs per corpus even
+    * f = 0.1 catches a 10 % recall drop with ≥ 99 % odds once
+    * f²·N ≳ 460 (binomial, same math as the 48-table comment above).
+    * Full fraction (the sf0.1 driver gate) is bit-identical to the
+    * unsampled query; at scale, build the exact side from the sampled
+    * corpus directly instead of filtering the full frame. */
+  def lshRecall(s: SparkSession, dir: String,
+      sampleFraction: Double = 1.0): DataFrame = {
     import s.implicits._
-    val exact = cosineNearDup(s, dir)
+    val exactAll = exactNearDupPairs(s, dir)
+    def keep(id: Column): Column =
+      pmod(xxhash64(id, lit(48)), lit(1000000L)) <
+        lit((sampleFraction * 1e6).toLong)
+    val exact = if (sampleFraction >= 1.0) exactAll
+      else exactAll.filter(keep($"a_id") && keep($"b_id"))
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)

@@ -370,6 +370,44 @@ object Extended {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Driver-visible recall gate for the SimHash tier — the last near-dup
+    * tier without one (MinHash has q_neardup_recall, sign-LSH has
+    * q_lsh_recall, IVF has q_ivf_recall). Same exact-pair universe as
+    * q_neardup_recall (n-gram Jaccard ≥ 0.7, reusing the session-
+    * materialized scored pair frame), each pair flagged with `covered`:
+    *
+    *   covered = found-by-SimHash  OR  hamming(fp_a, fp_b) > 3
+    *
+    * The 4×16-bit pigeonhole blocking GUARANTEES detection at Hamming
+    * ≤ 3 (Dedup.simhashNearDup) — so `covered` = 0 exactly when the tier
+    * missed a pair it provably must find, and the oracle pins covered=1
+    * on the DuckDB-recomputed exact pair set. Deterministic under corpus
+    * drift, unlike an empirical found=1 pin: pairs outside the Hamming
+    * bound are covered by construction, not by measured luck, and the
+    * gate's non-vacuity (guaranteed pairs exist and are found) is pinned
+    * separately in NearDupCrossGateSpec. A broken banding/fingerprint path drives
+    * covered to 0 on the guaranteed pairs and breaks the hash match. */
+  def simhashRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = TextAnalysis.ngramJaccardPairs(s, dir, threshold = 0.7)
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val fp = d.select($"doc_id", graft.operators.Dedup.simhash($"tokens").as("fp"))
+    val approx = graft.operators.Dedup
+      .simhashNearDup(d, "doc_id", "tokens", maxHamming = 6)
+      .select($"a_id", $"b_id", lit(1L).as("__hit"))
+    exact
+      .join(fp.select($"doc_id".as("a_id"), $"fp".as("a_fp")), "a_id")
+      .join(fp.select($"doc_id".as("b_id"), $"fp".as("b_fp")), "b_id")
+      .join(approx, Seq("a_id", "b_id"), "left_outer")
+      .select($"a_id", $"b_id", $"lang", $"jaccard",
+        greatest(coalesce($"__hit", lit(0L)),
+          when(graft.operators.Dedup.hamming($"a_fp", $"b_fp") > 3, lit(1L))
+            .otherwise(lit(0L))).as("covered"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** Sign-LSH bucketed approximate top-k over embeddings (the ANN scale
     * path; recall vs the exact bruteTopK is asserted in ExtendedSpec).
     * Parameters sized for this corpus: uniform random 64-dim embeddings

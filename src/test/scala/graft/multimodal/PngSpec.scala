@@ -220,6 +220,25 @@ class PngSpec extends SparkSpec {
     assert(fromPng(0) === 8.0f && fromPng(1) === 6.0f)
   }
 
+  test("pngStats decodes every generated payload and matches the " +
+      "generator formula exactly") {
+    val out = Multimodal.pngStats(spark, n = 16).collect()
+    assert(out.length === 16)
+    assert(out.forall(_.getBoolean(6)), "a generated PNG failed to decode")
+    // recompute id=5's stats straight from the generator formula — the
+    // codec must round-trip these exact bytes
+    val id = 5L
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 7).toInt
+    val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 31 + id * 17) % 256).toByte)
+    val sums = px.grouped(3).foldLeft((0L, 0L, 0L)) { case ((r, g, b), p) =>
+      (r + (p(0) & 0xff), g + (p(1) & 0xff), b + (p(2) & 0xff))
+    }
+    val row = out.find(_.getLong(0) == id).get
+    assert(row.getInt(1) === w && row.getInt(2) === h)
+    assert((row.getLong(3), row.getLong(4), row.getLong(5)) === sums)
+  }
+
   test("resizeImages: PNG payloads resize and re-encode as PNG") {
     val spark2 = spark
     import spark2.implicits._

@@ -65,6 +65,34 @@ class NearDupCrossGateSpec extends SparkSpec {
     }
   }
 
+  test("q_simhash_recall: guaranteed (Hamming<=3) strong pairs exist " +
+      "and the tier finds every one") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Extended.simhashRecall(spark, dir).collect()
+    assert(rows.nonEmpty, "no exact strong pairs at sf0.01 — corpus changed?")
+    // the driver-pinned invariant: no guaranteed pair missed
+    assert(rows.forall(_.getLong(4) === 1L),
+      "covered=0: SimHash missed a pigeonhole-guaranteed pair")
+    // non-vacuity: the covered pin would hold trivially if every strong
+    // pair sat outside the Hamming-3 guarantee — recompute fingerprints
+    // driver-side (500 docs) and require at least one guaranteed pair
+    val fp = Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.operators.Dedup.simhash(TextAnalysis.toks($"text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val guaranteed = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => java.lang.Long.bitCount(fp(a) ^ fp(b)) <= 3 }
+    assert(guaranteed.nonEmpty,
+      "gate vacuous: no strong pair within the Hamming-3 guarantee")
+    val found = Extended.simhashNearDup(spark, dir)
+      .select($"a_id", $"b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = guaranteed.filterNot(found)
+    assert(missed.isEmpty,
+      s"SimHash tier missed guaranteed pairs: ${missed.take(5).mkString(", ")}")
+  }
+
   test("q_minhash_neardup finds every strongly-similar pair in the corpus") {
     val spark2 = spark
     import spark2.implicits._
