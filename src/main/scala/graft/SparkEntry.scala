@@ -49,7 +49,7 @@ object SparkEntry {
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
-    "q_tfidf_topk", "q_embed_stats", "q_png_stats",
+    "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -146,6 +146,7 @@ object SparkEntry {
     // through the real codec seam; rows-only by design (DuckDB cannot
     // decode PNG — exact sums for one id are pinned in PngSpec instead)
     "q_png_stats"         -> ((s, _) => graft.multimodal.Multimodal.pngStats(s)),
+    "q_jpeg_stats"        -> ((s, _) => graft.multimodal.Multimodal.jpegStats(s)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts

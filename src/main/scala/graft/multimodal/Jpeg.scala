@@ -1,0 +1,733 @@
+package graft.multimodal
+
+/** Pure-JVM baseline JPEG codec (ITU-T T.81) — the third real image codec
+  * behind the Multimodal.decodeImage seam, next to PPM and PNG. No native
+  * library: Huffman, dequant, IDCT and color conversion are plain JVM
+  * code, so JPEG payloads now decode FOR REAL in this container; only
+  * audio/video remain deterministic fakes.
+  *
+  * Decoder coverage (the sequential baseline of T.81): SOF0, 8-bit
+  * precision, 1 (grayscale) or 3 (YCbCr/JFIF) components, sampling
+  * factors 1-2 in each axis (4:4:4, 4:2:2, 4:2:0, 4:4:0), Huffman tables
+  * from DHT, restart intervals (DRI + RST0-7), 0xFF00 byte stuffing.
+  * Everything else — progressive (SOF2), extended sequential, arithmetic
+  * coding, 12-bit, 4-component CMYK — returns None, the same
+  * malformed-input contract as Ppm.decode and Png.decode. Output lands
+  * in the shared packed-RGB `Ppm.Image` (gray expanded), like PNG.
+  *
+  * Encoder: 8-bit RGB, 4:4:4, one flat quantization table (quality knob
+  * `q` — small values near-lossless), and simple single-length canonical
+  * Huffman tables DECLARED IN THE DHT SEGMENT (12×4-bit DC codes,
+  * 162×8-bit AC codes): any conformant decoder reads them like the Annex
+  * K defaults, they are just not entropy-optimal — fine for a pipeline
+  * codec whose job is correctness, determinism and round-trip testing.
+  */
+object Jpeg {
+
+  // ---------------------------------------------------------------- shared
+
+  /** zigzag index: zigzag[i] = raster position of the i-th coefficient. */
+  private val Zigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var (x, y, i) = (0, 0, 0)
+    var up = true
+    while (i < 64) {
+      z(i) = y * 8 + x
+      i += 1
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+    }
+    z
+  }
+
+  /** cos((2x+1)·u·π/16) table for the float DCT pair. */
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    for (x <- 0 until 8; u <- 0 until 8)
+      t(x * 8 + u) = math.cos((2 * x + 1) * u * math.Pi / 16)
+    t
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  private def clamp255(v: Double): Int =
+    if (v < 0) 0 else if (v > 255) 255 else (v + 0.5).toInt
+
+  // --------------------------------------------------------------- decoder
+
+  /** Canonical Huffman table built from DHT's BITS/HUFFVAL: for decode we
+    * keep (code, length) → symbol via per-length first-code arithmetic
+    * (T.81 Annex C). */
+  private final class HuffTable(bits: Array[Int], vals: Array[Byte]) {
+    // minCode(l), maxCode(l) (inclusive; -1 = no codes), valPtr(l)
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1)
+          k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    /** Decode one symbol; -1 on exhausted/invalid input. */
+    def decode(in: BitReader): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        val b = in.readBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l)) & 0xff
+        l += 1
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00,
+    * stops at any other marker (the caller handles RSTn). */
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var cnt = 0
+    var hitMarker = false
+
+    def readBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= data.length) return -1
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= data.length) return -1
+          val b2 = data(pos) & 0xff
+          if (b2 == 0x00) { pos += 1 } // stuffed FF
+          else { pos -= 1; hitMarker = true; return -1 }
+          b = 0xff
+        }
+        acc = b; cnt = 8
+      }
+      cnt -= 1
+      (acc >> cnt) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = readBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        i += 1
+      }
+      v
+    }
+
+    /** Reset at a restart marker: discard partial byte, expect FFDn
+      * (skipping a stuffed FF00 the 1-bit padding may have produced). */
+    def restart(): Boolean = {
+      cnt = 0
+      if (pos + 1 < data.length && (data(pos) & 0xff) == 0xff &&
+        (data(pos + 1) & 0xff) == 0x00) pos += 2
+      if (pos + 1 >= data.length) return false
+      if ((data(pos) & 0xff) != 0xff) return false
+      val m = data(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      hitMarker = false
+      true
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map the raw `s`-bit value to its signed level. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTab: HuffTable = null
+    var acTab: HuffTable = null
+    var pred: Int = 0 // DC predictor
+    var plane: Array[Int] = null // full-res-in-component-space samples
+    var planeW: Int = 0
+    var planeH: Int = 0
+  }
+
+  /** Parse a JPEG payload to packed RGB; None for anything malformed or
+    * outside the supported baseline. */
+  def decode(bytes: Array[Byte]): Option[Ppm.Image] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None // SOI
+    var pos = 2
+    val quant = new Array[Array[Int]](4)
+    val huffDc = new Array[HuffTable](4)
+    val huffAc = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width, height = -1
+    var restartInterval = 0
+
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd8) return None // stray SOI
+      if (marker == 0xd9) return None // EOI before any scan completed
+      val len = u16(pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val seg = pos + 4
+      val segLen = len - 2
+      marker match {
+        case 0xdb => // DQT — possibly several tables per segment
+          var p = seg
+          while (p < seg + segLen) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            if (p + 65 > seg + segLen) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(Zigzag(i)) = bytes(p + 1 + i) & 0xff; i += 1 }
+            quant(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT — possibly several tables per segment
+          var p = seg
+          while (p < seg + segLen) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            if (p + 17 > seg + segLen) return None
+            val bits = Array.tabulate(16)(i => bytes(p + 1 + i) & 0xff)
+            val n = bits.sum
+            if (n == 0 || n > 256 || p + 17 + n > seg + segLen) return None
+            val vals = java.util.Arrays.copyOfRange(bytes, p + 17, p + 17 + n)
+            val tab = new HuffTable(bits, vals)
+            if (tc == 0) huffDc(th) = tab else huffAc(th) = tab
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0 — baseline sequential
+          if (segLen < 6) return None
+          if ((bytes(seg) & 0xff) != 8) return None // 8-bit precision
+          height = u16(seg + 1)
+          width = u16(seg + 3)
+          val nc = bytes(seg + 5) & 0xff
+          if (width <= 0 || height <= 0 ||
+            width.toLong * height * 3 > Int.MaxValue - 64) return None
+          if (nc != 1 && nc != 3) return None
+          if (segLen < 6 + 3 * nc) return None
+          comps = Array.tabulate(nc) { i =>
+            val o = seg + 6 + 3 * i
+            val id = bytes(o) & 0xff
+            val h = (bytes(o + 1) & 0xff) >> 4
+            val v = bytes(o + 1) & 0x0f
+            val tq = bytes(o + 2) & 0xff
+            if (h < 1 || h > 2 || v < 1 || v > 2 || tq > 3) return None
+            Component(id, h, v, tq)
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF (progressive, arithmetic, …)
+        case 0xdd => // DRI
+          if (segLen < 2) return None
+          restartInterval = u16(seg)
+        case 0xda => // SOS — decode the single baseline scan
+          if (comps == null) return None
+          val ns = bytes(seg) & 0xff
+          if (ns != comps.length || segLen < 1 + 2 * ns) return None
+          for (i <- 0 until ns) {
+            val cid = bytes(seg + 1 + 2 * i) & 0xff
+            val td = (bytes(seg + 2 + 2 * i) & 0xff) >> 4
+            val ta = bytes(seg + 2 + 2 * i) & 0x0f
+            val c = comps.find(_.id == cid).getOrElse(return None)
+            if (td > 3 || ta > 3 ||
+              huffDc(td) == null || huffAc(ta) == null) return None
+            c.dcTab = huffDc(td)
+            c.acTab = huffAc(ta)
+            if (quant(c.tq) == null) return None
+          }
+          return decodeScan(bytes, pos + 2 + len, comps, quant, width, height,
+            restartInterval)
+        case m if m >= 0xe0 && m <= 0xef => () // APPn skipped
+        case 0xfe => () // COM skipped
+        case _ => return None
+      }
+      pos += 2 + len
+    }
+    None // ran out of segments without a scan
+  }
+
+  /** Entropy-decode the scan: MCU loop → per-component blocks → dequant →
+    * IDCT into component planes → color-convert with per-axis replication
+    * upsampling. */
+  private def decodeScan(bytes: Array[Byte], start: Int,
+      comps: Array[Component], quant: Array[Array[Int]],
+      width: Int, height: Int, restartInterval: Int): Option[Ppm.Image] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // allocation guard (same contract as Png.decode's rawLen-vs-IDAT
+    // bound): every 8×8 block costs at least 2 entropy bits (shortest DC
+    // code + EOB), so header-claimed dimensions the actual payload cannot
+    // cover are rejected BEFORE the planes are allocated — a few-hundred-
+    // byte forged SOF0 can't force quarter-GB allocations
+    val totalBlocks =
+      mcusX.toLong * mcusY * comps.map(c => c.h * c.v).sum
+    if ((bytes.length - start).toLong < totalBlocks / 4) return None
+    comps.foreach { c =>
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      if (c.planeW.toLong * c.planeH > Int.MaxValue - 64) return None
+      c.plane = new Array[Int](c.planeW * c.planeH)
+    }
+
+    val in = new BitReader(bytes, start)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        comps.foreach(_.pred = 0)
+        if (!in.restart()) return None
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // one 8×8 block
+            java.util.Arrays.fill(coef, 0)
+            val s = c.dcTab.decode(in)
+            if (s < 0 || s > 11) return None
+            val diffRaw = if (s == 0) 0 else in.receive(s)
+            if (diffRaw == Int.MinValue) return None
+            c.pred += extend(diffRaw, s)
+            coef(0) = c.pred * qt(0)
+            var k = 1
+            while (k < 64) {
+              val rs = c.acTab.decode(in)
+              if (rs < 0) return None
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63 || sz > 10) return None
+                val vRaw = in.receive(sz)
+                if (vRaw == Int.MinValue) return None
+                coef(Zigzag(k)) = extend(vRaw, sz) * qt(Zigzag(k))
+                k += 1
+              }
+            }
+            idct8x8(coef, pix)
+            // store into the component plane
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              val rowBase = (oy + y) * c.planeW + ox
+              while (x < 8) {
+                c.plane(rowBase + x) = pix(y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // color conversion with per-axis sample replication (h/v scale by
+    // hMax/c.h — integral since factors are 1 or 2)
+    val rgb = new Array[Byte](width * height * 3)
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = c.plane((y * c.v / vMax) * c.planeW + (x * c.h / hMax))
+          val o = (y * width + x) * 3
+          rgb(o) = g.toByte; rgb(o + 1) = g.toByte; rgb(o + 2) = g.toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val cy = comps(0); val cb = comps(1); val cr = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = cy.plane((y * cy.v / vMax) * cy.planeW + (x * cy.h / hMax))
+          val b = cb.plane((y * cb.v / vMax) * cb.planeW + (x * cb.h / hMax))
+          val r = cr.plane((y * cr.v / vMax) * cr.planeW + (x * cr.h / hMax))
+          val o = (y * width + x) * 3
+          rgb(o) = clamp255(yy + 1.402 * (r - 128)).toByte
+          rgb(o + 1) =
+            clamp255(yy - 0.344136 * (b - 128) - 0.714136 * (r - 128)).toByte
+          rgb(o + 2) = clamp255(yy + 1.772 * (b - 128)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some(Ppm.Image(width, height, rgb))
+  }
+
+  /** Separable double-precision IDCT (T.81 A.3.3) + level shift + clamp.
+    * Not speed-tuned (an AAN integer transform would be) — this codec's
+    * role is correctness behind the kernel seam. */
+  private def idct8x8(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: for each y, 1-D IDCT over u
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          s += cu * coef(y * 8 + u) * Cos(x * 8 + u)
+          u += 1
+        }
+        tmp(y * 8 + x) = s / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    // cols: for each x, 1-D IDCT over v
+    var x2 = 0
+    while (x2 < 8) {
+      var y2 = 0
+      while (y2 < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * tmp(v * 8 + x2) * Cos(y2 * 8 + v)
+          v += 1
+        }
+        out(y2 * 8 + x2) = clamp255(s / 2.0 + 128.0)
+        y2 += 1
+      }
+      x2 += 1
+    }
+  }
+
+  // --------------------------------------------------------------- encoder
+
+  /** Forward 8×8 DCT (level-shifted input in [-128,127]). */
+  private def fdct8x8(in: Array[Int], out: Array[Double]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += in(y * 8 + x) * Cos(x * 8 + u); x += 1 }
+        tmp(y * 8 + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    var v = 0
+    while (v < 8) {
+      var u2 = 0
+      while (u2 < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(y * 8 + u2) * Cos(y * 8 + v); y += 1 }
+        val cu = if (u2 == 0) InvSqrt2 else 1.0
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        out(v * 8 + u2) = cu * cv * s / 4.0
+        u2 += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Size category: smallest s with |v| < 2^s. */
+  private def category(v: Int): Int = {
+    var a = math.abs(v)
+    var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var cnt = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Flush with 1-bit padding (T.81 F.1.2.3). */
+    def flush(): Unit = if (cnt > 0) write(0xff >> cnt, 8 - cnt)
+  }
+
+  // Encoder Huffman tables: canonical single-length codes declared in DHT.
+  // DC: 12 symbols (categories 0-11) as 4-bit codes 0..11; AC: the 162
+  // baseline symbols (EOB, ZRL, (run 0-15 × size 1-10)) as 8-bit codes in
+  // symbol order. Both leave the all-ones code unused, as conformant
+  // tables must.
+  private val EncDcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val EncDcVals: Array[Int] = (0 to 11).toArray
+  private val EncAcVals: Array[Int] = {
+    val syms = scala.collection.mutable.ArrayBuffer[Int](0x00, 0xf0)
+    for (r <- 0 to 15; s <- 1 to 10) syms += ((r << 4) | s)
+    syms.toArray // 162 symbols
+  }
+  private val EncAcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, EncAcVals.length, 0, 0, 0, 0, 0, 0, 0, 0)
+  /** symbol → (code, len) for a single-length canonical table. */
+  private def encTable(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val len = bits.indexWhere(_ > 0) + 1
+    vals.zipWithIndex.map { case (sym, i) => sym -> ((i, len)) }.toMap
+  }
+  private val EncDc = encTable(EncDcBits, EncDcVals)
+  private val EncAc = encTable(EncAcBits, EncAcVals)
+
+  /** Encode packed RGB as baseline JFIF JPEG (4:4:4, flat quant table
+    * `q`). Small `q` ⇒ near-lossless; the default keeps round-trip error
+    * within a couple of levels per channel (DCT rounding + chroma
+    * transform), pinned in JpegSpec. `restartInterval` > 0 emits DRI +
+    * RST markers every that-many MCUs (exercises the decoder's restart
+    * resync; production encoders use it for error resilience). */
+  def encode(img: Ppm.Image, q: Int = 2, restartInterval: Int = 0): Array[Byte] =
+    encodeInternal(img, q, nComps = 3, subsample = false, restartInterval)
+
+  /** 4:2:0 twin: chroma box-averaged 2×2 (the dominant camera/web
+    * sampling) — exercises the decoder's multi-block MCU + upsampling
+    * path. Chroma subsampling adds its own loss on top of `q`. */
+  def encode420(img: Ppm.Image, q: Int = 2, restartInterval: Int = 0): Array[Byte] =
+    encodeInternal(img, q, nComps = 3, subsample = true, restartInterval)
+
+  /** Grayscale twin: encodes the luminance of the packed-RGB input as a
+    * 1-component baseline JPEG — exercises the decoder's grayscale path
+    * (which expands back to packed RGB like PNG color type 0). */
+  def encodeGray(img: Ppm.Image, q: Int = 2): Array[Byte] =
+    encodeInternal(img, q, nComps = 1, subsample = false, 0)
+
+  private def encodeInternal(img: Ppm.Image, q: Int, nComps: Int,
+      subsample: Boolean, restartInterval: Int): Array[Byte] = {
+    require(q >= 1 && q <= 255, s"quant value out of range: $q")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+
+    marker(0xd8) // SOI
+    // APP0/JFIF
+    marker(0xe0); u16(16)
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => u8(c.toInt))
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    // DQT: one flat table, id 0, used by all components
+    marker(0xdb); u16(2 + 65); u8(0x00)
+    var i = 0
+    while (i < 64) { u8(q); i += 1 }
+    // per-component sampling factors: luma leads in 4:2:0, all-1 otherwise
+    val factors: Array[(Int, Int)] =
+      if (nComps == 1) Array((1, 1))
+      else if (subsample) Array((2, 2), (1, 1), (1, 1))
+      else Array.fill(3)((1, 1))
+    val hMax = factors.map(_._1).max
+    val vMax = factors.map(_._2).max
+
+    // SOF0: declared sampling factors, all quant table 0
+    marker(0xc0); u16(8 + 3 * nComps); u8(8)
+    u16(img.height); u16(img.width); u8(nComps)
+    for (cid <- 1 to nComps) {
+      u8(cid)
+      u8((factors(cid - 1)._1 << 4) | factors(cid - 1)._2)
+      u8(0)
+    }
+    // DHT: DC table 0 + AC table 0 (shared by all components)
+    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length); u8(tcTh)
+      bits.foreach(u8); vals.foreach(u8)
+    }
+    dht(0x00, EncDcBits, EncDcVals)
+    dht(0x10, EncAcBits, EncAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    // SOS
+    marker(0xda); u16(6 + 2 * nComps); u8(nComps)
+    for (cid <- 1 to nComps) { u8(cid); u8(0x00) }
+    u8(0); u8(63); u8(0)
+
+    def ycc(px: Int, chan: Int): Int = {
+      val r = img.pixels(px) & 0xff
+      val g = img.pixels(px + 1) & 0xff
+      val b = img.pixels(px + 2) & 0xff
+      chan match {
+        case 0 => clamp255(0.299 * r + 0.587 * g + 0.114 * b)
+        case 1 => clamp255(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        case 2 => clamp255(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
+      }
+    }
+
+    // component planes in component space: chroma box-averaged over the
+    // (hMax/h)×(vMax/v) source footprint, borders edge-replicated
+    val planes: Array[(Array[Int], Int, Int)] = Array.tabulate(nComps) { c =>
+      val (h, v) = factors(c)
+      val sx = hMax / h
+      val sy = vMax / v
+      val cw = (img.width + sx - 1) / sx
+      val ch = (img.height + sy - 1) / sy
+      val p = new Array[Int](cw * ch)
+      var y = 0
+      while (y < ch) {
+        var x = 0
+        while (x < cw) {
+          var sum = 0
+          var n = 0
+          var dy = 0
+          while (dy < sy) {
+            val iy = math.min(y * sy + dy, img.height - 1)
+            var dx = 0
+            while (dx < sx) {
+              val ix = math.min(x * sx + dx, img.width - 1)
+              sum += ycc((iy * img.width + ix) * 3, c)
+              n += 1
+              dx += 1
+            }
+            dy += 1
+          }
+          p(y * cw + x) = (sum + n / 2) / n
+          x += 1
+        }
+        y += 1
+      }
+      (p, cw, ch)
+    }
+
+    // entropy-coded data: MCU = h×v blocks per component
+    val bw = new BitWriter(out)
+    val mcusX = (img.width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (img.height + 8 * vMax - 1) / (8 * vMax)
+    val pred = new Array[Int](nComps)
+    val block = new Array[Int](64)
+    val dct = new Array[Double](64)
+    val qcoef = new Array[Int](64)
+    var mcu = 0
+    var rst = 0
+
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + rst % 8)
+          rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        var chan = 0
+        while (chan < nComps) {
+          val (plane, cw, ch) = planes(chan)
+          val (fh, fv) = factors(chan)
+          var by = 0
+          while (by < fv) {
+          var bx = 0
+          while (bx < fh) {
+          // gather the 8×8 block (edge-replicated past the plane border)
+          var y = 0
+          while (y < 8) {
+            val sy = math.min((my * fv + by) * 8 + y, ch - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min((mx * fh + bx) * 8 + x, cw - 1)
+              block(y * 8 + x) = plane(sy * cw + sx) - 128
+              x += 1
+            }
+            y += 1
+          }
+          fdct8x8(block, dct)
+          var k = 0
+          while (k < 64) {
+            qcoef(k) = math.round(dct(Zigzag(k)) / q).toInt
+            k += 1
+          }
+          // DC
+          val diff = qcoef(0) - pred(chan)
+          pred(chan) = qcoef(0)
+          val s = category(diff)
+          val (dcCode, dcLen) = EncDc(s)
+          bw.write(dcCode, dcLen)
+          if (s > 0)
+            bw.write(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          // AC with run-lengths
+          var run = 0
+          k = 1
+          while (k < 64) {
+            val v = qcoef(k)
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { val (c, l) = EncAc(0xf0); bw.write(c, l); run -= 16 }
+              val sz = category(v)
+              val (c, l) = EncAc((run << 4) | sz)
+              bw.write(c, l)
+              bw.write(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (c, l) = EncAc(0x00); bw.write(c, l) } // EOB
+          bx += 1
+          }
+          by += 1
+          }
+          chan += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

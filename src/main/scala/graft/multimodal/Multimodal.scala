@@ -95,6 +95,50 @@ object Multimodal {
   case class PngStat(media_id: Long, width: Int, height: Int,
     sum_r: Long, sum_g: Long, sum_b: Long, decoded: Boolean)
 
+  case class JpegStat(media_id: Long, width: Int, height: Int,
+    max_err: Int, decoded: Boolean)
+
+  /** q_png_stats' JPEG sibling (q_jpeg_stats): the same seeded generated
+    * batch round-tripped through Jpeg.encode → decodeImage. JPEG is lossy,
+    * so instead of exact sums the row carries the max per-pixel round-trip
+    * error — deterministic for a fixed codec, so a Huffman/IDCT/quant
+    * regression moves the value and shows up in the round's rows; the
+    * error bound itself is pinned in JpegSpec. */
+  def jpegStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 64): DataFrame = {
+    import spark.implicits._
+    spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val w = 8 + (id % 11).toInt
+        val h = 8 + (id % 5).toInt
+        // smooth two-axis gradient (phase-shifted by id): content the DCT
+        // represents compactly, keeping the lossy error small and stable
+        val px = Array.tabulate[Byte](w * h * 3) { i =>
+          val p = i / 3; val c = i % 3
+          val x = p % w; val y = p / w
+          ((x * 255 / math.max(1, w - 1) * (2 - c) +
+            y * 255 / math.max(1, h - 1) * c) / 2 + id.toInt * 3 % 32).toByte
+        }
+        val img = Ppm.Image(w, h, px)
+        decodeImage(Jpeg.encode(img)) match {
+          case Some((d, "jpg")) if d.width == w && d.height == h =>
+            var err = 0
+            var i = 0
+            while (i < px.length) {
+              val e = math.abs((px(i) & 0xff) - (d.pixels(i) & 0xff))
+              if (e > err) err = e
+              i += 1
+            }
+            JpegStat(id, d.width, d.height, err, decoded = true)
+          case _ => JpegStat(id, -1, -1, -1, decoded = false)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Driver-evidence query for the REAL PNG codec (q_png_stats): the test
     * corpus has no image table, so the batch is generated — each row
     * builds a deterministic seeded RGB image (dims and pixels pure
