@@ -50,6 +50,7 @@ object SparkEntry {
     "q_lang_id", "q_fingerprint", "q_df_score",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
+    "q_wav_stats", "q_video_stats",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -147,6 +148,10 @@ object SparkEntry {
     // decode PNG — exact sums for one id are pinned in PngSpec instead)
     "q_png_stats"         -> ((s, _) => graft.multimodal.Multimodal.pngStats(s)),
     "q_jpeg_stats"        -> ((s, _) => graft.multimodal.Multimodal.jpegStats(s)),
+    // same pattern for the real WAV + Y4M kernels: seeded generated
+    // clips round-trip through the codec seams, integer features
+    "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
+    "q_video_stats"       -> ((s, _) => graft.multimodal.Multimodal.videoStats(s)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
@@ -1231,6 +1236,74 @@ object SparkEntry {
         |  CAST(sum(q_sum) AS BIGINT) AS sum_q16
         |FROM q GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // Multimodal codec gates: the generated clips/images are pure integer
+    // functions of media_id (Multimodal.{wavStats,pngStats,videoStats}),
+    // so the oracle recomputes what a CORRECT encode→decode round trip
+    // MUST yield straight from the generator formulas — DuckDB never
+    // decodes a byte, yet any codec regression (chunk walk, filter,
+    // zlib, plane math) breaks the bit-match. JPEG stays rows-only:
+    // its values depend on the lossy transform itself.
+    "q_wav_stats" ->
+      // square wave of ±amp: rms == amp exactly (every sample ±amp, the
+      // double accumulation is exact at these magnitudes), zero
+      // crossings = floor((frames-1)/period), duration = frames*1000/rate
+      """SELECT id AS media_id,
+        |  CAST(8000 + (id % 5) * 2000 AS INT) AS sample_rate,
+        |  CAST(1 + (id % 2) AS INT) AS channels,
+        |  CAST(((400 + (id % 97) * 10) * 1000)
+        |    // (8000 + (id % 5) * 2000) AS BIGINT) AS duration_ms,
+        |  CAST((3000 + 100 * (id % 29)) * 256 AS BIGINT) AS rms256,
+        |  CAST(3000 + 100 * (id % 29) AS INT) AS peak,
+        |  CAST((400 + (id % 97) * 10 - 1)
+        |    // (20 + (id % 13)) AS BIGINT) AS zero_crossings,
+        |  true AS decoded
+        |FROM range(64) t(id)
+        |ORDER BY media_id""".stripMargin,
+
+    "q_png_stats" ->
+      // pixel i carries ((31*i + 17*id) mod 256); channel c of pixel p is
+      // i = 3p + c, so sum_c = Σ_p ((93p + 31c + 17id) mod 256) over the
+      // w×h raster (w = 4 + id%13, h = 3 + id%7, wh ≤ 144)
+      """WITH imgs AS (
+        |  SELECT id, (4 + (id % 13)) AS w, (3 + (id % 7)) AS h
+        |  FROM range(64) t(id)
+        |), px AS (
+        |  SELECT id, w, h, p FROM imgs CROSS JOIN range(144) r(p)
+        |  WHERE p < w * h
+        |)
+        |SELECT id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(sum((93 * p + 17 * id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((93 * p + 31 + 17 * id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((93 * p + 62 + 17 * id) % 256) AS BIGINT) AS sum_b,
+        |  true AS decoded
+        |FROM px GROUP BY id, w, h
+        |ORDER BY media_id""".stripMargin,
+
+    "q_video_stats" ->
+      // 4 fps clips of nf = 3 + id%6 frames → duration nf*250 ms; frame
+      // sampling at 500 ms picks idx = 2k while 500k < nf*250 and 2k < nf;
+      // Y-plane byte i of frame f is ((7i + 31f + 13id) mod 256), so
+      // mean_luma256 = (Σ_i value) * 256 // (w*h) with w*h ≤ 160
+      """WITH vids AS (
+        |  SELECT id, (8 + (id % 5) * 2) AS w, (6 + (id % 3) * 2) AS h,
+        |    (3 + (id % 6)) AS nf
+        |  FROM range(32) t(id)
+        |), fidx AS (
+        |  SELECT id, w, h, (2 * k) AS f FROM vids CROSS JOIN range(4) r(k)
+        |  WHERE 500 * k < nf * 250 AND 2 * k < nf
+        |), luma AS (
+        |  SELECT id, w, h, f, sum((7 * p + 31 * f + 13 * id) % 256) AS s
+        |  FROM fidx CROSS JOIN range(160) q(p) WHERE p < w * h
+        |  GROUP BY id, w, h, f
+        |)
+        |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(f * 250 AS BIGINT) AS frame_ms,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((s * 256) // (w * h) AS BIGINT) AS mean_luma256
+        |FROM luma
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // multiset intersection (reference F3/Q5: Seq.intersect preserves
     // multiplicity) = Σ_token least(count_a, count_b), via per-pair unnest

@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * Kernels: P6 PPM, baseline PNG and baseline JPEG images decode/resize/
   * featurize FOR REAL (graft.multimodal.{Ppm, Png, Jpeg} — pure JVM,
   * zlib from the JDK, own Huffman+IDCT; no codec library needed; see
-  * `resizeImages` and `Ppm.featureKernel`). Formats whose codecs
-  * genuinely need native libraries (audio/video) stay behind a
-  * deterministic fake (this container has no media libs — builder
-  * prompt): for those, the Spark-side contract — schema, batch shape,
-  * partitioning, null paths — is real and tested, and a real kernel
-  * (JNI or `mapInPandas` on a PySpark deployment) swaps in without
-  * touching callers.
+  * `resizeImages` and `Ppm.featureKernel`); RIFF/WAVE PCM audio and
+  * YUV4MPEG2 video likewise decode FOR REAL (graft.multimodal.{Wav,
+  * Y4m} — see `audioFeatures` and `sampleVideoFrames`). Only compressed
+  * audio/video codecs (MP3/AAC, H.264/VP9) remain behind a deterministic
+  * fake (they genuinely need native decoders and this container has no
+  * media libs — builder prompt): for those, the Spark-side contract —
+  * schema, batch shape, partitioning, null paths — is real and tested,
+  * and a real kernel (JNI or `mapInPandas` on a PySpark deployment)
+  * swaps in without touching callers.
   */
 object Multimodal {
 
@@ -177,6 +179,118 @@ object Multimodal {
       }
       .toDF()
       .orderBy("media_id")
+  }
+
+  case class AudioFeature(media_id: Long, sample_rate: Int, channels: Int,
+    duration_ms: Long, rms256: Long, peak: Int, zero_crossings: Long,
+    decoded: Boolean)
+
+  /** REAL audio featurization for WAV payloads: decode → duration / RMS
+    * (×256, integer so reruns bit-match) / peak / zero-crossing count.
+    * Non-WAV payloads emit decoded=false rows instead of dying — the
+    * corrupt-channel pattern every ingest path here follows. Distributed
+    * as a typed map, one decode per row per task. */
+  def audioFeatures(df: DataFrame): Dataset[AudioFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        Wav.decode(bytes) match {
+          case Some(a) =>
+            AudioFeature(id, a.sampleRate, a.channels, a.durationMs,
+              math.round(Wav.rms(a) * 256), Wav.peak(a),
+              Wav.zeroCrossings(a), decoded = true)
+          case None => AudioFeature(id, -1, -1, -1L, 0L, 0, 0L,
+            decoded = false)
+        }
+      }
+  }
+
+  case class VideoFrame(media_id: Long, frame_idx: Int, frame_ms: Long,
+    width: Int, height: Int, mean_luma256: Long)
+
+  /** REAL frame sampling for Y4M payloads: decode → pick frame indices at
+    * `everyMs`-spaced timestamps → emit one row per sampled frame with
+    * its mean luma (×256, integer). The explode shape `sampleFrames`
+    * stubs, made real; undecodable payloads contribute no rows (the
+    * filter-out contract — a production pipeline would tee them to a
+    * corrupt channel like Tables.jsonl does). One decode per row per
+    * task, flatMap so a long video never materializes all frames as
+    * rows at once. */
+  def sampleVideoFrames(df: DataFrame, everyMs: Long): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(everyMs > 0, s"everyMs must be positive: $everyMs")
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Y4m.decode(bytes) match {
+          case Some(v) =>
+            Y4m.sampleIndices(v, everyMs).map { idx =>
+              VideoFrame(id, idx,
+                idx.toLong * 1000L * v.fpsDen / v.fpsNum,
+                v.width, v.height, Y4m.meanLuma256(v, idx))
+            }
+          case None => Seq.empty
+        }
+      }
+  }
+
+  /** Driver-evidence query for the REAL WAV codec (q_wav_stats): same
+    * pattern as q_png_stats — the corpus has no audio table, so each row
+    * generates a deterministic seeded PCM clip (square-ish integer wave,
+    * pure function of media_id), encodes with Wav.encode, decodes back
+    * through audioFeatures' seam, and emits integer features that
+    * bit-match across reruns. A codec regression (chunk walk, sample
+    * widening, size guard) moves a value or flips `decoded`. */
+  def wavStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 64): DataFrame = {
+    import spark.implicits._
+    val clips = spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val rate = 8000 + (id % 5).toInt * 2000
+        val channels = 1 + (id % 2).toInt
+        val frames = 400 + (id % 97).toInt * 10
+        val period = 20 + (id % 13).toInt
+        val samples = Array.tabulate[Short](frames * channels) { i =>
+          val f = i / channels
+          val amp = (3000 + 100 * (id % 29)).toInt
+          (if ((f / period) % 2 == 0) amp else -amp).toShort
+        }
+        (id, Wav.encode(Wav.Audio(rate, channels, samples)))
+      }
+      .toDF("media_id", "payload")
+    audioFeatures(clips).toDF().orderBy("media_id")
+  }
+
+  /** Driver-evidence query for the REAL Y4M parser (q_video_stats): each
+    * row generates a seeded 4:2:0 clip (per-frame gradient planes, pure
+    * function of media_id), encodes with Y4m.encode, and runs the real
+    * sampleVideoFrames kernel — one row per sampled frame, integer
+    * mean-luma values that bit-match across reruns. */
+  def videoStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 32, everyMs: Long = 500L): DataFrame = {
+    import spark.implicits._
+    val clips = spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val w = 8 + (id % 5).toInt * 2
+        val h = 6 + (id % 3).toInt * 2
+        val nFrames = 3 + (id % 6).toInt
+        val frames = Vector.tabulate(nFrames) { f =>
+          Array.tabulate[Byte](w * h * 3 / 2) { i =>
+            ((i * 7 + f * 31 + id * 13) % 256).toByte
+          }
+        }
+        (id, Y4m.encode(Y4m.Video(w, h, 4, 1, subsampled = true, frames)))
+      }
+      .toDF("media_id", "payload")
+    sampleVideoFrames(clips, everyMs).toDF()
+      .orderBy("media_id", "frame_idx")
   }
 
   /** Metadata-only resize stub: passes bytes through, rewrites the
