@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer with DISTRIBUTED vocabulary learning —
+  * the missing piece between the whitespace/regex token counters
+  * (queries/TextAnalysis) and a real LLM training-data pipeline, where
+  * token budgets, packing and dedup all operate on learned subword ids.
+  *
+  * Scale shape (the same two-phase design HF `tokenizers` and
+  * SentencePiece use, re-expressed for a cluster):
+  *
+  *  1. ONE distributed pass builds the word histogram — explode words,
+  *     groupBy(word).count (map-side partial agg), cap to the top
+  *     `maxWords` by frequency. The histogram, NOT the corpus, is what
+  *     merge learning consumes: at 100 TB the corpus has ~10^10 distinct
+  *     raw words but the top 1M carry essentially all merge mass, so the
+  *     capped histogram is MBs and the cap is the documented (logged)
+  *     approximation knob.
+  *  2. Merge learning runs driver-side over that histogram — each round
+  *     counts adjacent symbol pairs weighted by word frequency and fuses
+  *     the argmax. This is O(vocab × distinct-words), independent of
+  *     corpus size; a per-round distributed pair count would shuffle the
+  *     corpus `vocabSize` times for the same answer.
+  *  3. Tokenization broadcasts the learned merge ranks (small: one entry
+  *     per merge) and applies them per word inside mapPartitions —
+  *     embarrassingly parallel, no shuffle.
+  *
+  * Determinism: pair counting uses exact Long weights and ties break on
+  * the lexicographically smallest pair, so the learned merges are a pure
+  * function of the corpus — reruns bit-match, and the DuckDB oracle for
+  * q_bpe_tokens can't drift.
+  *
+  * Symbols are Unicode codepoint strings (not UTF-8 bytes): the corpus
+  * is ASCII word salad, and codepoint granularity keeps the oracle SQL
+  * and specs readable. `</w>` marks word ends, GPT-2 style, so merges
+  * can't cross word boundaries.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to each word's symbol sequence. */
+  val EndOfWord = "</w>"
+
+  final case class Merge(left: String, right: String, rank: Int)
+
+  /** Learned tokenizer state: merges in learned order. */
+  final case class Model(merges: Seq[Merge]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+  }
+
+  /** Split a word into initial symbols: one per codepoint, plus `</w>`. */
+  def initialSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Apply learned merges to one word (greedy lowest-rank-first — the
+    * standard BPE encode): repeatedly fuse the adjacent pair with the
+    * smallest rank until no adjacent pair is mergeable. */
+  def encodeWord(word: String, model: Model): Vector[String] = {
+    var syms = initialSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = model.ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+        syms.drop(bestAt + 2)
+    }
+    syms
+  }
+
+  /** Phase 1+2: learn `vocabSize` merges from the corpus word histogram.
+    * `maxWords` caps the histogram (top-by-frequency, ties by word, so
+    * the cap itself is deterministic); pass the cap consciously — it is
+    * the one approximation in the pipeline and is logged to stderr when
+    * it actually truncates. */
+  def learn(docs: DataFrame, textCol: String, vocabSize: Int,
+      maxWords: Int = 1000000): Model = {
+    require(vocabSize >= 0, s"vocabSize must be >= 0: $vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one shuffle: word histogram with map-side partial aggregation
+    val hist = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word")
+      .limit(maxWords)
+      .as[(String, Long)]
+      .collect()
+    if (hist.length == maxWords)
+      System.err.println(s"[bpe] histogram capped at $maxWords words — " +
+        "merge counts are approximate below this rank")
+
+    // driver-side merge loop over (symbols, freq); O(vocabSize × words)
+    var words: Array[(Vector[String], Long)] =
+      hist.map { case (w, f) => (initialSymbols(w), f) }
+    val merges = Vector.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < vocabSize && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(c =>
+          Some(c.getOrElse(0L) + f))
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax by weight; deterministic tie-break on the pair itself
+        val (bl, br) = counts.keysIterator.reduce { (a, b) =>
+          val ca = counts(a); val cb = counts(b)
+          if (ca > cb || (ca == cb &&
+            (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)))) a else b
+        }
+        merges += Merge(bl, br, rank)
+        val fused = bl + br
+        words = words.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == bl && syms(i + 1) == br) {
+                out += fused; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+        }
+        rank += 1
+      }
+    }
+    Model(merges.result())
+  }
+
+  /** Phase 3: tokenize — broadcast the merge ranks, apply per word in a
+    * flat projection. Output one row per doc with its subword tokens and
+    * count; no shuffle beyond the input's own partitioning. */
+  def tokenize(docs: DataFrame, textCol: String, idCol: String,
+      model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val toks = ws.iterator.filter(_.nonEmpty)
+          .flatMap(w => encodeWord(w, bc.value)).toArray
+        (id, toks, toks.length)
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+  }
+}

@@ -820,4 +820,62 @@ object TextAnalysis {
       .select($"a_id", $"b_id", $"source", $"common_tokens", $"same_lang",
         $"chars_diff", $"jaccard", $"label")
   }
+
+  /** Shared learned-BPE pipeline for the two q_bpe_* queries: one
+    * histogram shuffle + driver-side merge learning (operators.Bpe
+    * documents the scale shape), then distributed tokenization. 200
+    * merges ≈ the corpus's whole productive pair mass at sf0.1 (the
+    * vocabulary is small word salad); a production run would use 32k+. */
+  private val bpeModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.Bpe.Model]
+
+  private def bpeTokenized(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // session-memoized model (same pattern as Embeddings' shared exact
+    // pair frame): learning is deterministic, so the two q_bpe_* queries
+    // share one histogram pass instead of re-learning per query
+    val model = bpeModels.getOrElseUpdate((s, dir),
+      graft.operators.Bpe.learn(docs, "text", vocabSize = 200))
+    graft.operators.Bpe.tokenize(docs, "text", "doc_id", model)
+  }
+
+  /** ORACLE-checked BPE gate (q_bpe_roundtrip): detokenizing the learned
+    * subword stream must reproduce the whitespace-normalized text
+    * exactly, doc by doc. DuckDB never runs BPE — it recomputes the
+    * normalized text independently, so any tokenizer defect that drops,
+    * duplicates, or corrupts a single codepoint anywhere in the corpus
+    * breaks the bit-match. (Sentinel collision is impossible here: the
+    * corpus has no `<` characters, pinned by BpeSpec on the fixture.) */
+  def bpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTokenized(s, dir)
+      .select($"doc_id",
+        rtrim(replace(concat_ws("", $"tokens"),
+          lit(graft.operators.Bpe.EndOfWord), lit(" "))).as("detok"))
+      .orderBy($"doc_id")
+  }
+
+  /** Rows-only corpus stats for the learned tokenizer (q_bpe_tokens):
+    * per-source doc/word/subword-token totals plus the corpus-wide
+    * compression ratio every token-budget computation starts from.
+    * Subword counts depend on the learned merges (Spark-side state), so
+    * no SQL oracle — the merge learner itself is pinned exactly on a
+    * hand-computable corpus in BpeSpec. */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(filter(toks($"text"), w => length(w) > 0)).as("n_words"),
+        length(replace($"text", lit(" "), lit(""))).as("n_cp"))
+    bpeTokenized(s, dir).join(docs, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("total_words"),
+        sum($"n_cp").as("total_codepoints"),
+        sum($"n_tokens").as("total_tokens"))
+      // tokens per 100 codepoints, integer so reruns bit-match
+      .withColumn("tokens_per_100cp",
+        (lit(100) * $"total_tokens" / $"total_codepoints").cast("long"))
+      .orderBy($"source")
+  }
 }
