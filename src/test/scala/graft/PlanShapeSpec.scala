@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.SparkSpec
+
+/** Physical-plan regression net for the 100 TB posture, complementing
+  * QueriesSpec's no-cartesian sweep: filters must reach the parquet
+  * scan (PushedFilters), projections must prune the read schema
+  * (ReadSchema), star joins must broadcast the small side, and
+  * aggregates must keep their map-side partial step. Asserted on the
+  * INITIAL physical plan at sf0.001 — these properties are scale-
+  * invariant plan shapes, and a refactor that loses one (a filter
+  * hidden behind an opaque UDF, a select * sneaking a fat column into
+  * the scan) costs nothing at test scale but dominates at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def query(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  private def scansOf(df: DataFrame): Seq[FileSourceScanExec] =
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec whose collect() does not descend into the
+    // (mutable) inner plan; scan pruning/pushdown are fixed before AQE
+    df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+
+  private def scanOf(df: DataFrame, table: String): FileSourceScanExec = {
+    val hits = scansOf(df).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(table)))
+    assert(hits.nonEmpty, s"no parquet scan of $table in plan")
+    hits.head
+  }
+
+  test("q_pricing_summary: lineitem scan is pruned and filter is pushed") {
+    val scan = scanOf(query("q_pricing_summary"), "lineitem")
+    val read = scan.requiredSchema.fieldNames.toSet
+    // 7 of lineitem's 16 columns; the fat l_comment must never be read
+    assert(!read.contains("l_comment"), s"read=$read")
+    assert(read.size <= 8, s"read=$read")
+    assert(scan.metadata("PushedFilters").contains("l_shipdate"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("q_token_stats: documents scan reads only lang/n_chars/text") {
+    val read = scanOf(query("q_token_stats"), "documents")
+      .requiredSchema.fieldNames.toSet
+    assert(read === Set("lang", "n_chars", "text"), s"read=$read")
+  }
+
+  test("q_dedup_exact: documents scan never reads the text column " +
+    "(fingerprints only need the hash input)") {
+    // dedup groups by xxhash64(text) — text IS needed; what must be
+    // pruned is everything this query doesn't project
+    val read = scanOf(query("q_dedup_exact"), "documents")
+      .requiredSchema.fieldNames.toSet
+    assert(read.subsetOf(Set("doc_id", "text", "source", "lang", "n_chars")),
+      s"read=$read")
+  }
+
+  test("q_cosine_topk: embeddings scan prunes the label column") {
+    val scans = scansOf(query("q_cosine_topk"))
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("embeddings")))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.contains("label"), s"read=$read")
+    }
+  }
+
+  test("q_region_revenue: star joins broadcast the dimension side") {
+    val plan = query("q_region_revenue").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // region/nation/customer dims must not shuffle the fact table into
+    // a sort-merge join at the initial plan
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q_pricing_summary: aggregate keeps its map-side partial step") {
+    val plan = query("q_pricing_summary").queryExecution.executedPlan
+    val hashAggs = plan.toString.split("HashAggregate").length - 1
+    // partial + final (adaptive plans may add more, never fewer)
+    assert(hashAggs >= 2, s"HashAggregate count=$hashAggs")
+  }
+
+  test("q_hourly_stats: events scan prunes the fat props column") {
+    val read = scanOf(query("q_hourly_stats"), "events")
+      .requiredSchema.fieldNames.toSet
+    assert(!read.contains("props"), s"read=$read")
+  }
+}
