@@ -35,7 +35,7 @@ object SparkEntry {
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
-    "q_source_mix", "q_skew_join",
+    "q_source_mix", "q_epoch_shuffle", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
     "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
@@ -50,7 +50,7 @@ object SparkEntry {
     "q_lang_id", "q_fingerprint", "q_df_score",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
-    "q_wav_stats", "q_video_stats",
+    "q_wav_stats", "q_video_stats", "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -152,6 +152,11 @@ object SparkEntry {
     // clips round-trip through the codec seams, integer features
     "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
     "q_video_stats"       -> ((s, _) => graft.multimodal.Multimodal.videoStats(s)),
+    // learned-BPE tokenizer (operators/Bpe.scala): roundtrip is the
+    // oracle gate (lossless detokenization, DuckDB recomputes the
+    // normalized text independently); token totals are rows-only
+    "q_bpe_roundtrip"     -> (TextAnalysis.bpeRoundtrip(_, _)),
+    "q_bpe_tokens"        -> (TextAnalysis.bpeTokens(_, _)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
@@ -166,6 +171,7 @@ object SparkEntry {
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     "q_hash_split"        -> (Extended.hashSplit(_, _)),
+    "q_epoch_shuffle"     -> ((s, d) => Extended.epochShuffle(s, d)),
     "q_profile"           -> (Extended.profileDocuments(_, _)),
     "q_source_mix"        -> (Extended.sourceMix(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
@@ -1080,6 +1086,25 @@ object SparkEntry {
         |)
         |ORDER BY doc_id""".stripMargin,
 
+    // epoch-salted md5 permutation; hexv via position() so both engines
+    // agree; positions are a window per shard (Extended.epochShuffle)
+    "q_epoch_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    md5('epoch:3:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents
+        |), sharded AS (
+        |  SELECT doc_id, shuffle_key,
+        |    CAST(position(substr(shuffle_key, 1, 1)
+        |      IN '0123456789abcdef') - 1 AS INT) AS shard
+        |  FROM keyed
+        |)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |    ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM sharded
+        |ORDER BY shard, pos""".stripMargin,
+
     "q_source_mix" -> {
       val rows = graft.queries.Extended.mixTiers
         .map { case (src, thr) => s"('$src', '$thr')" }.mkString(", ")
@@ -1236,6 +1261,18 @@ object SparkEntry {
         |  CAST(sum(q_sum) AS BIGINT) AS sum_q16
         |FROM q GROUP BY label
         |ORDER BY label""".stripMargin,
+
+    // BPE lossless-roundtrip gate: DuckDB recomputes the whitespace-
+    // normalized text WITHOUT running BPE; the Spark side rebuilds it
+    // from the learned subword stream — equality proves no codepoint is
+    // dropped, duplicated, or corrupted by learn/encode anywhere in the
+    // corpus (TextAnalysis.bpeRoundtrip scaladoc).
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '),
+        |    w -> w <> ''), ' ') AS detok
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // Multimodal codec gates: the generated clips/images are pure integer
     // functions of media_id (Multimodal.{wavStats,pngStats,videoStats}),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -220,6 +221,34 @@ object Extended {
       .filter($"bucket" < $"mix_thr")
       .select($"doc_id", $"source", $"bucket")
       .orderBy($"doc_id")
+  }
+
+  /** Deterministic epoch shuffle + shard assignment — the last step
+    * before training data leaves the engine: each epoch needs a
+    * DIFFERENT but fully reproducible global order, materialized as N
+    * shard files with a defined within-shard order (so any trainer rank
+    * can re-read its shard byte-identically after a crash). Epoch-salted
+    * md5 gives the permutation; the first hex nibble gives 16 shards
+    * (uniform by construction); within-shard position is a window over
+    * the shard partition — at scale that is one narrow shuffle keyed by
+    * shard, the exact layout the shard writer needs anyway, and no
+    * global sort ever happens. hexv via instr('0123456789abcdef', c)-1
+    * so Spark and DuckDB agree bit-for-bit; the whole assignment incl.
+    * positions is oracle-checked. */
+  def epochShuffle(s: SparkSession, dir: String, epoch: Int = 3): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(concat(lit(s"epoch:$epoch:"), $"doc_id".cast("string")))
+          .as("shuffle_key"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring($"shuffle_key", 1, 1)) - 1)
+          .cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"shuffle_key", $"doc_id")))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
   }
 
   /** Deterministic per-group k-sample of example ids via the graft-native

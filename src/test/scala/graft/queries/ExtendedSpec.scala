@@ -73,6 +73,35 @@ class ExtendedSpec extends SparkSpec {
     assert(byName("train") > got.length * 3 / 4)
   }
 
+  test("epochShuffle: reproducible permutation, uniform shards, dense positions") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Extended.epochShuffle(spark, sf("sf0.01"), epoch = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // driver-side recompute of the whole assignment
+    val want = got.map(_._1).sorted.map { id =>
+      val key = md5hex(s"epoch:3:$id")
+      (id, "0123456789abcdef".indexOf(key.charAt(0)), key)
+    }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, _, _), i) => (id, shard, i + 1) }
+    }.sortBy(r => (r._2, r._3))
+    assert(got.toSeq === want)
+    // every shard occupied, positions dense from 1, roughly uniform
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet === (0 until 16).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      assert(rows.length > got.length / 32) // no shard under half-share
+    }
+    // a different epoch yields a different permutation of the same docs
+    val other = Extended.epochShuffle(spark, sf("sf0.01"), epoch = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(other.map(_._1).sorted.toSeq === got.map(_._1).sorted.toSeq)
+    assert(other.toSeq !== got.toSeq)
+  }
+
   test("sourceMix matches a driver-side recompute; tiers act as configured") {
     val spark2 = spark
     import spark2.implicits._
