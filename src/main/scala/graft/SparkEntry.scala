@@ -36,7 +36,8 @@ object SparkEntry {
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
     "q_source_mix", "q_epoch_shuffle", "q_skew_join",
-    "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_full_outer",
+    "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_late_orders",
+    "q_string_agg", "q_full_outer",
     "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
@@ -47,7 +48,8 @@ object SparkEntry {
     "q_repetition_filter", "q_profile",
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
-    "q_lang_id", "q_fingerprint", "q_df_score",
+    "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
+    "q_pii_scrub",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_video_stats", "q_bpe_roundtrip", "q_bpe_tokens",
@@ -58,6 +60,7 @@ object SparkEntry {
     "q_dedup_corpus",
     "q_dedup_keepbest",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
+    "q_semantic_dedup",
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup", "q_simhash_recall",
@@ -94,6 +97,8 @@ object SparkEntry {
     "q_price_bands"       -> (Relational.priceBands(_, _)),
     "q_bloom_prune"       -> (Relational.bloomPruneJoin(_, _)),
     "q_argmin_join"       -> (Relational.argminJoin(_, _)),
+    "q_late_orders"       -> (Relational.lateOrders(_, _)),
+    "q_string_agg"        -> ((s, d) => Relational.orderedAgg(s, d)),
     "q_full_outer"        -> (Relational.fullOuter(_, _)),
     "q_nation_intersect"  -> (Relational.nationIntersect(_, _)),
     "q_window_suite"      -> (Relational.windowSuite(_, _)),
@@ -124,6 +129,8 @@ object SparkEntry {
     "q_cdc_chunks"        -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "q_cdc_dedup"         -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "q_df_score"          -> ((s, d) => TextAnalysis.dfScore(s, d)),
+    "q_span_dedup"        -> ((s, d) => TextAnalysis.spanDedup(s, d)),
+    "q_pii_scrub"         -> (TextAnalysis.piiScrub(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
@@ -159,6 +166,7 @@ object SparkEntry {
     "q_bpe_tokens"        -> (TextAnalysis.bpeTokens(_, _)),
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
+    "q_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
     // wave 2: set ops, null handling, typed JSON, TimeWindow, distincts
     "q_nation_delta"      -> (Extended.nationDelta(_, _)),
     "q_null_fill"         -> (Extended.nullFill(_, _)),
@@ -1213,6 +1221,28 @@ object SparkEntry {
         |WHERE rn = 1
         |ORDER BY l_partkey""".stripMargin,
 
+    "q_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+        |FROM orders o
+        |WHERE year(o_orderdate) = 1997
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_string_agg" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_name ASC, c_custkey ASC) AS rn
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_nationkey, count(*) AS n_top,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS top_names
+        |FROM r WHERE rn <= 5
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q_bloom_prune" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1474,6 +1504,62 @@ object SparkEntry {
         |FROM d JOIN dfs USING (tok)
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sp AS (
+        |  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 15), ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(t) - 15)) AS u(i)
+        |  WHERE len(t) >= 16
+        |), wc AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM sp
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM wc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN coalesce(per.n_spans, 0) > 0
+        |    THEN CAST(per.n_dup AS DOUBLE) / CAST(per.n_spans AS DOUBLE)
+        |    END AS dup_frac,
+        |  CASE WHEN coalesce(per.n_spans, 0) > 0 AND per.n_dup * 2 >= per.n_spans
+        |    THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' mail user' ||
+        |      CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |      CAST(doc_id % 200 + 1 AS VARCHAR) || ' up' ELSE '' END AS txt
+        |  FROM documents
+        |), scr AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |  FROM inj
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(txt, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(txt,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  md5(clean) AS clean_md5,
+        |  CAST(CASE WHEN clean <> txt THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM scr
+        |ORDER BY doc_id""".stripMargin,
 
     "q_bigram_topk" ->
       """WITH d AS (

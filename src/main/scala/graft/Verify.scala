@@ -19,7 +19,10 @@ import java.util.concurrent.{Callable, Executors, TimeUnit, TimeoutException}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional trailing args: run only these queries (local iteration;
+    // the driver always passes exactly two args and gets the full set)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
     // 120 matches the documented contract above (the code briefly said 30,
@@ -73,7 +76,8 @@ object Verify {
       val t = new Thread(r); t.setDaemon(true); t
     }
     val all = SparkEntry.queries
-    SparkEntry.orderedQueryNames.foreach { name =>
+    SparkEntry.orderedQueryNames
+      .filter(n => only.isEmpty || only(n)).foreach { name =>
       val fn = all(name)
       val fut = pool.submit(new Callable[Unit] {
         def call(): Unit = {

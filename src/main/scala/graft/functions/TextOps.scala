@@ -112,4 +112,23 @@ object TextOps {
     size(filter(tri, g => g.isInCollection(profile))).cast("double") /
       greatest(size(tri), lit(1)).cast("double")
   }
+
+  /** PII patterns for pre-training scrubbing (the ROOTS/Dolma-style redact
+    * step). Written in the Java-regex ∩ RE2 dialect — character classes,
+    * `\b`/`\d`, bounded repetition only (no backrefs, no lookaround) — so
+    * a DuckDB oracle running the identical pattern strings byte-matches
+    * the scrub. Order matters and is fixed: email first (its local part
+    * can contain digit runs a later pattern would bite into), then phone,
+    * then IPv4 (dashes vs dots keep phone/IP disjoint). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b"                      -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Redact all `piiPatterns` from a text column (codegen'd
+    * regexp_replace chain — one pass per pattern, no UDF). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
 }

@@ -86,6 +86,58 @@ object Ann {
     *
     * nProbe = nCells degenerates to exact search (every cell probed) —
     * pinned by AnnSpec against bruteTopK. */
+  /** Score-struct array over literal centroids: array_max/array_sort
+    * order structs by field order, so (dot, cell) sorts by similarity
+    * with cell as tie-break. */
+  def cellScores(centroids: Seq[Array[Double]])(vec: Column): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotProduct(vec, typedlit(c)).as("s"), lit(i).as("cell"))
+    }: _*)
+
+  /** Nearest-centroid cell id as a codegen dot-product chain — no join,
+    * no broadcast state (the centroids are plan literals). */
+  def assignCell(centroids: Seq[Array[Double]])(vec: Column): Column =
+    array_max(cellScores(centroids)(vec)).getField("cell")
+
+  /** The IVF coarse-quantizer fit shared by ivfTopK and
+    * Embeddings.semanticDedup: deterministic seeding (the nCells corpus
+    * vectors with the smallest seeded id-hash — stable under
+    * partitioning, no RNG state) plus `lloydIters` distributed k-means
+    * passes (assign = argmax cosine; update = per-cell elementwise mean
+    * via a map-combinable aggregate keyed (cell, pos) — one slim shuffle
+    * of nCells×dim rows). Returns unit-norm centroids, empty for an
+    * empty corpus. `cv` must expose (id, v: array<double>); callers
+    * persist it around the fit (1 + lloydIters actions). */
+  def ivfFit(cv: DataFrame, nCells: Int, lloydIters: Int,
+      seed: Int): Seq[Array[Double]] = {
+    val spark = cv.sparkSession
+    import spark.implicits._
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    var centroids: Seq[Array[Double]] = cv
+      .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
+      .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
+    if (centroids.isEmpty) return centroids
+
+    // Lloyd refinement: per-cell elementwise mean, renormalized. The agg
+    // output is nCells × dim rows — collected like IDF.fit's DF counts.
+    for (_ <- 0 until lloydIters) {
+      val means = cv
+        .select(assignCell(centroids)($"v").as("cell"),
+          posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = centroids.head.length
+      centroids = centroids.indices.map { c =>
+        val updated = Array.tabulate(dim)(p => means.getOrElse((c, p), 0.0))
+        if (updated.forall(_ == 0.0)) centroids(c) else unit(updated)
+      }
+    }
+    centroids
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
       seed: Int = 42): DataFrame = {
@@ -100,43 +152,14 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
 
-    def unit(a: Array[Double]): Array[Double] = {
-      val n = math.sqrt(a.map(x => x * x).sum)
-      if (n == 0) a else a.map(_ / n)
-    }
-    // deterministic seeding: the nCells corpus vectors with the smallest
-    // seeded id-hash (stable under partitioning; no RNG state)
-    var centroids: Seq[Array[Double]] = cv
-      .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
-      .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
+    val centroids = ivfFit(cv, nCells, lloydIters, seed)
     if (centroids.isEmpty) {  // empty corpus: no cells, no neighbors
       cv.unpersist(blocking = false)
       return queries.select($"id".as("q_id"), $"id".as("id"),
         lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
     }
-
-    // score-struct array: array_max/array_sort order structs by field
-    // order, so (dot, cell) sorts by similarity with cell as tie-break
-    def cellScores(vec: Column): Column =
-      array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(dotProduct(vec, typedlit(c)).as("s"), lit(i).as("cell"))
-      }: _*)
-    def assignExpr(vec: Column): Column =
-      array_max(cellScores(vec)).getField("cell")
-
-    // Lloyd refinement: per-cell elementwise mean, renormalized. The agg
-    // output is nCells × dim rows — collected like IDF.fit's DF counts.
-    for (_ <- 0 until lloydIters) {
-      val means = cv
-        .select(assignExpr($"v").as("cell"), posexplode($"v").as(Seq("pos", "x")))
-        .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      val dim = centroids.head.length
-      centroids = centroids.indices.map { c =>
-        val updated = Array.tabulate(dim)(p => means.getOrElse((c, p), 0.0))
-        if (updated.forall(_ == 0.0)) centroids(c) else unit(updated)
-      }
-    }
+    def cellScores(vec: Column): Column = this.cellScores(centroids)(vec)
+    def assignExpr(vec: Column): Column = assignCell(centroids)(vec)
     // fit is done (centroids are plan literals now); drop the cache so the
     // lazily-evaluated result below reads the corpus once from source
     // rather than pinning executor memory past the operator's lifetime

@@ -497,4 +497,51 @@ object Relational {
         sum(dec($"o_totalprice")).cast("double").as("sum_price"))
       .orderBy($"band")
   }
+
+  /** Correlated-EXISTS with a non-equi predicate (TPC-H Q4 shape): orders
+    * from one year having at least one lineitem shipped more than 60 days
+    * after the order date, counted per priority. The semi join shuffles on
+    * the equi key (orderkey) only; the date inequality is evaluated on
+    * matched rows after the hash probe — no range-join explosion, and the
+    * year filter is pushed into the orders scan. Day arithmetic on
+    * timestamps is exact integer math cross-engine. */
+  def lateOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .filter(year($"o_orderdate") === 1997)
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    o.join(li,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Ordered aggregation (LISTAGG / string_agg): per nation, the top-5
+    * BUILDING-segment customers by balance, emitted as one deterministic
+    * comma-joined name list. Ordered collect is inherently a bounded-group
+    * operator — an unbounded LISTAGG over a hot group is a single-row blob
+    * at corpus scale — so the window top-k (full tie-break: balance desc,
+    * then name, then key) bounds every group to k rows BEFORE the collect.
+    * Spark has no ORDER BY inside agg; `array_sort(collect_list(...))`
+    * forces the same deterministic order DuckDB's `string_agg(... ORDER
+    * BY)` declares (names are ASCII — binary collation agrees). */
+  def orderedAgg(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_name".asc, $"c_custkey".asc)
+    Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_nationkey", $"c_name", $"c_acctbal", $"c_custkey")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .groupBy($"c_nationkey")
+      .agg(
+        count(lit(1)).as("n_top"),
+        concat_ws(",", array_sort(collect_list($"c_name"))).as("top_names"))
+      .orderBy($"c_nationkey")
+  }
 }

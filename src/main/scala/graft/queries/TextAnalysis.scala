@@ -878,4 +878,78 @@ object TextAnalysis {
         (lit(100) * $"total_tokens" / $"total_codepoints").cast("long"))
       .orderBy($"source")
   }
+
+  /** Exact-substring dedup at stride-1 span granularity (the RefinedWeb /
+    * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better" signal, at n-token-window resolution instead of suffix
+    * arrays): a span is "duplicated" when its exact n-token text occurs
+    * anywhere else in the corpus, and a document whose duplicated-span
+    * mass reaches 1/2 of its spans is a drop candidate. chunkDedup's
+    * fixed non-overlapping chunks miss dupes that straddle a boundary;
+    * stride-1 spans catch every shared run of ≥ n tokens.
+    *
+    * Dataflow: one shingle explode (slim (doc_id, md5) rows — the 100 TB
+    * shuffle key is the 16-byte hash, never span text), a window count
+    * over the hash (one shuffle, no self-join, no second corpus scan),
+    * the per-doc rollup, and a left join back so span-less short docs
+    * keep a row. The drop verdict compares integers (n_dup·2 ≥ n_spans),
+    * not doubles; dup_frac is one exact IEEE division, null when the doc
+    * has no spans. */
+  def spanDedup(s: SparkSession, dir: String, n: Int = 16): DataFrame = {
+    import s.implicits._
+    val spans = Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", explode(TextOps.shingles($"t", n)).as("sp"))
+      .select($"doc_id", md5($"sp").as("h"))
+    val per = spans
+      .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"c" > 1, 1L).otherwise(0L)).as("n_dup"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(per, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"))
+      .select($"doc_id", $"n_spans", $"n_dup",
+        when($"n_spans" > 0,
+          $"n_dup".cast("double") / $"n_spans".cast("double")).as("dup_frac"),
+        when($"n_spans" > 0 && $"n_dup" * 2 >= $"n_spans", "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction evidence query: emails/phones/IPv4s are counted and
+    * scrubbed to typed placeholder tokens (TextOps.scrubPii — the
+    * ROOTS/Dolma pre-training redact step). The corpus text is letters
+    * only, so PII-bearing inputs are DERIVED deterministically from
+    * doc_id (the same generator-formula pattern as the multimodal
+    * evidence queries): docs hit by the 3/4/5 residue classes gain an
+    * email/phone/IP, the rest pass through untouched and pin the no-op
+    * path. Both the injection and the scrub are pure SQL in the Java ∩
+    * RE2 regex dialect, so the DuckDB oracle byte-matches the scrubbed
+    * text (compared via md5 so rows stay slim). Map-only — no shuffle at
+    * any scale until the presentation sort. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Seq((emailPat, _), (phonePat, _), (ipPat, _)) = TextOps.piiPatterns
+    val injected = concat(
+      $"text",
+      when($"doc_id" % 3 === 0, concat(lit(" mail user"),
+        $"doc_id".cast("string"), lit("@example.com ok"))).otherwise(""),
+      when($"doc_id" % 4 === 0, concat(lit(" call 555-867-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when($"doc_id" % 5 === 0, concat(lit(" host 10."),
+        ($"doc_id" % 256).cast("string"), lit(".0."),
+        ($"doc_id" % 200 + 1).cast("string"), lit(" up"))).otherwise(""))
+    Tables.documents(s, dir)
+      .select($"doc_id", injected.as("txt"))
+      .select($"doc_id",
+        regexp_count($"txt", lit(emailPat)).cast("long").as("n_email"),
+        regexp_count($"txt", lit(phonePat)).cast("long").as("n_phone"),
+        regexp_count($"txt", lit(ipPat)).cast("long").as("n_ip"),
+        md5(TextOps.scrubPii($"txt")).as("clean_md5"),
+        (TextOps.scrubPii($"txt") =!= $"txt").cast("long").as("changed"))
+      .orderBy($"doc_id")
+  }
 }

@@ -1,0 +1,53 @@
+package graft.queries
+
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+
+/** Value-level pins for the correlated-EXISTS (lateOrders) and ordered-
+  * aggregation (orderedAgg) operators, independent of the DuckDB oracle:
+  * each is recomputed driver-side from the raw parquet with plain Scala
+  * collections, so a semi-join or window defect can't hide behind an
+  * equivalently-wrong SQL twin. */
+class RelationalOpsSpec extends SparkSpec {
+
+  test("lateOrders ≡ driver-side recompute; both outcome classes occur") {
+    // events corpus timestamps are NTZ → rows carry LocalDateTime
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1), r.getString(2)))
+      .filter(_._2.getYear == 1997)
+    val shipByOrder = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val expected = orders
+      .filter { case (ok, od, _) =>
+        shipByOrder.getOrElse(ok, Seq.empty)
+          .exists(_.isAfter(od.plusDays(60))) }
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val got = Relational.lateOrders(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // non-vacuous: some 1997 orders are late, some are not
+    assert(got.values.sum > 0 && got.values.sum < orders.length)
+  }
+
+  test("orderedAgg ≡ driver-side top-k + sorted join recompute") {
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select("c_nationkey", "c_name", "c_acctbal", "c_custkey",
+        "c_mktsegment").collect()
+      .filter(_.getString(4) == "BUILDING")
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    // k=2 so the bound bites at sf0.001 (the sf0.01 oracle runs k=5)
+    val expected = cust.groupBy(_._1).map { case (nk, rows) =>
+      val top = rows.sortBy(r => (-r._3, r._2, r._4)).take(2).map(_._2)
+      nk -> ((top.length.toLong, top.sorted.mkString(",")))
+    }
+    val got = Relational.orderedAgg(spark, sf("sf0.001"), k = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+    // the k-bound bites somewhere (a nation with >2 BUILDING customers)
+    assert(cust.groupBy(_._1).exists(_._2.length > 2))
+  }
+}

@@ -206,4 +206,81 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r12.head.getDouble(3) - 0.5) < 1e-12)
     assert(uncapped.count() === (12L * 11L) / 2L) // every pair shares "a b"
   }
+
+  test("span dedup ≡ driver-side sliding-window recompute at sf0.001") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = docs.map { case (id, text) =>
+      val t = text.split(" ")
+      id -> (if (t.length < 16) Seq.empty[String]
+             else t.sliding(16).map(_.mkString(" ")).toSeq)
+    }
+    val freq = spans.values.flatten.groupBy(identity).map {
+      case (k, v) => k -> v.size
+    }
+    val got = TextAnalysis.spanDedup(spark, sf("sf0.001")).collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val sp = spans(id)
+      val nd = sp.count(s => freq(s) > 1)
+      assert(r.getLong(1) === sp.length, s"doc $id n_spans")
+      assert(r.getLong(2) === nd, s"doc $id n_dup")
+      if (sp.isEmpty) assert(r.isNullAt(3), s"doc $id short-doc frac")
+      else assert(r.getDouble(3) === nd.toDouble / sp.length, s"doc $id")
+      assert(r.getString(4) ===
+        (if (sp.nonEmpty && nd * 2 >= sp.length) "drop" else "keep"),
+        s"doc $id verdict")
+    }
+    // non-vacuous on the real corpus: drops, keeps, AND span-less docs
+    val verdicts = got.map(_.getString(4))
+    assert(verdicts.contains("drop") && verdicts.contains("keep"))
+    assert(got.exists(_.getLong(1) == 0L), "short-doc left-join path")
+  }
+
+  test("scrubPii: hand strings, pass-through, and idempotence") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(
+      "mail a.b-c@x.co end",
+      "call 555-123-4567 or 555-12-34",
+      "host 8.8.8.8 up",
+      "plain words only",
+      "mix u@d.org 555-000-1111 10.0.0.1")
+      .toDF("t").select(graft.functions.TextOps.scrubPii(col("t")))
+      .collect().map(_.getString(0))
+    assert(got(0) === "mail <EMAIL> end")
+    assert(got(1) === "call <PHONE> or 555-12-34") // 2-digit run: no match
+    assert(got(2) === "host <IP> up")
+    assert(got(3) === "plain words only") // no-op path byte-identical
+    assert(got(4) === "mix <EMAIL> <PHONE> <IP>")
+    // idempotent: placeholders contain nothing any pattern can re-match
+    val twice = got.toSeq.toDF("t")
+      .select(graft.functions.TextOps.scrubPii(col("t")))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq === got.toSeq)
+  }
+
+  test("piiScrub query: residue classes scrubbed, others pass through") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.piiScrub(spark, sf("sf0.001")).collect()
+    assert(got.length === raw.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (e, p, ip) = (id % 3 == 0, id % 4 == 0, id % 5 == 0)
+      assert(r.getLong(1) === (if (e) 1L else 0L), s"doc $id n_email")
+      assert(r.getLong(2) === (if (p) 1L else 0L), s"doc $id n_phone")
+      assert(r.getLong(3) === (if (ip) 1L else 0L), s"doc $id n_ip")
+      assert(r.getLong(5) === (if (e || p || ip) 1L else 0L), s"doc $id")
+      if (!e && !p && !ip) // untouched docs: scrub is byte-exact no-op
+        assert(r.getString(4) === md5hex(raw(id)), s"doc $id md5")
+    }
+  }
 }
