@@ -49,7 +49,7 @@ object SparkEntry {
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
-    "q_pii_scrub",
+    "q_pii_scrub", "q_winnow", "q_winnow_pairs",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_video_stats", "q_bpe_roundtrip", "q_bpe_tokens",
@@ -131,6 +131,8 @@ object SparkEntry {
     "q_df_score"          -> ((s, d) => TextAnalysis.dfScore(s, d)),
     "q_span_dedup"        -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "q_pii_scrub"         -> (TextAnalysis.piiScrub(_, _)),
+    "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
+    "q_winnow_pairs"      -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
@@ -1529,6 +1531,68 @@ object SparkEntry {
         |    THEN 'drop' ELSE 'keep' END AS verdict
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sp AS (
+        |  SELECT doc_id, i AS pos, len(t) - 7 AS n_spans,
+        |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), w AS (
+        |  SELECT doc_id, n_spans, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+        |  FROM sp
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, f FROM w WHERE pos <= n_spans - 3
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_fp,
+        |    md5(string_agg(f, '' ORDER BY f)) AS fp_digest
+        |  FROM fps GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(greatest(len(string_split(d.text, ' ')) - 7, 0) AS BIGINT)
+        |    AS n_spans,
+        |  CAST(coalesce(per.n_fp, 0) AS BIGINT) AS n_fp,
+        |  per.fp_digest
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // winnowPairs' df cap is a measured no-op on this corpus (max
+    // fingerprint df = 3 vs cap 50; pinned in TextAnalysisSpec), so the
+    // oracle omits it — same convention as q_ngram_jaccard's cap.
+    "q_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sp AS (
+        |  SELECT doc_id, i AS pos, len(t) - 7 AS n_spans,
+        |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), w AS (
+        |  SELECT doc_id, n_spans, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+        |  FROM sp
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, f FROM w WHERE pos <= n_spans - 3
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+        |), pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, n_shared,
+        |  CAST(n_shared AS DOUBLE) /
+        |    CAST(least(pa.n_fp, pb.n_fp) AS DOUBLE) AS containment
+        |FROM pr
+        |JOIN per pa ON pr.a_id = pa.doc_id
+        |JOIN per pb ON pr.b_id = pb.doc_id
+        |WHERE n_shared >= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH inj AS (

@@ -919,6 +919,106 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing fingerprints over a (doc_id, t: array<string>) token
+    * frame (Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local
+    * Algorithms for Document Fingerprinting" — the MOSS algorithm):
+    * hash every k-token span, slide a window of w consecutive span
+    * hashes, select each window's minimum. The selected hashes (deduped)
+    * are the document's fingerprints, expected density 2/(w+1) of the
+    * spans, with the paper's guarantee: any shared run of ≥ w+k−1 tokens
+    * yields at least one SHARED fingerprint (pinned in the spec). This
+    * is the principled sparsification between spanDedup (every span —
+    * exact but posting-heavy) and minhashNearDup (doc-level only):
+    * substring-granular detection at a fraction of the postings.
+    *
+    * Window-min selection (not the paper's stateful robust variant,
+    * which is inherently sequential per document and selects a strict
+    * subset) keeps the operator a pure per-window function: one window
+    * min keyed doc_id, one distinct — both shuffle 16-byte md5s. Min
+    * over lowercase-hex md5 is a binary string compare, identical in
+    * every engine. */
+  def winnowFingerprintsOn(tokens: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"need positive k/w, got k=$k w=$w")
+    val s = tokens.sparkSession
+    import s.implicits._
+    val sp = tokens
+      .select($"doc_id", TextOps.shingles($"t", k).as("shs"))
+      .select($"doc_id", size($"shs").as("n_spans"),
+        posexplode($"shs").as(Seq("pos", "sp")))
+      .select($"doc_id", $"n_spans", $"pos", md5($"sp").as("h"))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    sp.withColumn("f", min($"h").over(win))
+      .filter($"pos" <= $"n_spans" - w) // full windows only (0-based)
+      .select($"doc_id", $"f").distinct()
+  }
+
+  private def winnowFrame(s: SparkSession, dir: String, k: Int,
+      w: Int): DataFrame = {
+    import s.implicits._
+    winnowFingerprintsOn(
+      Tables.documents(s, dir).select($"doc_id", toks($"text").as("t")), k, w)
+  }
+
+  /** Per-document winnowing rollup: span count, fingerprint count, and
+    * an order-insensitive digest of the fingerprint set (md5 of the
+    * sorted concatenation — the slim driver-checkable witness that both
+    * engines selected the IDENTICAL fingerprints, not just the same
+    * number). Docs too short for a full window (< k+w−1 tokens) keep a
+    * row with n_fp = 0 and a null digest. */
+  def winnow(s: SparkSession, dir: String, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    import s.implicits._
+    val per = winnowFrame(s, dir, k, w)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws("", array_sort(collect_list($"f")))).as("fp_digest"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        greatest(size(toks($"text")) - (k - 1), lit(0)).cast("long")
+          .as("n_spans"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_spans",
+        coalesce($"n_fp", lit(0L)).as("n_fp"), $"fp_digest")
+      .orderBy($"doc_id")
+  }
+
+  /** Fingerprint-overlap near-dup candidates: document pairs sharing ≥
+    * minShared winnowing fingerprints, scored by containment (shared /
+    * smaller fingerprint set — one exact IEEE division). The join is an
+    * inverted-index posting self-join keyed on the fingerprint hash, the
+    * same 100 TB shape as ngramJaccardPairs but over the winnowed ~2/(w+1)
+    * subset of spans; `maxDf` drops ubiquitous fingerprints (boilerplate
+    * that would otherwise quadratically dominate the posting join —
+    * measured corpus max df is 3, so the default cap is a no-op here and
+    * load-bearing at scale, pinned in the spec like ngram's). */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    import s.implicits._
+    // one frame carries both the df cap and the per-doc set size as
+    // window counts, so each posting-join side is a single lineage (a
+    // groupBy+join formulation re-derives the window-min frame once per
+    // consumer — 3 extra corpus scans for the same answer). n_fp counts
+    // the UNCAPPED set: containment stays a property of the documents,
+    // not of the cap parameter.
+    val fps = winnowFrame(s, dir, k, w)
+      .withColumn("n_fp", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"f")))
+      .filter($"df" <= maxDf)
+      .select($"doc_id", $"f", $"n_fp")
+    fps.select($"doc_id".as("a_id"), $"f", $"n_fp".as("a_n_fp"))
+      .join(fps.select($"doc_id".as("b_id"), $"f", $"n_fp".as("b_n_fp")), "f")
+      .filter($"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_shared"),
+        min($"a_n_fp").as("a_n_fp"), min($"b_n_fp").as("b_n_fp"))
+      .filter($"n_shared" >= minShared)
+      .select($"a_id", $"b_id", $"n_shared",
+        ($"n_shared".cast("double") /
+          least($"a_n_fp", $"b_n_fp").cast("double")).as("containment"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** PII redaction evidence query: emails/phones/IPv4s are counted and
     * scrubbed to typed placeholder tokens (TextOps.scrubPii — the
     * ROOTS/Dolma pre-training redact step). The corpus text is letters

@@ -263,6 +263,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice.toSeq === got.toSeq)
   }
 
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // driver-side winnowing replica (k=8, w=4)
+  private def winnowLocal(tokens: Array[String]): Set[String] = {
+    if (tokens.length < 8) return Set.empty
+    val h = tokens.sliding(8).map(sp => md5hexOf(sp.mkString(" "))).toArray
+    (0 to h.length - 4).map(i => h.slice(i, i + 4).min).toSet
+  }
+
+  test("winnowing guarantee: ≥(w+k−1)-token shared run ⇒ shared fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    val run = (1 to 11).map(i => s"r$i") // w+k−1 = 11 tokens
+    val short = (1 to 7).map(i => s"s$i") // k−1: no shared span possible
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"a$i") ++ run ++ (1 to 5).map(i => s"z$i")),
+      (2L, (1 to 9).map(i => s"b$i") ++ run ++ (1 to 14).map(i => s"y$i")),
+      (3L, (1 to 20).map(i => s"c$i") ++ short ++ (1 to 9).map(i => s"x$i")),
+      (4L, (1 to 16).map(i => s"d$i") ++ short ++ (1 to 13).map(i => s"w$i")))
+      .toDF("doc_id", "t")
+    val fps = TextAnalysis.winnowFingerprintsOn(docs, k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "guaranteed shared fingerprint")
+    assert((fps(3L) & fps(4L)).isEmpty, "k−1 run shares no span, so no fp")
+    // the window-min replica agrees with the operator exactly
+    docs.collect().foreach { r =>
+      assert(fps(r.getLong(0)) === winnowLocal(r.getSeq[String](1).toArray))
+    }
+  }
+
+  test("winnow rollup ≡ driver-side recompute at sf0.001") {
+    val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val got = TextAnalysis.winnow(spark, sf("sf0.001")).collect()
+    assert(got.length === raw.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val fps = winnowLocal(raw(id))
+      assert(r.getLong(1) === math.max(raw(id).length - 7, 0), s"doc $id")
+      assert(r.getLong(2) === fps.size, s"doc $id n_fp")
+      if (fps.isEmpty) assert(r.isNullAt(3), s"doc $id digest")
+      else assert(r.getString(3) === md5hexOf(fps.toSeq.sorted.mkString("")),
+        s"doc $id digest")
+    }
+    assert(got.exists(_.getLong(2) == 0L), "short-doc path non-vacuous")
+  }
+
+  test("winnow pairs ≡ recompute; maxDf=1 kills every shared fingerprint") {
+    val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val fps = raw.map { case (id, t) => id -> winnowLocal(t) }
+    val ids = raw.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = (fps(a) & fps(b)).size if shared >= 2
+    } yield (a, b) -> ((shared.toLong,
+      shared.toDouble / math.min(fps(a).size, fps(b).size)))).toMap
+    val got = TextAnalysis.winnowPairs(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // any fingerprint shared by a pair has df ≥ 2 — a df cap of 1
+    // removes the entire pairing universe by construction
+    assert(TextAnalysis.winnowPairs(spark, sf("sf0.001"), maxDf = 1)
+      .isEmpty)
+  }
+
   test("piiScrub query: residue classes scrubbed, others pass through") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
