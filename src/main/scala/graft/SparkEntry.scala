@@ -49,7 +49,7 @@ object SparkEntry {
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
-    "q_pii_scrub", "q_winnow", "q_winnow_pairs",
+    "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_video_stats", "q_bpe_roundtrip", "q_bpe_tokens",
@@ -133,6 +133,7 @@ object SparkEntry {
     "q_pii_scrub"         -> (TextAnalysis.piiScrub(_, _)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
+    "q_pipeline_funnel"   -> (TextAnalysis.pipelineFunnel(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
@@ -1559,6 +1560,44 @@ object SparkEntry {
         |  per.fp_digest
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_pipeline_funnel" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, string_split(text, ' ') AS t
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, source, lang, t, len(t) AS n,
+        |    len(list_distinct(t)) AS nd
+        |  FROM d
+        |), fl AS (
+        |  SELECT *, (n >= 20 AND 20 * (n - nd) <= 13 * n) AS q1,
+        |    (n >= 20 AND 20 * (n - nd) <= 13 * n AND lang = 'en') AS q2,
+        |    md5(array_to_string(t[1:16], ' ')) AS pfx
+        |  FROM f
+        |), s3 AS (
+        |  SELECT *, q2 AND doc_id = min(CASE WHEN q2 THEN doc_id END)
+        |    OVER (PARTITION BY pfx) AS q3
+        |  FROM fl
+        |), sp AS (
+        |  SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS h
+        |  FROM s3, unnest(generate_series(1, len(t) - 14)) AS u(i)
+        |  WHERE q3 AND len(t) >= 16
+        |), wc AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM sp
+        |), per AS (
+        |  SELECT doc_id, count(*) AS nsp,
+        |    sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS ndp
+        |  FROM wc GROUP BY doc_id
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN q3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN q3 AND (coalesce(nsp, 0) = 0 OR ndp * 2 < nsp)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM s3 LEFT JOIN per USING (doc_id)
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     // winnowPairs' df cap is a measured no-op on this corpus (max
     // fingerprint df = 3 vs cap 50; pinned in TextAnalysisSpec), so the

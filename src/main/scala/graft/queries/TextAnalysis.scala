@@ -1019,6 +1019,59 @@ object TextAnalysis {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** End-to-end training-data pipeline funnel — the integration query: a
+    * Dolma/RefinedWeb-shaped curation pipeline (quality filter → language
+    * filter → prefix-fingerprint exact dedup → exact-substring span
+    * dedup) composed as ONE plan, reporting per-source survivor counts
+    * after every stage. Each stage applies to the previous stage's
+    * survivors, which is the part no per-operator query demonstrates:
+    * the dedup stages' duplicate universe is the filtered corpus, not
+    * the raw one.
+    *
+    * Stage rules reuse the per-operator queries' semantics with
+    * integer-exact arithmetic (0.65 duplicate-token mass as 20·(n−nd) ≤
+    * 13·n — no doubles anywhere): quality = length ≥ 20 ∧ repetition
+    * bound; language = en; exact tier = first doc per md5 of the head-16
+    * -token prefix (identical texts share it, and it is the cheap
+    * hash-groupBy tier that runs before any near-dup machinery); span
+    * tier = spanDedup's integer drop verdict computed among survivors.
+    * One lineage with boolean stage flags → window-min for the exact
+    * tier (keyed on the 16-byte prefix hash) → one span explode over
+    * survivors only → per-source rollup. All counts are exact integers —
+    * oracle-checked end to end. */
+  def pipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagged = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", toks($"text").as("t"))
+      .select($"doc_id", $"source", $"lang", $"t",
+        size($"t").as("n"), size(array_distinct($"t")).as("nd"))
+      .withColumn("q1",
+        $"n" >= 20 && lit(20) * ($"n" - $"nd") <= lit(13) * $"n")
+      .withColumn("q2", $"q1" && $"lang" === "en")
+      .withColumn("pfx", md5(concat_ws(" ", slice($"t", 1, 16))))
+    val s3 = flagged
+      .withColumn("min_doc",
+        min(when($"q2", $"doc_id")).over(Window.partitionBy($"pfx")))
+      .withColumn("q3", $"q2" && $"doc_id" === $"min_doc")
+    val per = s3.filter($"q3")
+      .select($"doc_id", explode(TextOps.shingles($"t", 16)).as("sp"))
+      .select($"doc_id", md5($"sp").as("h"))
+      .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nsp"),
+        sum(when($"c" > 1, 1L).otherwise(0L)).as("ndp"))
+    s3.join(per, Seq("doc_id"), "left_outer")
+      .withColumn("q4", $"q3" &&
+        (coalesce($"nsp", lit(0L)) === 0L || $"ndp" * 2 < $"nsp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"q1".cast("long")).as("n_quality"),
+        sum($"q2".cast("long")).as("n_lang"),
+        sum($"q3".cast("long")).as("n_exact"),
+        sum($"q4".cast("long")).as("n_final"))
+      .orderBy($"source")
+  }
+
   /** PII redaction evidence query: emails/phones/IPv4s are counted and
     * scrubbed to typed placeholder tokens (TextOps.scrubPii — the
     * ROOTS/Dolma pre-training redact step). The corpus text is letters

@@ -336,6 +336,48 @@ class TextAnalysisSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("pipeline funnel ≡ driver-side staged recompute; monotone") {
+    val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ")))
+    val q1 = raw.filter { case (_, _, _, t) =>
+      t.length >= 20 && 20 * (t.length - t.distinct.length) <= 13 * t.length
+    }.map(_._1).toSet
+    val q2 = raw.filter { case (id, _, lang, _) =>
+      q1(id) && lang == "en" }.map(_._1).toSet
+    val byPfx = raw.filter(r => q2(r._1))
+      .groupBy(r => md5hexOf(r._4.take(16).mkString(" ")))
+    val q3 = byPfx.values.map(_.map(_._1).min).toSet
+    // span df among q3 survivors only
+    val spanFreq = raw.filter(r => q3(r._1))
+      .flatMap(r => r._4.sliding(16).filter(_.length == 16)
+        .map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val q4 = raw.filter(r => q3(r._1)).filter { case (_, _, _, t) =>
+      val sp = if (t.length < 16) Seq.empty
+               else t.sliding(16).map(_.mkString(" ")).toSeq
+      val dups = sp.count(s => spanFreq(s) > 1)
+      sp.isEmpty || dups * 2 < sp.length
+    }.map(_._1).toSet
+    val expected = raw.groupBy(_._2).map { case (src, rows) =>
+      src -> ((rows.length.toLong, rows.count(r => q1(r._1)).toLong,
+        rows.count(r => q2(r._1)).toLong, rows.count(r => q3(r._1)).toLong,
+        rows.count(r => q4(r._1)).toLong))
+    }
+    val got = TextAnalysis.pipelineFunnel(spark, sf("sf0.001")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expected)
+    // funnel is monotone and the first three stages strictly drop
+    val tot = got.values.toSeq
+    val sums = (tot.map(_._1).sum, tot.map(_._2).sum, tot.map(_._3).sum,
+      tot.map(_._4).sum, tot.map(_._5).sum)
+    assert(sums._1 > sums._2 && sums._2 > sums._3 && sums._3 > sums._4,
+      s"stages must strictly drop at sf0.001: $sums")
+    assert(sums._4 >= sums._5, s"span stage monotone: $sums")
+  }
+
   test("piiScrub query: residue classes scrubbed, others pass through") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
