@@ -52,7 +52,8 @@ object SparkEntry {
     "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
-    "q_wav_stats", "q_video_stats", "q_bpe_roundtrip", "q_bpe_tokens",
+    "q_wav_stats", "q_adpcm_stats", "q_video_stats", "q_mjpeg_stats",
+    "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
     "q_pair_degrees",
@@ -161,7 +162,9 @@ object SparkEntry {
     // same pattern for the real WAV + Y4M kernels: seeded generated
     // clips round-trip through the codec seams, integer features
     "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
+    "q_adpcm_stats"       -> ((s, _) => graft.multimodal.Multimodal.adpcmStats(s)),
     "q_video_stats"       -> ((s, _) => graft.multimodal.Multimodal.videoStats(s)),
+    "q_mjpeg_stats"       -> ((s, _) => graft.multimodal.Multimodal.mjpegStats(s)),
     // learned-BPE tokenizer (operators/Bpe.scala): roundtrip is the
     // oracle gate (lossless detokenization, DuckDB recomputes the
     // normalized text independently); token totals are rows-only
@@ -1349,6 +1352,54 @@ object SparkEntry {
         |  CAST(sum((93 * p + 62 + 17 * id) % 256) AS BIGINT) AS sum_b,
         |  true AS decoded
         |FROM px GROUP BY id, w, h
+        |ORDER BY media_id""".stripMargin,
+
+    // every q_mjpeg_stats column is container arithmetic (the sampling
+    // schedule, frame timing, dims, frame count — all closed formulas of
+    // media_id); each ROW existing proves the sampled frame survived AVI
+    // parse + JPEG decompression with consistent dims. Pixel values are
+    // lossy and spec-bounded instead.
+    "q_mjpeg_stats" ->
+      """WITH g AS (
+        |  SELECT id, CAST(16 + (id % 4) * 8 AS INT) AS w,
+        |    CAST(16 + (id % 3) * 8 AS INT) AS h,
+        |    CAST(2 + (id % 5) AS INT) AS nf,
+        |    CAST(10 + (id % 5) AS INT) AS fps
+        |  FROM range(32) t(id)
+        |), ts AS (
+        |  SELECT id, w, h, nf, fps, u.t
+        |  FROM g, unnest(range(0, nf * 1000 // fps + 1, 250)) AS u(t)
+        |), ix AS (
+        |  SELECT DISTINCT id, w, h, nf, fps,
+        |    CAST(t * fps // 1000 AS INT) AS idx
+        |  FROM ts WHERE t * fps // 1000 < nf
+        |)
+        |SELECT id AS media_id, idx AS frame_idx,
+        |  CAST(idx * 1000 // fps AS BIGINT) AS frame_ms,
+        |  w AS width, h AS height, nf AS n_frames
+        |FROM ix
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // constant per-channel levels survive IMA ADPCM exactly (header
+    // sample verbatim, zero deltas, step pinned at the 7-floor), so the
+    // lossy-codec evidence query still has closed-formula signal values:
+    // mono rms = amp; stereo rms = sqrt((a0²+a1²)/2), rounded as
+    // floor(x·256 + 0.5) to mirror Java math.round exactly.
+    "q_adpcm_stats" ->
+      """SELECT id AS media_id,
+        |  CAST(8000 + (id % 5) * 2000 AS INT) AS sample_rate,
+        |  CAST(1 + (id % 2) AS INT) AS channels,
+        |  CAST(((300 + (id % 50) * 7) * 1000)
+        |    // (8000 + (id % 5) * 2000) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN id % 2 = 0 THEN (2000 + 150 * (id % 23)) * 256
+        |    ELSE floor(sqrt((pow(2000 + 150 * (id % 23), 2) +
+        |      pow(2500 + 150 * (id % 23), 2)) / 2.0) * 256 + 0.5)
+        |    END AS BIGINT) AS rms256,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 2000 + 150 * (id % 23)
+        |    ELSE 2500 + 150 * (id % 23) END AS INT) AS peak,
+        |  CAST(0 AS BIGINT) AS zero_crossings,
+        |  true AS decoded
+        |FROM range(48) t(id)
         |ORDER BY media_id""".stripMargin,
 
     "q_video_stats" ->

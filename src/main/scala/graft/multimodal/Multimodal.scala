@@ -11,15 +11,18 @@ import org.apache.spark.sql.types._
   * Kernels: P6 PPM, baseline PNG and baseline JPEG images decode/resize/
   * featurize FOR REAL (graft.multimodal.{Ppm, Png, Jpeg} — pure JVM,
   * zlib from the JDK, own Huffman+IDCT; no codec library needed; see
-  * `resizeImages` and `Ppm.featureKernel`); RIFF/WAVE PCM audio and
-  * YUV4MPEG2 video likewise decode FOR REAL (graft.multimodal.{Wav,
-  * Y4m} — see `audioFeatures` and `sampleVideoFrames`). Only compressed
-  * audio/video codecs (MP3/AAC, H.264/VP9) remain behind a deterministic
-  * fake (they genuinely need native decoders and this container has no
-  * media libs — builder prompt): for those, the Spark-side contract —
-  * schema, batch shape, partitioning, null paths — is real and tested,
-  * and a real kernel (JNI or `mapInPandas` on a PySpark deployment)
-  * swaps in without touching callers.
+  * `resizeImages` and `Ppm.featureKernel`); RIFF/WAVE audio decodes FOR
+  * REAL in both uncompressed PCM and COMPRESSED IMA-ADPCM form (Wav —
+  * `audioFeatures`), and video decodes FOR REAL in both uncompressed
+  * YUV4MPEG2 and COMPRESSED MJPEG/AVI form (Y4m, Avi —
+  * `sampleVideoFrames` / `sampleMjpegFrames`, the latter reusing the
+  * in-repo JPEG decoder per frame). Only PERCEPTUAL inter-frame/
+  * psychoacoustic codecs (MP3/AAC, H.264/VP9) remain behind a
+  * deterministic fake (they genuinely need native decoders and this
+  * container has no media libs — builder prompt): for those, the
+  * Spark-side contract — schema, batch shape, partitioning, null paths —
+  * is real and tested, and a real kernel (JNI or `mapInPandas` on a
+  * PySpark deployment) swaps in without touching callers.
   */
 object Multimodal {
 
@@ -261,6 +264,104 @@ object Multimodal {
           (if ((f / period) % 2 == 0) amp else -amp).toShort
         }
         (id, Wav.encode(Wav.Audio(rate, channels, samples)))
+      }
+      .toDF("media_id", "payload")
+    audioFeatures(clips).toDF().orderBy("media_id")
+  }
+
+  case class MjpegFrame(media_id: Long, frame_idx: Int, frame_ms: Long,
+    width: Int, height: Int, n_frames: Int)
+
+  /** REAL frame sampling for COMPRESSED (MJPEG/AVI) video: parse the
+    * container, pick frame indices at `everyMs` spacing, and decompress
+    * ONLY the sampled frames through the in-repo JPEG decoder — the
+    * whole point of container-level sampling at scale is that unsampled
+    * frames are never decoded. A frame that fails JPEG decode (or lies
+    * about its dimensions) contributes no row, the same filter-out
+    * contract as sampleVideoFrames. */
+  def sampleMjpegFrames(df: DataFrame, everyMs: Long): Dataset[MjpegFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(everyMs > 0, s"everyMs must be positive: $everyMs")
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        Avi.decode(bytes) match {
+          case Some(m) =>
+            Avi.sampleIndices(m, everyMs).flatMap { idx =>
+              Avi.decodeFrame(m, idx).map { _ =>
+                MjpegFrame(id, idx,
+                  idx.toLong * 1000L * m.fpsDen / m.fpsNum,
+                  m.width, m.height, m.frames.length)
+              }
+            }
+          case None => Seq.empty
+        }
+      }
+  }
+
+  /** Driver-evidence query for the compressed-video path (q_mjpeg_stats):
+    * seeded gradient frames → Jpeg.encode per frame → Avi.encode →
+    * sampleMjpegFrames. Every emitted row proves a sampled frame made it
+    * through container parse AND JPEG decompression with consistent
+    * dimensions, and every column (sampling schedule, frame timing,
+    * dims, frame count) is a closed integer formula of media_id — so the
+    * DuckDB oracle bit-gates the whole path; pixel fidelity is lossy by
+    * design and pinned in JpegSpec/AviSpec error bounds instead. */
+  def mjpegStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 32, everyMs: Long = 250L): DataFrame = {
+    import spark.implicits._
+    val clips = spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val w = 16 + (id % 4).toInt * 8
+        val h = 16 + (id % 3).toInt * 8
+        val nFrames = 2 + (id % 5).toInt
+        val fps = 10 + (id % 5).toInt
+        val frames = Vector.tabulate(nFrames) { f =>
+          val px = Array.tabulate[Byte](w * h * 3) { i =>
+            val p = i / 3; val c = i % 3
+            val x = p % w; val y = p / w
+            ((x * 255 / (w - 1) * (2 - c) + y * 255 / (h - 1) * c) / 2 +
+              f * 11 % 32 + id.toInt * 3 % 16).toByte
+          }
+          Jpeg.encode(Ppm.Image(w, h, px))
+        }
+        (id, Avi.encode(Avi.Mjpeg(w, h, fps, 1, frames)))
+      }
+      .toDF("media_id", "payload")
+    sampleMjpegFrames(clips, everyMs).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Driver-evidence query for the REAL IMA-ADPCM path (q_adpcm_stats):
+    * constant-amplitude clips (a distinct level per channel) survive the
+    * 4-bit quantizer EXACTLY — the first sample rides in each block
+    * header verbatim and every later delta is zero, with step pinned at
+    * the table floor (7 >> 3 = 0) — so rms/peak/zero-crossings obey the
+    * same closed formulas as the PCM evidence query and the oracle gates
+    * the whole compressed path bit-for-bit: fact-chunk frame accounting,
+    * multi-block walk (frames up to 643 span 3 default blocks incl. a
+    * padded tail), per-channel headers, and the nibble loop. The
+    * adaptive-quantizer paths (nonzero nibbles, index climb, clamps) are
+    * exercised in WavSpec with hand-computed vectors and error bounds —
+    * they are lossy by design, so no closed formula exists for them. */
+  def adpcmStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 48): DataFrame = {
+    import spark.implicits._
+    val clips = spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val rate = 8000 + (id % 5).toInt * 2000
+        val channels = 1 + (id % 2).toInt
+        val frames = 300 + (id % 50).toInt * 7
+        val samples = Array.tabulate[Short](frames * channels) { i =>
+          val c = i % channels
+          (2000 + 150 * (id % 23).toInt + 500 * c).toShort
+        }
+        (id, Wav.encodeAdpcm(Wav.Audio(rate, channels, samples)))
       }
       .toDF("media_id", "payload")
     audioFeatures(clips).toDF().orderBy("media_id")
