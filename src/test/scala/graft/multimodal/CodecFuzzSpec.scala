@@ -36,6 +36,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       Array.tabulate[Byte](8 * 6 * 3 / 2)(i => ((i + f * 40) % 256).toByte))
     Y4m.encode(Y4m.Video(8, 6, 25, 1, subsampled = true, frames))
   }
+  private def adpcm: Array[Byte] = {
+    val samples = Array.tabulate[Short](520)(i => ((i * 113) % 5000).toShort)
+    Wav.encodeAdpcm(Wav.Audio(8000, 2, samples))
+  }
+  private def avi: Array[Byte] = {
+    val frames = Vector.tabulate(3) { f =>
+      val px = Array.tabulate[Byte](16 * 16 * 3)(i => ((i * 5 + f) % 256).toByte)
+      Jpeg.encode(Ppm.Image(16, 16, px))
+    }
+    Avi.encode(Avi.Mjpeg(16, 16, 10, 1, frames))
+  }
 
   /** Mutate a valid payload: flip 1-8 bytes, or truncate, or duplicate a
     * slice into the middle — the corruption shapes object stores and
@@ -90,6 +101,11 @@ class CodecFuzzSpec extends AnyFunSuite {
   fuzz("Jpeg.decode", jpg, Jpeg.decode)
   fuzz("Ppm.decode", ppm, Ppm.decode)
   fuzz("Wav.decode", wav, Wav.decode)
+  fuzz("Wav.decode (ADPCM)", adpcm, Wav.decode)
   fuzz("Y4m.decode", y4m, Y4m.decode(_))
+  // container parse + every frame decompressed, so a mutated JPEG inside
+  // a valid container exercises the frame path too
+  fuzz("Avi.decode+frames", avi, (b: Array[Byte]) =>
+    Avi.decode(b).map(m => m.frames.indices.map(Avi.decodeFrame(m, _))))
   fuzz("decodeImage seam", png, Multimodal.decodeImage)
 }
