@@ -51,6 +51,7 @@ object SparkEntry {
     "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
     "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
+    "q_cm_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_adpcm_stats", "q_video_stats", "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     "q_pipeline_funnel"   -> (TextAnalysis.pipelineFunnel(_, _)),
+    "q_cm_words"          -> (TextAnalysis.cmWords(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),

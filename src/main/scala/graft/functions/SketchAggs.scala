@@ -39,6 +39,14 @@ object SketchAggs {
   def frequentItems(c: Column, capacity: Int): Column =
     GraftBridge.column(FrequentItems(GraftBridge.expression(c), capacity)
       .toAggregateExpression())
+
+  /** Count-Min point-frequency estimates for a fixed probe set — output
+    * array<struct<item,est>> per group, in `items` order. est ≥ true
+    * always; the merged sketch is partition-invariant (exact sum). */
+  def cmEstimate(c: Column, items: Seq[String], widthLog2: Int = 10,
+      depth: Int = 4, seed: Long = 42L): Column =
+    GraftBridge.column(CountMinEstimate(GraftBridge.expression(c), items,
+      widthLog2, depth, seed).toAggregateExpression())
 }
 
 /** Bottom-k (min-hash) sampling aggregate: keep the k values whose
@@ -289,5 +297,119 @@ case class FrequentItems(child: Expression, capacity: Int,
   override def withNewInputAggBufferOffset(offset: Int): FrequentItems =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): FrequentItems =
+    copy(child = newChild)
+}
+
+/** Mutable Count-Min buffer: depth × width long counters, flat. */
+final class CmBuf(val counters: Array[Long])
+
+/** Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan
+  * 2005) over a string column, for a fixed probe set: the third sketch
+  * family next to Misra–Gries (which items are heavy) and HLL (how many
+  * distinct) — CM answers "how OFTEN does each of THESE occur" in
+  * O(width·depth) state regardless of cardinality.
+  *
+  * The property that earns it a place here: merge is an elementwise
+  * counter SUM — exact, commutative, associative — so unlike Misra–Gries
+  * the merged sketch (and therefore every estimate) is a pure function
+  * of the row multiset, bit-identical under any partitioning, task
+  * order, or AQE re-plan (pinned in SketchAggsSpec under 1/3/8
+  * partitions). Guarantees: est ≥ true always (hashing only ever ADDS
+  * collisions), and est ≤ true + εN with ε = e/width at probability
+  * 1 − e^−depth over the seeded hash family.
+  *
+  * Rows hash with the splitmix64 chain below (full-avalanche per byte),
+  * one derived bucket per depth row. Probe items ride in the expression
+  * as literals, so eval emits a slim array<struct<item,est>> per group
+  * and the sketch itself never leaves the executor. Nulls are skipped.
+  */
+case class CountMinEstimate(child: Expression, items: Seq[String],
+    widthLog2: Int, depth: Int, seed: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmBuf]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(widthLog2 >= 1 && widthLog2 <= 24,
+    s"widthLog2 out of range: $widthLog2")
+  require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+  require(items.nonEmpty, "need at least one probe item")
+
+  private val width = 1 << widthLog2
+  private val mask = width - 1
+
+  override def prettyName: String = "cm_estimate"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  /** Full-avalanche chained hash of UTF-8 bytes, then one derived value
+    * per depth row. */
+  private def baseHash(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    var h = seed
+    var i = 0
+    while (i < b.length) { h = SketchAggs.mix(h ^ (b(i) & 0xffL)); i += 1 }
+    h
+  }
+  private def bucket(base: Long, d: Int): Int =
+    (SketchAggs.mix(base + d) & mask).toInt
+
+  override def createAggregationBuffer(): CmBuf =
+    new CmBuf(new Array[Long](width * depth))
+
+  override def update(buf: CmBuf, input: InternalRow): CmBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = baseHash(v.toString)
+      var d = 0
+      while (d < depth) {
+        buf.counters(d * width + bucket(base, d)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: CmBuf, b: CmBuf): CmBuf = {
+    var i = 0
+    while (i < a.counters.length) { a.counters(i) += b.counters(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: CmBuf): Any =
+    new GenericArrayData(items.map { item =>
+      val base = baseHash(item)
+      var est = Long.MaxValue
+      var d = 0
+      while (d < depth) {
+        val c = buf.counters(d * width + bucket(base, d))
+        if (c < est) est = c
+        d += 1
+      }
+      InternalRow(UTF8String.fromString(item), est)
+    }.toArray)
+
+  override def serialize(buf: CmBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.counters.length)
+    buf.counters.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val c = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < c.length) { c(i) = bb.getLong; i += 1 }
+    new CmBuf(c)
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CountMinEstimate =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CountMinEstimate =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinEstimate =
     copy(child = newChild)
 }

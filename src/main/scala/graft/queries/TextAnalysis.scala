@@ -919,6 +919,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Count-Min evidence query (q_cm_words): per-language frequency
+    * estimates for a fixed probe vocabulary from the partition-invariant
+    * CM sketch (functions.SketchAggs.cmEstimate), joined against the
+    * exact counts so the driver sees the overcount per round. est ≥
+    * true is the sketch's hard guarantee (overcount can only add);
+    * estimates depend on the seeded hash family, so this is rows-only —
+    * the invariance and error contracts are pinned in SketchAggsSpec.
+    * The absent probe pins the no-hit path. At scale the sketch is the
+    * point: probe-set frequency over a 100 TB token stream in
+    * width×depth longs per group, one map-combinable pass, no
+    * (group, word) shuffle. */
+  def cmWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq("the", "table", "data", "spark", "query", "zzz_absent")
+    val words = Tables.documents(s, dir)
+      .select($"lang", explode(toks($"text")).as("w"))
+    val est = words.groupBy($"lang")
+      .agg(graft.functions.SketchAggs.cmEstimate($"w", probes).as("ests"))
+      .select($"lang", explode($"ests").as("e"))
+      .select($"lang", $"e.item".as("item"), $"e.est".as("est"))
+    val exact = words.filter($"w".isInCollection(probes))
+      .groupBy($"lang", $"w".as("item"))
+      .agg(count(lit(1)).as("true_count"))
+    est.join(exact, Seq("lang", "item"), "left_outer")
+      .select($"lang", $"item", $"est",
+        coalesce($"true_count", lit(0L)).as("true_count"),
+        ($"est" - coalesce($"true_count", lit(0L))).as("overcount"))
+      .orderBy($"lang", $"item")
+  }
+
   /** Winnowing fingerprints over a (doc_id, t: array<string>) token
     * frame (Schleimer, Wilkerson & Aiken 2003, "Winnowing: Local
     * Algorithms for Document Fingerprinting" — the MOSS algorithm):

@@ -189,4 +189,63 @@ class SketchAggsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.toSet === Set(("g1", "a", 2L), ("g2", "z", 1L)))
   }
+
+  private def cmCorpus = {
+    val spark2 = spark
+    import spark2.implicits._
+    spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+  }
+
+  private def cmRun(df: org.apache.spark.sql.DataFrame,
+      probes: Seq[String], widthLog2: Int = 10): Map[String, Long] = {
+    val spark2 = spark
+    import spark2.implicits._
+    df.agg(SketchAggs.cmEstimate($"w", probes, widthLog2 = widthLog2)
+        .as("ests"))
+      .select(org.apache.spark.sql.functions.explode($"ests").as("e"))
+      .select($"e.item", $"e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("count-min: est ≥ true on the real corpus; overcount bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val probes = Seq("the", "table", "data", "zzz_absent")
+    val words = cmCorpus.cache()
+    val n = words.count()
+    val exact = words.filter($"w".isInCollection(probes))
+      .groupBy($"w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = cmRun(words, probes)
+    probes.foreach { p =>
+      val t = exact.getOrElse(p, 0L)
+      assert(est(p) >= t, s"$p: est ${est(p)} < true $t")
+      // ε = e/width bound, depth 4 → overwhelmingly held; deterministic
+      // seed so this is a pin, not a flake
+      assert(est(p) - t <= 3 * n / 1024, s"$p overcount ${est(p) - t}")
+    }
+    words.unpersist(blocking = false)
+  }
+
+  test("count-min: bit-identical under 1/3/8 partitions (exact sum merge)") {
+    val probes = Seq("the", "table", "spark", "value")
+    val base = cmCorpus
+    val runs = Seq(1, 3, 8).map(p => cmRun(base.repartition(p), probes))
+    assert(runs.distinct.length === 1,
+      "CM estimates must not depend on partitioning")
+  }
+
+  test("count-min: exact when the width dwarfs the vocabulary; empty " +
+    "input estimates zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tiny = Seq("a", "a", "b", "a", "c").toDF("w")
+    val est = cmRun(tiny, Seq("a", "b", "c", "d"), widthLog2 = 16)
+    assert(est === Map("a" -> 3L, "b" -> 1L, "c" -> 1L, "d" -> 0L))
+    val empty = cmRun(Seq.empty[String].toDF("w"), Seq("a"))
+    assert(est("d") === 0L && empty === Map("a" -> 0L))
+  }
 }
