@@ -42,7 +42,7 @@ object SparkEntry {
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
-    "q_funnel", "q_hourly_delta",
+    "q_funnel", "q_hourly_delta", "q_cohort_retention",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -113,6 +113,7 @@ object SparkEntry {
     "q_asof_join"         -> (Events.asofClickPurchase(_, _)),
     "q_funnel"            -> ((s, d) => Events.funnel(s, d)),
     "q_hourly_delta"      -> (Events.hourlyDelta(_, _)),
+    "q_cohort_retention"  -> (Events.cohortRetention(_, _)),
     "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
@@ -422,6 +423,27 @@ object SparkEntry {
         |  n_events - prev_events AS delta
         |FROM lagged WHERE prev_events IS NOT NULL
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort FROM a GROUP BY user_id
+        |), s AS (
+        |  SELECT cohort, count(*) AS cohort_size FROM f GROUP BY cohort
+        |), cells AS (
+        |  SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.day) AS INT) AS day_offset,
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN f USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.cohort, c.day_offset, c.n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |    AS retention
+        |FROM cells c JOIN s USING (cohort)
+        |ORDER BY cohort, day_offset""".stripMargin,
 
     // funnel: first click anchors; purchases within the hour convert.
     "q_funnel" ->

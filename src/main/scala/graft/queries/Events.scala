@@ -174,4 +174,32 @@ object Events {
         count(lit(1)).as("n_events"))
       .orderBy($"user_id")
   }
+
+  /** Cohort retention — the classic warehouse self-referential shape the
+    * other event queries don't cover: users are grouped by their
+    * first-active DAY (the cohort), and each (cohort, day-offset) cell
+    * counts how many of that cohort were active again offset days later,
+    * with the retention ratio against the cohort's size. Dataflow: one
+    * distinct over slim (user, day) pairs, a per-user min (the
+    * first-touch attribution), a join back keyed on user_id, and
+    * count-distinct cells keyed (cohort, offset) — all hash aggregates,
+    * no window, no self-join on the event table itself. The ratio is one
+    * exact IEEE division of two integers, so the whole result
+    * oracle-bit-matches. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = Tables.events(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    val first = active.groupBy($"user_id").agg(min($"day").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("cohort_size"))
+    active.join(first, "user_id")
+      .groupBy($"cohort", datediff($"day", $"cohort").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sizes, "cohort")
+      .select($"cohort", $"day_offset", $"n_active", $"cohort_size",
+        ($"n_active".cast("double") / $"cohort_size".cast("double"))
+          .as("retention"))
+      .orderBy($"cohort", $"day_offset")
+  }
 }
