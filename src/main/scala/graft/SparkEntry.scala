@@ -37,7 +37,8 @@ object SparkEntry {
     "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
     "q_source_mix", "q_epoch_shuffle", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_late_orders",
-    "q_string_agg", "q_full_outer",
+    "q_string_agg", "q_custdist", "q_range_window", "q_grouping_sets",
+    "q_full_outer",
     "q_nation_intersect", "q_window_suite", "q_nullsafe_join",
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
@@ -101,6 +102,9 @@ object SparkEntry {
     "q_argmin_join"       -> (Relational.argminJoin(_, _)),
     "q_late_orders"       -> (Relational.lateOrders(_, _)),
     "q_string_agg"        -> ((s, d) => Relational.orderedAgg(s, d)),
+    "q_custdist"          -> (Relational.custDist(_, _)),
+    "q_range_window"      -> (Relational.rangeWindow(_, _)),
+    "q_grouping_sets"     -> (Relational.groupingSets(_, _)),
     "q_full_outer"        -> (Relational.fullOuter(_, _)),
     "q_nation_intersect"  -> (Relational.nationIntersect(_, _)),
     "q_window_suite"      -> (Relational.windowSuite(_, _)),
@@ -1250,6 +1254,44 @@ object SparkEntry {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE rn = 1
         |ORDER BY l_partkey""".stripMargin,
+
+    "q_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT OUTER JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_totalprice > 150000.0) o
+        |    ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey) x
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_7d,
+        |  count(*)
+        |    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |    AS n_in_window
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |    AS BIGINT) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_late_orders" ->
       """SELECT o_orderpriority, count(*) AS n_late

@@ -403,6 +403,77 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** TPC-H Q13 shape (customer distribution): LEFT OUTER join customers
+    * to orders, count orders per customer INCLUDING the zero bucket,
+    * then the count-of-counts histogram — two cascaded hash aggregates
+    * over different keys, the shape that catches an engine conflating
+    * "no match" with "count 0 dropped". The order filter keeps the
+    * outer join non-vacuous (customers whose only orders are filtered
+    * out land in the 0 bucket). */
+  def custDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(s, dir).select($"c_custkey")
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count skips outer nulls
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** RANGE-frame window (vs windowSuite's ROWS frames): each order's
+    * trailing-7-day revenue for its customer — the frame is bounded by
+    * the ORDER BY VALUE (micros since epoch), not by row position, so
+    * ties and gaps behave like the SQL standard's RANGE BETWEEN, the
+    * frame no ROWS offset can express. Decimal-routed sum for oracle
+    * bit-parity. */
+  def rangeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val w = Window.partitionBy($"o_custkey").orderBy($"ts_us")
+      .rangeBetween(-sevenDaysUs, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice",
+        // o_orderdate is parquet NTZ; the session is pinned UTC, so the
+        // cast-then-micros equals DuckDB's epoch_us on the naive value
+        unix_micros($"o_orderdate".cast("timestamp")).as("ts_us"))
+      .withColumn("trailing_7d",
+        sum(dec($"o_totalprice")).over(w).cast("double"))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select($"o_custkey", $"o_orderkey", $"trailing_7d", $"n_in_window")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * totals by (status, priority), by status alone, and by priority
+    * alone — but NOT the grand total, which neither ROLLUP nor CUBE can
+    * express as-is — with grouping_id disambiguating which set each row
+    * came from (a null status in the data vs "aggregated over status"). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+      .createOrReplaceTempView("graft_orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        -- explicit bit arithmetic, not grouping_id(): both engines agree
+        -- on GROUPING(col) ∈ {0,1}, while grouping_id's bit ORDER is a
+        -- per-engine convention
+        CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+          AS BIGINT) AS gid,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM graft_orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderstatus), (o_orderpriority))
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """)
+  }
+
   /** Argmin join (TPC-H Q2 shape on the available tables): for each part,
     * the cheapest lineitem offer and its supplier — the correlated
     * "= (SELECT min ...)" subquery pattern, planned as ONE shuffle on the
