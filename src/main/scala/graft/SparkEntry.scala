@@ -35,7 +35,7 @@ object SparkEntry {
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
-    "q_source_mix", "q_epoch_shuffle", "q_skew_join",
+    "q_source_mix", "q_mix_temperature", "q_epoch_shuffle", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_late_orders",
     "q_string_agg", "q_custdist", "q_range_window", "q_grouping_sets",
     "q_full_outer",
@@ -195,6 +195,7 @@ object SparkEntry {
     "q_epoch_shuffle"     -> ((s, d) => Extended.epochShuffle(s, d)),
     "q_profile"           -> (Extended.profileDocuments(_, _)),
     "q_source_mix"        -> (Extended.sourceMix(_, _)),
+    "q_mix_temperature"   -> (Extended.mixTemperature(_, _)),
     "q_multiset_pairs"    -> (Extended.multisetPairs(_, _)),
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
@@ -1161,6 +1162,53 @@ object SparkEntry {
          |WHERE bucket < mix_thr
          |ORDER BY doc_id""".stripMargin
     },
+
+    // weight quantization (⌊√n·2²⁰⌋) makes the Σ over languages an exact
+    // integer sum (float Σ√n would be summation-order-dependent); every
+    // later double op is the identical fixed sequence in both engines,
+    // and the keep decision is integer-vs-integer.
+    "q_mix_temperature" ->
+      """WITH sizes AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), wq AS (
+        |  SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576.0) AS BIGINT) AS wq
+        |  FROM sizes
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(wq) AS BIGINT) AS w_total
+        |  FROM wq
+        |), rates AS (
+        |  SELECT lang,
+        |    CAST(floor(least(1.0,
+        |      (CAST(n_total AS DOUBLE) * 549755813888.0) /
+        |        CAST(wq * w_total AS DOUBLE)) * 16777216.0) AS BIGINT)
+        |      AS thr6
+        |  FROM wq, tot
+        |), u AS (
+        |  SELECT doc_id, lang,
+        |    md5('tmix:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |)
+        |SELECT u.doc_id, u.lang,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) AS BIGINT)
+        |    AS u6,
+        |  r.thr6,
+        |  CAST(CASE WHEN
+        |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) < r.thr6
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM u JOIN rates r USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_skew_join" ->
       """WITH avgs AS (

@@ -223,6 +223,48 @@ object Extended {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-based mixture sampling (the mT5/UniMax move, α = 0.5):
+    * per-language sampling rates derived FROM the corpus itself — share
+    * ∝ n^α, so dominant languages are down-weighted and the tail is
+    * up-weighted relative to proportional sampling — then the same
+    * deterministic md5-threshold keep decision as sourceMix. The lang
+    * axis is the skewed one in this corpus (en ≈ 3× the tail), so the
+    * rates genuinely differ; `source` is uniform by construction and
+    * would make the temperature vacuous.
+    *
+    * Cross-engine exactness: Σ√n is order-dependent in floating point,
+    * so weights are quantized to integers FIRST (⌊√n·2²⁰⌋) and summed
+    * exactly; every remaining double op is a fixed sequence (one
+    * long→double cast, one division, one least, one floor·2²⁴) both
+    * engines execute identically, and the keep decision compares two
+    * INTEGERS (first-6-hex-digit value vs the floored threshold).
+    * Map-only at scale: the 5-row rate table broadcast-joins onto the
+    * scan; the rate derivation itself is one 5-row aggregate. */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy(lit(1))
+    val rates = Tables.documents(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .withColumn("wq",
+        floor(sqrt($"n".cast("double")) * 1048576.0).cast("long"))
+      .withColumn("n_total", sum($"n").over(wAll))
+      .withColumn("w_total", sum($"wq").over(wAll))
+      // rate = 0.5·N / (√n_s · Σ√n) ≈ 0.5·N·2⁴⁰ / (wq·W), floored to a
+      // 24-bit integer threshold (549755813888 = 0.5 · 2⁴⁰)
+      .withColumn("thr6", floor(least(lit(1.0),
+        ($"n_total".cast("double") * 549755813888.0) /
+          ($"wq" * $"w_total").cast("double")) * 16777216.0).cast("long"))
+      .select($"lang", $"thr6")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        conv(substring(md5(concat(lit("tmix:"), $"doc_id".cast("string"))),
+          1, 6), 16, 10).cast("long").as("u6"))
+      .join(broadcast(rates), Seq("lang"))
+      .select($"doc_id", $"lang", $"u6", $"thr6",
+        when($"u6" < $"thr6", 1L).otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic epoch shuffle + shard assignment — the last step
     * before training data leaves the engine: each epoch needs a
     * DIFFERENT but fully reproducible global order, materialized as N
