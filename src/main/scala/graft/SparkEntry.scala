@@ -68,7 +68,8 @@ object SparkEntry {
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup", "q_simhash_recall",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
-    "q_ivf_recall", "q_similarity_join_p2", "q_linkpred_e2e")
+    "q_ivf_recall", "q_similarity_join_p2", "q_quality_classifier",
+    "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
   def orderedQueryNames: Seq[String] = {
@@ -142,6 +143,7 @@ object SparkEntry {
     "q_winnow_pairs"      -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     "q_pipeline_funnel"   -> (TextAnalysis.pipelineFunnel(_, _)),
     "q_cm_words"          -> (TextAnalysis.cmWords(_, _)),
+    "q_quality_classifier" -> (graft.ml.QualityFilter.confusion(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
