@@ -61,7 +61,7 @@ object SparkEntry {
     "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_cluster_sizes",
     "q_dedup_corpus",
-    "q_dedup_keepbest",
+    "q_dedup_keepbest", "q_pair_kcore",
     "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
     "q_semantic_dedup",
     "q_multiset_pairs",
@@ -155,6 +155,7 @@ object SparkEntry {
     "q_dedup_clusters"    -> (GraphQueries.dedupClusters(_, _)),
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
     "q_dedup_keepbest"    -> (GraphQueries.dedupKeepBest(_, _)),
+    "q_pair_kcore"        -> ((s, d) => GraphQueries.pairKcore(s, d)),
     "q_pair_pagerank"     -> (GraphQueries.pairPagerank(_, _)),
     "q_pair_pagerank_fp"  -> (GraphQueries.pairPagerankFixed(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),

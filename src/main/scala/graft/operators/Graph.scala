@@ -158,6 +158,53 @@ object Graph {
     * @return (id, component) for every vertex incident to an edge, where
     *         component = smallest vertex id in its component.
     */
+  /** k-core decomposition by iterative peeling: repeatedly drop every
+    * vertex whose CURRENT degree is below k until a fixpoint — what
+    * survives is the maximal subgraph where everyone keeps ≥ k
+    * neighbors. The dense-cluster detector the monotone ops can't give:
+    * degrees count raw edges, components merge through a single bridge,
+    * but a 2-core sheds every tree/chain appendage and keeps only the
+    * cyclic cores (for near-dup graphs: template families vs chains of
+    * borderline pairs).
+    *
+    * Each round is one symmetrized map-combinable degree agg + one
+    * broadcast-able anti-join of the (shrinking) edge list against the
+    * dropped-vertex set, checkpoint-materialized like the other
+    * iterative ops so lineage stays flat. Rounds are bounded by the
+    * peeling depth (≤ vertex count; tiny in practice — each round must
+    * remove a vertex or terminate). Returns (id, core_degree) for the
+    * surviving vertices — degree WITHIN the core, ≥ k by construction. */
+  def kCore(edges: DataFrame, k: Int, aCol: String = "a_id",
+      bCol: String = "b_id", maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    var e = materialize(edges
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter($"a" =!= $"b").distinct())
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val deg = e.select($"a".as("id")).unionAll(e.select($"b".as("id")))
+        .groupBy($"id").agg(count(lit(1)).as("degree"))
+      val drop = deg.filter($"degree" < k).select($"id")
+      if (drop.isEmpty) done = true
+      else {
+        e = materialize(e
+          .join(drop.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+          .join(drop.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
+          .select($"a", $"b"))
+        round += 1
+      }
+    }
+    require(done, s"kCore did not converge in $maxRounds rounds")
+    e.select($"a".as("id")).unionAll(e.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("core_degree"))
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxRounds: Int = 25): DataFrame = {
     val spark = edges.sparkSession

@@ -136,4 +136,21 @@ object GraphQueries {
         components(s, dir), "doc_id", scores)
       .orderBy($"doc_id")
   }
+
+  /** 2-core of the near-dup pair graph (Graph.kCore): the documents in
+    * CYCLIC duplication structure — template families where everything
+    * resembles everything — as opposed to chains of borderline pairwise
+    * hits, which a 2-core sheds entirely. Degrees/components can't make
+    * that distinction (a bridge merges components; raw degree counts
+    * chain links). Rows-only: same driver treatment as the other
+    * iterative graph op outputs that have no SQL twin (peeling needs
+    * aggregation inside recursion, which recursive CTEs forbid);
+    * GraphSpec pins ≡ local peeling on both synthetic and the real
+    * sf0.001 pair graph. */
+  def pairKcore(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
+    import s.implicits._
+    graft.operators.Graph.kCore(pairGraph(s, dir), k)
+      .select($"id".as("doc_id"), $"core_degree")
+      .orderBy($"doc_id")
+  }
 }

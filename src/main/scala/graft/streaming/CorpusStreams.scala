@@ -77,4 +77,19 @@ object CorpusStreams {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
+
+  /** Streaming Count-Min sketch over a (lang, w) word stream — sketches
+    * are the natural streaming aggregate: constant state per group
+    * regardless of stream length, and because CM's merge is an exact
+    * elementwise sum, the streaming result after ANY micro-batch
+    * sequence is BIT-IDENTICAL to the batch sketch over the same rows
+    * (pinned in CorpusStreamsSpec) — no approximation drift from
+    * incremental processing, which neither MG (truncation order) nor a
+    * naive top-k could promise. Complete-mode output: the state store
+    * carries the serialized sketch buffer per group. */
+  def cmWordsStream(words: DataFrame, probes: Seq[String]): DataFrame =
+    words.groupBy(org.apache.spark.sql.functions.col("lang"))
+      .agg(graft.functions.SketchAggs
+        .cmEstimate(org.apache.spark.sql.functions.col("w"), probes)
+        .as("ests"))
 }

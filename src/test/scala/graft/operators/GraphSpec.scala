@@ -149,4 +149,56 @@ class GraphSpec extends SparkSpec {
     }.filter(e => e._1 != e._2).distinct
     assert(ccMap(es) === unionFind(es))
   }
+
+  /** Test-side iterative peeling (the definition). */
+  private def peel(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var edges = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val drop = deg.filter(_._2 < k).keySet
+      changed = drop.nonEmpty
+      edges = edges.filterNot(e => drop(e._1) || drop(e._2))
+    }
+    edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kCore: triangle survives a 2-core, chain appendage peels away") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.kCore(edgesDf(es), k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // no 3-core anywhere in this graph
+    assert(Graph.kCore(edgesDf(es), k = 3).collect().isEmpty)
+    // and cascading: a chain hanging off the triangle peels end-first
+    assert(got === peel(es, 2))
+  }
+
+  test("kCore agrees with local peeling on a random graph and the real " +
+    "sf0.001 pair graph") {
+    val es = (0 until 400).map { i =>
+      val h = i * 2654435761L
+      val a = (h % 53).abs
+      val b = ((h / 53) % 57).abs
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    for (k <- Seq(2, 3, 4))
+      assert(Graph.kCore(edgesDf(es), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === peel(es, k),
+        s"k=$k")
+    val pair = graft.queries.TextAnalysis
+      .scoredNearDupPairs(spark, sf("sf0.001"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val core = graft.queries.GraphQueries.pairKcore(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core === peel(pair, 2))
+    // non-vacuous both ways: a real cyclic core exists AND chains peeled
+    val allVerts = pair.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(core.nonEmpty && core.size < allVerts.size,
+      s"core ${core.size} of ${allVerts.size}")
+  }
 }

@@ -141,4 +141,38 @@ class CorpusStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 10L, 0.75)))
   }
+
+  test("streaming CM sketch ≡ batch sketch, bit-exact across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probes = Seq("a", "b", "zz")
+    val batch1 = Seq(("en", "a"), ("en", "a"), ("en", "b"), ("de", "a"))
+    val batch2 = Seq(("en", "a"), ("de", "c"), ("de", "a"), ("en", "q"))
+    val mem = MemoryStream[(String, String)]
+    val q = CorpusStreams
+      .cmWordsStream(mem.toDF().toDF("lang", "w"), probes)
+      .writeStream.format("memory").queryName("cm_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*) // second micro-batch merges into state
+      q.processAllAvailable()
+      def flat(df: org.apache.spark.sql.DataFrame) = df
+        .select($"lang", org.apache.spark.sql.functions.explode($"ests").as("e"))
+        .select($"lang", $"e.item", $"e.est")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val streamed = flat(spark.table("cm_stream"))
+      val batched = flat(CorpusStreams.cmWordsStream(
+        (batch1 ++ batch2).toDF("lang", "w"), probes))
+      assert(streamed === batched, "state-merged sketch must equal batch")
+      // and the estimates are the true counts here (no collisions at
+      // this width): en saw a×3 b×1, de saw a×2; zz absent
+      assert(streamed === Set(
+        ("en", "a", 3L), ("en", "b", 1L), ("en", "zz", 0L),
+        ("de", "a", 2L), ("de", "b", 0L), ("de", "zz", 0L)))
+    } finally q.stop()
+  }
 }
