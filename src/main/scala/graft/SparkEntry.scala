@@ -43,7 +43,7 @@ object SparkEntry {
     // events
     "q_hourly_stats", "q_json_props", "q_json_typed", "q_event_windows",
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
-    "q_funnel", "q_hourly_delta", "q_cohort_retention",
+    "q_funnel", "q_hourly_delta", "q_cohort_retention", "q_hourly_anomaly",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -119,6 +119,7 @@ object SparkEntry {
     "q_funnel"            -> ((s, d) => Events.funnel(s, d)),
     "q_hourly_delta"      -> (Events.hourlyDelta(_, _)),
     "q_cohort_retention"  -> (Events.cohortRetention(_, _)),
+    "q_hourly_anomaly"    -> (Events.hourlyAnomaly(_, _)),
     "q_event_pairs"       -> (Events.eventPairs(_, _)),
     // text analysis / dedup (north star)
     "q_token_stats"       -> (TextAnalysis.tokenStats(_, _)),
@@ -430,6 +431,29 @@ object SparkEntry {
         |SELECT hour, event_type, n_events, prev_events,
         |  n_events - prev_events AS delta
         |FROM lagged WHERE prev_events IS NOT NULL
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q_hourly_anomaly" ->
+      """WITH cells AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |  FROM cells GROUP BY event_type
+        |)
+        |SELECT c.hour, c.event_type, c.n,
+        |  CASE WHEN m.n_hours * m.s2 - m.s1 * m.s1 > 0 THEN
+        |    (CAST(c.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)) /
+        |      sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE) -
+        |        (CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)) *
+        |          (CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)))
+        |    END AS z,
+        |  CAST(CASE WHEN (c.n * m.n_hours - m.s1) * (c.n * m.n_hours - m.s1) >
+        |      4 * (m.n_hours * m.s2 - m.s1 * m.s1)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM cells c JOIN m USING (event_type)
         |ORDER BY hour, event_type""".stripMargin,
 
     "q_cohort_retention" ->

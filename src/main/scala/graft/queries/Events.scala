@@ -175,6 +175,48 @@ object Events {
       .orderBy($"user_id")
   }
 
+  /** Hourly volume anomaly detection: per event type, flag hours whose
+    * event count deviates from that type's mean by more than 2σ — the
+    * monitoring query every event pipeline runs. Two hash aggregates
+    * (hour cells, then per-type moments) plus a broadcast-able join of
+    * the tiny moment table back onto the cells.
+    *
+    * Cross-engine float discipline: the moments come from INTEGER sums
+    * (Σn, Σn² — exact, order-free), never a running stddev (Welford's
+    * accumulation order differs per engine/partitioning). z² is compared
+    * AS A RATIO OF EXACT PRODUCTS — (n·count − Σn)² vs 4·(n·Σn² − Σn²?…)
+    * precisely: (count·n_hours − Σn)² > 4 · (n_hours·Σn² − Σn·Σn) — so
+    * the verdict is pure integer arithmetic, immune to any float
+    * rounding; the reported z itself is a fixed double op sequence. */
+  def hourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .groupBy($"hour", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val moments = cells.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum($"n").as("s1"), sum($"n" * $"n").as("s2"))
+    cells.join(broadcast(moments), "event_type")
+      .select($"hour", $"event_type", $"n", $"n_hours", $"s1", $"s2",
+        // z = (n − mean)/σ with mean = s1/H, σ² = s2/H − (s1/H)²; fixed
+        // sequence so both engines run the identical divisions. The σ=0
+        // degenerate (all hours equal) is gated on the INTEGER variance
+        // test so neither engine divides by zero
+        when($"n_hours" * $"s2" - $"s1" * $"s1" > 0,
+          ($"n".cast("double") - $"s1".cast("double") / $"n_hours".cast("double")) /
+            sqrt($"s2".cast("double") / $"n_hours".cast("double") -
+              ($"s1".cast("double") / $"n_hours".cast("double")) *
+                ($"s1".cast("double") / $"n_hours".cast("double"))))
+          .as("z"),
+        // integer-exact verdict: (n·H − s1)² > 4·(H·s2 − s1²)  ⇔  |z| > 2
+        when((($"n" * $"n_hours" - $"s1") * ($"n" * $"n_hours" - $"s1")) >
+            lit(4) * ($"n_hours" * $"s2" - $"s1" * $"s1"), 1L)
+          .otherwise(0L).as("anomaly"))
+      .select($"hour", $"event_type", $"n", $"z", $"anomaly")
+      .orderBy($"hour", $"event_type")
+  }
+
   /** Cohort retention — the classic warehouse self-referential shape the
     * other event queries don't cover: users are grouped by their
     * first-active DAY (the cohort), and each (cohort, day-offset) cell
