@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming CDC apply — the MERGE sink that turns a change stream into
+  * a queryable table: each micro-batch collapses to one change per key
+  * (LAST wins, ordered by the stream's sequence column — CDC semantics),
+  * then upserts/deletes against the current snapshot and publishes the
+  * next one. Snapshots are immutable directories (the same discipline as
+  * sources/Upsert) chained under the table root, with an atomic
+  * `_current` pointer file (write-temp + rename) as the commit record —
+  * the minimal table-format commit protocol.
+  *
+  * Exactly-once: the streaming checkpoint replays a failed batch with
+  * the SAME batchId, which deterministically re-derives the same
+  * snapshot directory (`v<batchId>`) from the same input and re-points
+  * the same pointer — an idempotent re-commit, not a duplicate apply.
+  * Readers never see a half-written snapshot: the pointer moves only
+  * after the parquet write completes.
+  *
+  * Contract: the change stream carries the table columns plus `_op`
+  * ('U' upsert / 'D' delete) and `_seq` (total order per key within a
+  * batch). The caller seeds snapshot v0 + pointer via `init`.
+  */
+object CdcSink {
+
+  private def pointerPath(root: String) = s"$root/_current"
+
+  /** Seed the table: write `base` as snapshot v0 and point at it. */
+  def init(base: DataFrame, root: String): Unit = {
+    val snap = s"$root/v0"
+    base.write.mode("overwrite").parquet(snap)
+    commit(base.sparkSession, root, snap)
+  }
+
+  /** The snapshot the pointer currently names. */
+  def currentSnapshot(spark: org.apache.spark.sql.SparkSession,
+      root: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(pointerPath(root))
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Read the table as of the current commit. */
+  def read(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(currentSnapshot(spark, root))
+
+  private def commit(spark: org.apache.spark.sql.SparkSession,
+      root: String, snap: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(snap.getBytes("UTF-8")) finally out.close()
+    // rename is the atomic primitive on HDFS-like stores; on object
+    // stores a conditional-put commit service takes this seam
+    fs.delete(new org.apache.hadoop.fs.Path(pointerPath(root)), false)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(pointerPath(root))),
+      s"pointer rename failed for $root")
+  }
+
+  /** Apply one already-collapsed change batch (exposed for specs and
+    * batch backfills): anti-join every changed key, union back the
+    * non-deletes. */
+  def applyBatch(current: DataFrame, changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("_seq").desc)
+    val last = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    current.join(last.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(last.filter(col("_op") =!= "D").drop("_op", "_seq"))
+  }
+
+  /** The streaming sink: foreachBatch → collapse → snapshot → commit. */
+  def apply(changes: DataFrame, root: String,
+      keyCols: Seq[String]): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (b: Dataset[Row], batchId: java.lang.Long) =>
+        val spark = b.sparkSession
+        val cur = currentSnapshot(spark, root)
+        val next = s"$root/v${batchId + 1}"
+        applyBatch(spark.read.parquet(cur), b.toDF(), keyCols)
+          .write.mode("overwrite").parquet(next)
+        commit(spark, root, next)
+      }
+      .start()
+}
