@@ -439,19 +439,26 @@ object SparkEntry {
         |    count(*) AS n
         |  FROM events GROUP BY 1, 2
         |), m AS (
+        |  -- moment/verdict products in HUGEINT (Spark: DECIMAL(38,0)):
+        |  -- Σn² and the squares overflow BIGINT at production volumes
         |  SELECT event_type, count(*) AS n_hours,
-        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        |    CAST(sum(n) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
         |  FROM cells GROUP BY event_type
         |)
         |SELECT c.hour, c.event_type, c.n,
-        |  CASE WHEN m.n_hours * m.s2 - m.s1 * m.s1 > 0 THEN
+        |  CASE WHEN CAST(m.n_hours AS HUGEINT) * m.s2 -
+        |      CAST(m.s1 AS HUGEINT) * m.s1 > 0 THEN
         |    (CAST(c.n AS DOUBLE) - CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)) /
         |      sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n_hours AS DOUBLE) -
         |        (CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)) *
         |          (CAST(m.s1 AS DOUBLE) / CAST(m.n_hours AS DOUBLE)))
         |    END AS z,
-        |  CAST(CASE WHEN (c.n * m.n_hours - m.s1) * (c.n * m.n_hours - m.s1) >
-        |      4 * (m.n_hours * m.s2 - m.s1 * m.s1)
+        |  CAST(CASE WHEN
+        |      (CAST(c.n AS HUGEINT) * m.n_hours - m.s1) *
+        |        (CAST(c.n AS HUGEINT) * m.n_hours - m.s1) >
+        |      4 * (CAST(m.n_hours AS HUGEINT) * m.s2 -
+        |        CAST(m.s1 AS HUGEINT) * m.s1)
         |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM cells c JOIN m USING (event_type)
         |ORDER BY hour, event_type""".stripMargin,
@@ -1772,7 +1779,7 @@ object SparkEntry {
         |  FROM fl
         |), sp AS (
         |  SELECT doc_id, md5(array_to_string(t[i:i+15], ' ')) AS h
-        |  FROM s3, unnest(generate_series(1, len(t) - 14)) AS u(i)
+        |  FROM s3, unnest(generate_series(1, len(t) - 15)) AS u(i)
         |  WHERE q3 AND len(t) >= 16
         |), wc AS (
         |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM sp

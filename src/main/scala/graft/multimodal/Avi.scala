@@ -44,14 +44,23 @@ object Avi {
     else Jpeg.decode(m.frames(idx))
       .filter(img => img.width == m.width && img.height == m.height)
 
-  /** Frame indices sampled every `everyMs` (same contract as
-    * Y4m.sampleIndices): frame k plays at k·1000·fpsDen/fpsNum ms. */
+  /** Frame indices sampled every `everyMs`: the frames a time grid
+    * t = 0, everyMs, … ≤ durationMs lands on (frame k plays at
+    * k·1000·fpsDen/fpsNum ms). Derived FRAME-wise, not by materializing
+    * the time grid — a forged-but-parseable header (tiny fps, huge
+    * duration, 3 frames) would make the grid astronomically long while
+    * the answer is still at most one entry per frame. For each frame,
+    * the only grid point that can map to it is the first one at or
+    * after the frame's start time; all integer arithmetic, identical
+    * to the grid formulation. */
   def sampleIndices(m: Mjpeg, everyMs: Long): Seq[Int] = {
     require(everyMs > 0, s"everyMs must be positive: $everyMs")
-    if (m.frames.isEmpty) Seq.empty
-    else (0L to m.durationMs by everyMs)
-      .map(t => ((t * m.fpsNum) / (1000L * m.fpsDen)).toInt)
-      .filter(_ < m.frames.length).distinct
+    val dur = m.durationMs
+    (0 until m.frames.length).filter { f =>
+      val start = (f.toLong * 1000L * m.fpsDen + m.fpsNum - 1) / m.fpsNum
+      val t = ((start + everyMs - 1) / everyMs) * everyMs // first grid pt
+      t <= dur && (t * m.fpsNum) / (1000L * m.fpsDen) == f
+    }
   }
 
   /** Parse an AVI payload; None for anything malformed. */
@@ -92,7 +101,11 @@ object Avi {
               if (fourcc(bytes, body + 4) != "MJPG") return false
               val scale = u32(bytes, body + 20)
               val rate = u32(bytes, body + 24)
-              if (scale <= 0 || rate <= 0) return false
+              // u32 is a Long; a value in [2^31, 2^32) would pass a
+              // positivity check and then wrap negative under toInt,
+              // turning the Mjpeg require into a throw
+              if (scale <= 0 || rate <= 0 ||
+                scale > Int.MaxValue || rate > Int.MaxValue) return false
               fpsNum = rate.toInt
               fpsDen = scale.toInt
               vidsSeen = true

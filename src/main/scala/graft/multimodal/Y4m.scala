@@ -170,11 +170,17 @@ object Y4m {
   def sampleIndices(v: Video, everyMs: Long): Seq[Int] = {
     require(everyMs > 0, s"everyMs must be positive: $everyMs")
     if (v.frames.isEmpty) return Seq.empty
-    val dur = v.durationMs
-    val picked = (0L until math.max(1L, dur) by everyMs)
-      .map(t => ((t * v.fpsNum) / (1000L * v.fpsDen)).toInt)
-      .filter(_ < v.frames.size)
-      .distinct
+    // frame-wise derivation of the time grid t = 0, everyMs, … < dur —
+    // materializing the grid itself is unbounded under a forged header
+    // (tiny fps ⇒ astronomic duration with 3 frames), while the answer
+    // has at most one entry per REAL frame. For each frame the only
+    // candidate is the first grid point at or after its start time.
+    val dur = math.max(1L, v.durationMs)
+    val picked = (0 until v.frames.size).filter { f =>
+      val start = (f.toLong * 1000L * v.fpsDen + v.fpsNum - 1) / v.fpsNum
+      val t = ((start + everyMs - 1) / everyMs) * everyMs
+      t < dur && (t * v.fpsNum) / (1000L * v.fpsDen) == f
+    }
     if (picked.isEmpty) Seq(0) else picked
   }
 

@@ -171,11 +171,14 @@ object Graph {
     * broadcast-able anti-join of the (shrinking) edge list against the
     * dropped-vertex set, checkpoint-materialized like the other
     * iterative ops so lineage stays flat. Rounds are bounded by the
-    * peeling depth (≤ vertex count; tiny in practice — each round must
-    * remove a vertex or terminate). Returns (id, core_degree) for the
-    * surviving vertices — degree WITHIN the core, ≥ k by construction. */
+    * graph's PEELING DEPTH, which is worst-case LINEAR in the longest
+    * chain (a path peels 2 vertices per round) — small on real near-dup
+    * graphs, but the `maxRounds` valve is a runaway backstop, not an
+    * expected bound, and is sized so only a genuinely pathological input
+    * trips it. Returns (id, core_degree) for the surviving vertices —
+    * degree WITHIN the core, ≥ k by construction. */
   def kCore(edges: DataFrame, k: Int, aCol: String = "a_id",
-      bCol: String = "b_id", maxRounds: Int = 100): DataFrame = {
+      bCol: String = "b_id", maxRounds: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     val spark = edges.sparkSession
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -190,28 +190,35 @@ object Events {
     * rounding; the reported z itself is a fixed double op sequence. */
   def hourlyAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // every moment/verdict product runs in DECIMAL(38,0) (DuckDB:
+    // HUGEINT): at production volumes (10⁹ events/hour over 10⁴ hours)
+    // Σn² ≈ 10²² and the verdict squares ≈ 10²⁶ — a BIGINT wraps
+    // silently in Spark and errors in DuckDB. Both widenings are exact
+    // integer arithmetic, so the cross-engine bit-match holds.
+    def d18(c: Column) = c.cast("decimal(18,0)")
     val cells = Tables.events(s, dir)
       .select(date_trunc("hour", $"ts").as("hour"), $"event_type")
       .groupBy($"hour", $"event_type")
       .agg(count(lit(1)).as("n"))
     val moments = cells.groupBy($"event_type")
       .agg(count(lit(1)).as("n_hours"),
-        sum($"n").as("s1"), sum($"n" * $"n").as("s2"))
+        sum($"n").as("s1"), sum(d18($"n") * d18($"n")).as("s2"))
+    val diff = d18($"n") * d18($"n_hours") - d18($"s1")
+    val variance = d18($"n_hours") * $"s2" - d18($"s1") * d18($"s1")
     cells.join(broadcast(moments), "event_type")
       .select($"hour", $"event_type", $"n", $"n_hours", $"s1", $"s2",
         // z = (n − mean)/σ with mean = s1/H, σ² = s2/H − (s1/H)²; fixed
         // sequence so both engines run the identical divisions. The σ=0
         // degenerate (all hours equal) is gated on the INTEGER variance
         // test so neither engine divides by zero
-        when($"n_hours" * $"s2" - $"s1" * $"s1" > 0,
+        when(variance > 0,
           ($"n".cast("double") - $"s1".cast("double") / $"n_hours".cast("double")) /
             sqrt($"s2".cast("double") / $"n_hours".cast("double") -
               ($"s1".cast("double") / $"n_hours".cast("double")) *
                 ($"s1".cast("double") / $"n_hours".cast("double"))))
           .as("z"),
-        // integer-exact verdict: (n·H − s1)² > 4·(H·s2 − s1²)  ⇔  |z| > 2
-        when((($"n" * $"n_hours" - $"s1") * ($"n" * $"n_hours" - $"s1")) >
-            lit(4) * ($"n_hours" * $"s2" - $"s1" * $"s1"), 1L)
+        // integer-exact verdict: (n·H − s1)² > 4·(H·s2 − s1²) ⇔ |z| > 2
+        when(diff * diff > d18(lit(4)) * variance, 1L)
           .otherwise(0L).as("anomaly"))
       .select($"hour", $"event_type", $"n", $"z", $"anomaly")
       .orderBy($"hour", $"event_type")

@@ -14,12 +14,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * `_current` pointer file (write-temp + rename) as the commit record —
   * the minimal table-format commit protocol.
   *
-  * Exactly-once: the streaming checkpoint replays a failed batch with
-  * the SAME batchId, which deterministically re-derives the same
-  * snapshot directory (`v<batchId>`) from the same input and re-points
-  * the same pointer — an idempotent re-commit, not a duplicate apply.
+  * Exactly-once: batch b always reads its IMMUTABLE base snapshot
+  * `v<b>` (derived from the batchId, never from the pointer — a replay
+  * after a post-commit crash would otherwise read the already-advanced
+  * pointer and overwrite the directory it is reading) and rewrites
+  * `v<b+1>` from the same input — an idempotent re-commit, not a
+  * duplicate apply. A batchId the chain cannot account for (a fresh
+  * checkpoint against an old table) fails fast instead of silently
+  * overwriting history: the checkpoint is PART of the table state.
   * Readers never see a half-written snapshot: the pointer moves only
-  * after the parquet write completes.
+  * after the parquet write completes, via an atomic rename-overwrite.
   *
   * Contract: the change stream carries the table columns plus `_op`
   * ('U' upsert / 'D' delete) and `_seq` (total order per key within a
@@ -54,15 +58,17 @@ object CdcSink {
   private def commit(spark: org.apache.spark.sql.SparkSession,
       root: String, snap: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_current.tmp")
+    val dst = new org.apache.hadoop.fs.Path(pointerPath(root))
+    val fs = tmp.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(snap.getBytes("UTF-8")) finally out.close()
-    // rename is the atomic primitive on HDFS-like stores; on object
-    // stores a conditional-put commit service takes this seam
-    fs.delete(new org.apache.hadoop.fs.Path(pointerPath(root)), false)
-    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(pointerPath(root))),
-      s"pointer rename failed for $root")
+    // rename WITH OVERWRITE is the atomic primitive on HDFS-like stores
+    // (a delete-then-rename pair would leave a no-pointer window a
+    // concurrent reader could fall into); on object stores a
+    // conditional-put commit service takes this seam
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Apply one already-collapsed change batch (exposed for specs and
@@ -85,9 +91,17 @@ object CdcSink {
     changes.writeStream
       .foreachBatch { (b: Dataset[Row], batchId: java.lang.Long) =>
         val spark = b.sparkSession
-        val cur = currentSnapshot(spark, root)
+        // base = the batch's own immutable predecessor, NOT the pointer:
+        // on replay after a post-commit crash the pointer already names
+        // v(b+1), and reading it while overwriting it is both wrong and
+        // rejected by Spark. The pointer check catches a checkpoint that
+        // doesn't belong to this table (fresh checkpoint, old chain).
+        val base = s"$root/v$batchId"
+        val ptr = currentSnapshot(spark, root)
+        require(ptr == base || ptr == s"$root/v${batchId + 1}",
+          s"checkpoint/table mismatch: batch $batchId but pointer at $ptr")
         val next = s"$root/v${batchId + 1}"
-        applyBatch(spark.read.parquet(cur), b.toDF(), keyCols)
+        applyBatch(spark.read.parquet(base), b.toDF(), keyCols)
           .write.mode("overwrite").parquet(next)
         commit(spark, root, next)
       }

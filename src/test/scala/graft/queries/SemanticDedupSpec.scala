@@ -58,13 +58,14 @@ class SemanticDedupSpec extends SparkSpec {
     val cents = fittedCentroids
 
     // per-vector: top-1 must equal the reported cell; top-nAssign sets
-    // drive the pairing (ties break to the lower cell id, matching the
-    // operator's (score, cell)-struct ordering under array_sort/max)
+    // drive the pairing. Ties break to the HIGHER cell id — array_max /
+    // reverse(array_sort) over (score, cell) structs order by score then
+    // cell, so on a score tie the larger cell index wins
     def topCells(v: Array[Double]): Seq[Int] =
-      cents.indices.sortBy(i => (-dot(v, cents(i)), i)).take(nAssign)
+      cents.indices.sortBy(i => (-dot(v, cents(i)), -i)).take(nAssign)
     val probe = vs.map { case (id, v) => id -> topCells(v).toSet }
     got.foreach { case (id, cell, _) =>
-      assert(cell === probe(id).maxBy(i => (dot(vs(id), cents(i)), -i)),
+      assert(cell === probe(id).maxBy(i => (dot(vs(id), cents(i)), i)),
         s"vec $id top-1 cell")
     }
 
@@ -96,8 +97,9 @@ class SemanticDedupSpec extends SparkSpec {
   test("multi-probe cluster recall vs brute-force pairs is pinned") {
     val vs = vectors
     val cents = fittedCentroids
-    def topCells(v: Array[Double]): Set[Int] =
-      cents.indices.sortBy(i => (-dot(v, cents(i)), i)).take(nAssign).toSet
+    def topCells(v: Array[Double]): Set[Int] = // ties → higher cell, as
+      cents.indices.sortBy(i => (-dot(v, cents(i)), -i)) // the operator
+        .take(nAssign).toSet
     val probe = vs.map { case (id, v) => id -> topCells(v) }
     val all = allPairs(vs)
     val found = all.count { case (a, b) => (probe(a) & probe(b)).nonEmpty }
