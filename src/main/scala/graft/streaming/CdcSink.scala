@@ -85,25 +85,32 @@ object CdcSink {
       .unionByName(last.filter(col("_op") =!= "D").drop("_op", "_seq"))
   }
 
+  /** One commit cycle for a (batchId, changes) pair — the foreachBatch
+    * body, exposed so the replay-idempotence contract is directly
+    * testable. base = the batch's own immutable predecessor, NOT the
+    * pointer: on replay after a post-commit crash the pointer already
+    * names v(b+1), and reading it while overwriting it is both wrong
+    * and rejected by Spark. The pointer check catches a checkpoint that
+    * doesn't belong to this table (fresh checkpoint, old chain). */
+  def commitBatch(changes: DataFrame, root: String, keyCols: Seq[String],
+      batchId: Long): Unit = {
+    val spark = changes.sparkSession
+    val base = s"$root/v$batchId"
+    val ptr = currentSnapshot(spark, root)
+    require(ptr == base || ptr == s"$root/v${batchId + 1}",
+      s"checkpoint/table mismatch: batch $batchId but pointer at $ptr")
+    val next = s"$root/v${batchId + 1}"
+    applyBatch(spark.read.parquet(base), changes, keyCols)
+      .write.mode("overwrite").parquet(next)
+    commit(spark, root, next)
+  }
+
   /** The streaming sink: foreachBatch → collapse → snapshot → commit. */
   def apply(changes: DataFrame, root: String,
       keyCols: Seq[String]): StreamingQuery =
     changes.writeStream
       .foreachBatch { (b: Dataset[Row], batchId: java.lang.Long) =>
-        val spark = b.sparkSession
-        // base = the batch's own immutable predecessor, NOT the pointer:
-        // on replay after a post-commit crash the pointer already names
-        // v(b+1), and reading it while overwriting it is both wrong and
-        // rejected by Spark. The pointer check catches a checkpoint that
-        // doesn't belong to this table (fresh checkpoint, old chain).
-        val base = s"$root/v$batchId"
-        val ptr = currentSnapshot(spark, root)
-        require(ptr == base || ptr == s"$root/v${batchId + 1}",
-          s"checkpoint/table mismatch: batch $batchId but pointer at $ptr")
-        val next = s"$root/v${batchId + 1}"
-        applyBatch(spark.read.parquet(base), b.toDF(), keyCols)
-          .write.mode("overwrite").parquet(next)
-        commit(spark, root, next)
+        commitBatch(b.toDF(), root, keyCols, batchId)
       }
       .start()
 }

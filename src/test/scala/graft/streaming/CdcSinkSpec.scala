@@ -54,4 +54,26 @@ class CdcSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/v1").count() === 3)
     assert(CdcSink.currentSnapshot(spark, root).endsWith("/v2"))
   }
+
+  test("crash replay is idempotent; a foreign checkpoint is rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = Files.createTempDirectory("graft-cdc-replay").toString
+    CdcSink.init(Seq((1L, "a")).toDF("id", "payload"), root)
+    val changes = Seq((2L, "b", "U", 1L)).toDF("id", "payload", "_op", "_seq")
+    CdcSink.commitBatch(changes, root, Seq("id"), batchId = 0L)
+    val after = CdcSink.read(spark, root).collect().map(_.toSeq).toSet
+    // the post-commit crash scenario: the checkpoint never recorded
+    // batch 0, so the stream replays it — same base, same result, same
+    // pointer; nothing duplicated, nothing wedged
+    CdcSink.commitBatch(changes, root, Seq("id"), batchId = 0L)
+    assert(CdcSink.read(spark, root).collect().map(_.toSeq).toSet === after)
+    assert(CdcSink.currentSnapshot(spark, root).endsWith("/v1"))
+    // a batchId the chain cannot account for (fresh checkpoint against
+    // an old table) must fail fast, not overwrite history
+    val boom = intercept[IllegalArgumentException] {
+      CdcSink.commitBatch(changes, root, Seq("id"), batchId = 7L)
+    }
+    assert(boom.getMessage.contains("checkpoint/table mismatch"))
+  }
 }
