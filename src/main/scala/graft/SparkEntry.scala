@@ -50,7 +50,8 @@ object SparkEntry {
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
-    "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_pipeline_funnel",
+    "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_winnow_dedup",
+    "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
     "q_winnow_pairs"      -> ((s, d) => TextAnalysis.winnowPairs(s, d)),
     "q_pipeline_funnel"   -> (TextAnalysis.pipelineFunnel(_, _)),
+    "q_winnow_dedup"      -> (TextAnalysis.winnowDedup(_, _)),
     "q_cm_words"          -> (TextAnalysis.cmWords(_, _)),
     "q_quality_classifier" -> (graft.ml.QualityFilter.confusion(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
@@ -1797,6 +1799,43 @@ object SparkEntry {
         |FROM s3 LEFT JOIN per USING (doc_id)
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q_winnow_dedup" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), sp AS (
+        |  SELECT doc_id, i AS pos, len(t) - 7 AS n_spans,
+        |    md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+        |  FROM t, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), w AS (
+        |  SELECT doc_id, n_spans, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS f
+        |  FROM sp
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, f FROM w WHERE pos <= n_spans - 3
+        |), pr AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fps a JOIN fps b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e AS (
+        |  SELECT a_id AS u, b_id AS v FROM pr
+        |  UNION SELECT b_id, a_id FROM pr
+        |), nodes AS (SELECT DISTINCT u AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+        |  CAST(CASE WHEN c.component IS NULL OR c.component = d.doc_id
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // winnowPairs' df cap is a measured no-op on this corpus (max
     // fingerprint df = 3 vs cap 50; pinned in TextAnalysisSpec), so the

@@ -1102,6 +1102,27 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** Winnowing-based corpus dedup end-to-end: fingerprint-overlap pairs
+    * (winnowPairs, ≥2 shared) → connected components → keep the min-id
+    * representative — the full fingerprint→decision path as ONE query,
+    * oracle-checked against a DuckDB recursive-CTE replica (same pattern
+    * as q_dedup_clusters, over the winnow pair graph instead of the
+    * n-gram one). Every document keeps a row: its duplicate-group label
+    * and whether it survives. */
+  def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = winnowPairs(s, dir).select($"a_id", $"b_id")
+    val comps = graft.operators.Graph.connectedComponents(pairs)
+    Tables.documents(s, dir).select($"doc_id")
+      .join(comps.select($"id".as("doc_id"), $"component"),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("component"),
+        when($"component".isNull || $"component" === $"doc_id", 1L)
+          .otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   /** PII redaction evidence query: emails/phones/IPv4s are counted and
     * scrubbed to typed placeholder tokens (TextOps.scrubPii — the
     * ROOTS/Dolma pre-training redact step). The corpus text is letters

@@ -44,6 +44,18 @@ object EventStreams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STATIC enrichment join — the stateless third join flavor
+    * next to stream-stream (clickPurchaseJoin) and the CDC sink: each
+    * micro-batch inner-joins the (small) dimension table, no watermark
+    * and no state store because the static side is complete by
+    * definition; Spark re-plans the dimension as a broadcast per batch,
+    * so at scale this is the map-only enrich step. Left-outer keeps
+    * unmatched events with null attributes (the batch labelJoin
+    * convention) so the enrich never silently drops. */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** Stream-stream interval join — the incremental twin of
     * graft.operators.TemporalJoin.timeRangePairs: each purchase joined to
     * every click by the same user within the trailing `gap`. Both sides

@@ -133,4 +133,30 @@ class EventStreamsSpec extends SparkSpec {
       assert(out(0).getAs[Long]("start_us") <= out(0).getAs[Long]("end_us"))
     } finally q.stop()
   }
+
+  test("stream-static enrich: dimension attributes attach, misses survive " +
+    "with nulls, parity with the batch join") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.0), ("view", 0.2)).toDF("event_type", "weight")
+    val mem = MemoryStream[(Timestamp, String)]
+    val rows = Seq((ts(1), "click"), (ts(2), "view"), (ts(3), "purchase"))
+    val q = EventStreams.enrich(mem.toDF().toDF("ts", "event_type"), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          Option(r.getAs[java.lang.Double]("weight"))).toMap
+      assert(got === Map("click" -> Some(1.0), "view" -> Some(0.2),
+        "purchase" -> None)) // unmatched kept, not dropped
+      val batch = EventStreams.enrich(rows.toDF("ts", "event_type"), dim)
+        .collect().map(r => r.getAs[String]("event_type") ->
+          Option(r.getAs[java.lang.Double]("weight"))).toMap
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
