@@ -475,10 +475,14 @@ object TextAnalysis {
     * the session object and its cached blocks; the harness mains are
     * one-session-per-JVM, so they never need this). Sibling:
     * GraphQueries.invalidateCache. */
-  def invalidateCache(s: SparkSession): Unit =
+  def invalidateCache(s: SparkSession): Unit = {
     nearDupCache.keys.filter(_._1 eq s).foreach { k =>
       nearDupCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    winnowCache.keys.filter(_._1 eq s).foreach { k =>
+      winnowCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   /** Token arrays for the shingle path, materialized BEHIND an exchange.
     * Without the barrier, CollapseProject inlines `t = split(text)` into
@@ -983,11 +987,23 @@ object TextAnalysis {
       .select($"doc_id", $"f").distinct()
   }
 
+  private val winnowCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  /** Session-scoped materialized winnow fingerprint frame (the same
+    * shared-CTE pattern as scoredNearDupPairs): three queries consume it
+    * (q_winnow, q_winnow_pairs, q_winnow_dedup) and the shingle explode
+    * + window min that produces it dominates their cost. One slim row
+    * per (doc, fingerprint) — ~2/(w+1) of the span count. Dropped by
+    * invalidateCache alongside the pair frame. */
   private def winnowFrame(s: SparkSession, dir: String, k: Int,
       w: Int): DataFrame = {
     import s.implicits._
-    winnowFingerprintsOn(
-      Tables.documents(s, dir).select($"doc_id", toks($"text").as("t")), k, w)
+    winnowCache.getOrElseUpdate((s, dir, k, w),
+      winnowFingerprintsOn(
+        Tables.documents(s, dir).select($"doc_id", toks($"text").as("t")),
+        k, w)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** Per-document winnowing rollup: span count, fingerprint count, and
