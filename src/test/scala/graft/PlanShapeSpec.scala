@@ -92,4 +92,42 @@ class PlanShapeSpec extends SparkSpec {
       .requiredSchema.fieldNames.toSet
     assert(!read.contains("props"), s"read=$read")
   }
+
+  test("q_pipeline_funnel: documents scan reads only the funnel's inputs") {
+    val scans = scansOf(query("q_pipeline_funnel")).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents")))
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(read.subsetOf(Set("doc_id", "source", "lang", "text")),
+        s"read=$read")
+    }
+  }
+
+  test("q_winnow: documents scan never reads lang/source/n_chars") {
+    scansOf(query("q_winnow")).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents")))
+      .foreach { s =>
+        val read = s.requiredSchema.fieldNames.toSet
+        assert(read.subsetOf(Set("doc_id", "text")), s"read=$read")
+      }
+  }
+
+  test("q_late_orders: year filter is pushed into the orders scan") {
+    val scan = scanOf(query("q_late_orders"), "orders")
+    // year(o_orderdate)=1997 converts to a date range the scan can push
+    assert(scan.metadata("PushedFilters").contains("o_orderdate"),
+      scan.metadata("PushedFilters"))
+  }
+
+  test("q_hourly_anomaly: moment table broadcasts, no sort-merge join") {
+    val plan = query("q_hourly_anomaly").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q_mix_temperature: rate table broadcasts onto the scan") {
+    val plan = query("q_mix_temperature").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
