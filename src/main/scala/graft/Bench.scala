@@ -177,18 +177,26 @@ object Bench {
           .mkString("{", ",", "}")
         s""","first_run":$fr,"reps":$rp"""
       }
-      s"""{"metric":"total","value":${fmt.format(total)},"unit":"sec","queries":$qs,"sf":"$sf"$outcomes$extras}"""
+      // key order matters: the driver keeps only the TAIL of this
+      // process's output, and at 116+ queries the line exceeds that
+      // capture — putting "queries" first and metric/value/unit/sf LAST
+      // means the headline total survives truncation (r7 lost the 86.5 s
+      // total because "value" led the line; VERDICT r7 #1)
+      s"""{"queries":$qs$outcomes$extras,"metric":"total","value":${fmt.format(total)},"unit":"sec","sf":"$sf"}"""
     }
     // The driver captures a bounded (~2000-char) tail of this process's
     // output; with 75+ queries a 3-decimal line overflows it and
     // truncates mid-JSON (ADVICE r5), and sbt's epilogue lines eat into
     // the same tail. Stdout gets the compact form (1 decimal — 0.1 s
     // resolution; basename sf; failed/timedout/skipped entries carried
-    // only in their arrays, not duplicated as -1 times) — 84 queries ≈
-    // 1900 chars. Full precision goes to stderr per-query lines and the
-    // bench_last.json repo file, which survive regardless of capture
-    // size.
+    // only in their arrays, not duplicated as -1 times). Full precision
+    // goes to stderr per-query lines and the bench_last.json repo file,
+    // which survive regardless of capture size.
     println(line(decimals = 1, fullDir = false, allEntries = false))
+    // a final self-contained total line: whatever the capture window
+    // does to the big line above, this complete parseable JSON object is
+    // the LAST thing on stdout and demonstrably fits any tail
+    println(s"""{"metric":"total","value":${"%.1f".format(total)},"unit":"sec","n_queries":${times.size},"n_failed":${failed.size},"n_timedout":${timedout.size},"n_skipped":${skipped.size},"sf":"${new java.io.File(sfDir).getName}"}""")
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try w.println(line(decimals = 3, fullDir = true, allEntries = true))

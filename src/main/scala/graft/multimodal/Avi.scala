@@ -77,47 +77,77 @@ object Avi {
     val frames = Vector.newBuilder[Array[Byte]]
     var nFrames = 0
 
-    // walk(start, end): iterate sibling chunks, descending into LISTs
-    def walk(start: Int, end: Int): Boolean = { // false = malformed
+    // Iterative chunk walk with an explicit LIST stack (the call-stack
+    // recursion it replaced let a crafted payload of deeply nested LIST
+    // headers — ~12 bytes per level — drive StackOverflowError past the
+    // None-instead-of-throw contract; ADVICE r7). Each stack frame is the
+    // enclosing LIST's (end, resumeAt): descending pushes, reaching `end`
+    // pops and jumps to `resumeAt` (the next sibling AFTER the list's
+    // pad byte — the recursion got that from its caller's advance). The
+    // stack holds ≤ bytes.length/12 frames since each level consumes a
+    // 12-byte LIST header of input, so memory stays linear and bounded.
+    def walk(start: Int, limit: Int): Boolean = { // false = malformed
       var pos = start
-      while (pos + 8 <= end) {
-        val id = fourcc(bytes, pos)
-        val size = u32(bytes, pos + 4)
-        val body = pos + 8
-        if (size < 0 || body + size > end) return false
-        id match {
-          case "LIST" =>
-            if (size < 4) return false
-            // list type fourcc, then child chunks
-            if (!walk(body + 4, body + size.toInt)) return false
-          case "avih" =>
-            if (size < 40) return false
-            totalFrames = u32(bytes, body + 16)
-            width = u32(bytes, body + 32).toInt
-            height = u32(bytes, body + 36).toInt
-          case "strh" =>
-            if (size < 40) return false
-            if (fourcc(bytes, body) == "vids") {
-              if (fourcc(bytes, body + 4) != "MJPG") return false
-              val scale = u32(bytes, body + 20)
-              val rate = u32(bytes, body + 24)
-              // u32 is a Long; a value in [2^31, 2^32) would pass a
-              // positivity check and then wrap negative under toInt,
-              // turning the Mjpeg require into a throw
-              if (scale <= 0 || rate <= 0 ||
-                scale > Int.MaxValue || rate > Int.MaxValue) return false
-              fpsNum = rate.toInt
-              fpsDen = scale.toInt
-              vidsSeen = true
-            }
-          case "00dc" | "00db" =>
-            val f = new Array[Byte](size.toInt)
-            System.arraycopy(bytes, body, f, 0, size.toInt)
-            frames += f
-            nFrames += 1
-          case _ => () // strf/idx1/JUNK/vedt: skip
+      var end = limit
+      var stack = List.empty[(Int, Int)] // (enclosing end, resume pos)
+      while (pos < end || stack.nonEmpty) {
+        if (pos >= end) {
+          // a final odd-sized chunk's pad advance may overshoot `end` by
+          // one byte — the recursion tolerated that (its loop guard just
+          // exited); anything further means a size lie
+          if (pos > end + 1) return false
+          // loop guard ⇒ stack is non-empty whenever pos >= end here
+          val (e, r) = stack.head; stack = stack.tail
+          end = e; pos = r
+        } else if (pos + 8 > end) {
+          pos = end // <8 trailing bytes: ignorable slack, as before
+        } else {
+          val id = fourcc(bytes, pos)
+          val size = u32(bytes, pos + 4)
+          val body = pos + 8
+          if (size < 0 || body + size > end) return false
+          val next = body + size.toInt + (size.toInt & 1)
+          id match {
+            case "LIST" =>
+              if (size < 4) return false
+              // list type fourcc, then child chunks: push the parent's
+              // (end, next-sibling) and step into the first child
+              stack = (end, next) :: stack
+              end = body + size.toInt
+              pos = body + 4
+            case other =>
+              other match {
+                case "avih" =>
+                  if (size < 40) return false
+                  totalFrames = u32(bytes, body + 16)
+                  width = u32(bytes, body + 32).toInt
+                  height = u32(bytes, body + 36).toInt
+                case "strh" =>
+                  if (size < 40) return false
+                  if (fourcc(bytes, body) == "vids") {
+                    if (fourcc(bytes, body + 4) != "MJPG") return false
+                    val scale = u32(bytes, body + 20)
+                    val rate = u32(bytes, body + 24)
+                    // u32 is a Long; a value in [2^31, 2^32) would pass a
+                    // positivity check and then wrap negative under toInt,
+                    // turning the Mjpeg require into a throw
+                    if (scale <= 0 || rate <= 0 ||
+                      scale > Int.MaxValue || rate > Int.MaxValue)
+                      return false
+                    fpsNum = rate.toInt
+                    fpsDen = scale.toInt
+                    vidsSeen = true
+                  }
+                case "00dc" | "00db" =>
+                  val f = new Array[Byte](size.toInt)
+                  System.arraycopy(bytes, body, f, 0, size.toInt)
+                  frames += f
+                  nFrames += 1
+                case _ => () // strf/idx1/JUNK/vedt: skip
+              }
+              pos = next
+          }
         }
-        pos = body + size.toInt + (size.toInt & 1)
       }
       true
     }

@@ -250,10 +250,20 @@ object Extended {
       .withColumn("n_total", sum($"n").over(wAll))
       .withColumn("w_total", sum($"wq").over(wAll))
       // rate = 0.5·N / (√n_s · Σ√n) ≈ 0.5·N·2⁴⁰ / (wq·W), floored to a
-      // 24-bit integer threshold (549755813888 = 0.5 · 2⁴⁰)
+      // 24-bit integer threshold (549755813888 = 0.5 · 2⁴⁰). wq·W is
+      // multiplied in DOUBLE, not Long: with wq ≈ √n·2²⁰ the Long
+      // product wraps around 10⁹-doc languages — Spark would wrap
+      // silently where DuckDB errors, breaking both the rate and the
+      // cross-engine bit-match (ADVICE r7). The double product is
+      // bit-identical in both engines (one IEEE multiply of two
+      // exactly-converted ≤2⁵³ integers) and only feeds a division
+      // whose result is floored to 24 bits — a 1-ulp product
+      // difference cannot move the floor except on exact-boundary
+      // rates, which the quantization grid makes unrepresentable.
       .withColumn("thr6", floor(least(lit(1.0),
         ($"n_total".cast("double") * 549755813888.0) /
-          ($"wq" * $"w_total").cast("double")) * 16777216.0).cast("long"))
+          ($"wq".cast("double") * $"w_total".cast("double")))
+        * 16777216.0).cast("long"))
       .select($"lang", $"thr6")
     Tables.documents(s, dir)
       .select($"doc_id", $"lang",

@@ -105,12 +105,23 @@ object CdcSink {
     commit(spark, root, next)
   }
 
-  /** The streaming sink: foreachBatch → collapse → snapshot → commit. */
-  def apply(changes: DataFrame, root: String,
-      keyCols: Seq[String]): StreamingQuery =
-    changes.writeStream
+  /** The streaming sink: foreachBatch → collapse → snapshot → commit.
+    *
+    * `checkpointLocation` is part of the table state (the batchId chain
+    * that commitBatch verifies lives in it): pass a durable path
+    * alongside the table root in production — the default temporary
+    * checkpoint only protects replay within one process lifetime, which
+    * is exactly the restart scenario CDC exists to survive (ADVICE r7).
+    * Extra `options` pass through to the stream writer. */
+  def apply(changes: DataFrame, root: String, keyCols: Seq[String],
+      checkpointLocation: Option[String] = None,
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    val w0 = changes.writeStream
       .foreachBatch { (b: Dataset[Row], batchId: java.lang.Long) =>
         commitBatch(b.toDF(), root, keyCols, batchId)
       }
+      .options(options)
+    checkpointLocation.fold(w0)(p => w0.option("checkpointLocation", p))
       .start()
+  }
 }

@@ -46,7 +46,7 @@ object EventStreams {
 
   /** Stream-STATIC enrichment join — the stateless third join flavor
     * next to stream-stream (clickPurchaseJoin) and the CDC sink: each
-    * micro-batch inner-joins the (small) dimension table, no watermark
+    * micro-batch left-outer-joins the (small) dimension table, no watermark
     * and no state store because the static side is complete by
     * definition; Spark re-plans the dimension as a broadcast per batch,
     * so at scale this is the map-only enrich step. Left-outer keeps
