@@ -190,7 +190,7 @@ object Embeddings {
     * unsampled query; at scale, build the exact side from the sampled
     * corpus directly instead of filtering the full frame. */
   def lshRecall(s: SparkSession, dir: String,
-      sampleFraction: Double = 1.0): DataFrame = {
+      sampleFraction: Double = 1.0, nTables: Int = 48): DataFrame = {
     import s.implicits._
     val exactAll = exactNearDupPairs(s, dir)
     def keep(id: Column): Column =
@@ -202,7 +202,7 @@ object Embeddings {
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)
     val approx = graft.operators.Ann
-      .lshNearDupPairs(e, threshold = 0.35, nTables = 48)
+      .lshNearDupPairs(e, threshold = 0.35, nTables = nTables)
       .select($"a_id", $"b_id", lit(1L).as("__hit"))
     exact.join(approx, Seq("a_id", "b_id"), "left_outer")
       .select($"a_id", $"b_id", $"label", $"cosine",
@@ -278,15 +278,24 @@ object Embeddings {
     * way: each vector joins under its `nAssign` nearest cells, so a pair
     * is found when ANY cell is shared. Measured on this corpus's loose
     * 0.35 threshold (the worst case for clustering — barely-similar
-    * pairs): single-assign recall ≈ 0.34-0.38 across (nCells,
-    * lloydIters) ∈ {8,16}×{1,3,8}; top-2 at (8, 3) measures 0.770 on
-    * the deterministic fit for a ≤4× candidate factor — the spec pins
-    * the measured floor. The label-free
-    * full answer at the same threshold is cosineNearDupLsh. Centroids
-    * are learned Spark-side state, so this is a rows-only driver query;
-    * the full decision path is recomputed driver-side in the spec. */
+    * pairs), via graft.TuneSemDedup over the deterministic fit:
+    * single-assign recall ≈ 0.34-0.38 across (nCells, lloydIters) ∈
+    * {8,16}×{1,3,8}; top-2 at (8, 3) 0.73-0.79 for a 4× candidate
+    * factor; top-3 at (8, 3) 0.954/0.963/0.957 at sf0.1/0.01/0.001 for
+    * a 9× factor — and measured MORE stable across SFs than ε-re-probe
+    * variants of equal budget (ε targets the boundary but inherits the
+    * fit's per-SF noise: eps=0.2 swings 0.76→0.94 across SFs where
+    * top-3 stays ≥0.95). The spec pins the measured floor at 0.90.
+    * The candidate factor is relative to single-assign Σ cell²: the
+    * scale law (grow nCells with the corpus, partition by cell) is
+    * unchanged, the constant is 9/4× the r7 shipping config — spent
+    * deliberately for the recall demanded by VERDICT r7 #4. The
+    * label-free full answer at the same threshold is cosineNearDupLsh.
+    * Centroids are learned Spark-side state, so this is a rows-only
+    * driver query; the full decision path is recomputed driver-side in
+    * the spec. */
   def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.35,
-      nCells: Int = 8, lloydIters: Int = 3, nAssign: Int = 2,
+      nCells: Int = 8, lloydIters: Int = 3, nAssign: Int = 3,
       seed: Int = 42): DataFrame = {
     import s.implicits._
     val Ann = graft.operators.Ann

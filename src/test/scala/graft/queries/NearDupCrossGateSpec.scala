@@ -34,6 +34,30 @@ class NearDupCrossGateSpec extends SparkSpec {
       s"sign-LSH recall $recall over ${exact.size} exact pairs")
   }
 
+  test("sampled lshRecall gate (production scale path) catches a lobotomized tier") {
+    val spark2 = spark
+    import spark2.implicits._
+    // At 100 TB the gate runs on an f² sample of the exact pairs
+    // (Embeddings.lshRecall's sampleFraction) — prove the valve works,
+    // not just the documented binomial math: at f = 0.5 the seeded
+    // id-hash keeps 10 of the 26 exact pairs, the HEALTHY 48-table tier
+    // still covers every sampled pair, and a tier degraded to 8 tables
+    // (an ~83 % table loss) is CAUGHT — 5 sampled pairs come back
+    // found=0. All hashing is seeded, so these counts are exact, not
+    // probabilistic expectations.
+    val healthy = Embeddings.lshRecall(spark, dir, sampleFraction = 0.5)
+      .select($"found").collect().map(_.getLong(0))
+    assert(healthy.length === 10, s"sampled pair count ${healthy.length}")
+    assert(healthy.forall(_ == 1L), "healthy tier failed the sampled gate")
+    val lobotomized = Embeddings
+      .lshRecall(spark, dir, sampleFraction = 0.5, nTables = 8)
+      .select($"found").collect().map(_.getLong(0))
+    assert(lobotomized.count(_ == 0L) === 5,
+      s"degraded tier missed ${lobotomized.count(_ == 0L)} of " +
+        s"${lobotomized.length} sampled pairs — expected the gate to " +
+        "catch exactly 5")
+  }
+
   test("q_lsh_neardup emits only true pairs (cosine >= threshold, exact)") {
     val spark2 = spark
     import spark2.implicits._

@@ -17,7 +17,7 @@ class SemanticDedupSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
   private val threshold = 0.35
-  private val (nCells, lloydIters, nAssign, seed) = (8, 3, 2, 42)
+  private val (nCells, lloydIters, nAssign, seed) = (8, 3, 3, 42)
 
   private def vectors: Map[Long, Array[Double]] =
     spark.read.parquet(dir + "/embeddings.parquet")
@@ -105,8 +105,10 @@ class SemanticDedupSpec extends SparkSpec {
     val found = all.count { case (a, b) => (probe(a) & probe(b)).nonEmpty }
     val recall = found.toDouble / all.length
     info(f"multi-probe cluster recall at sf0.001: $recall%.3f ($found/${all.length})")
-    // floor pinned under the measured value: a broken fit (or a silent
-    // fall-back to single assignment) collapses recall well below it
-    assert(recall >= 0.70, f"cluster recall $recall%.3f")
+    // floor pinned under the measured value (top-3 at (8,3) measures
+    // 0.957/0.963/0.954 at sf0.001/0.01/0.1 — graft.TuneSemDedup): a
+    // broken fit, or a silent fall-back to fewer probes, collapses
+    // recall well below it (top-2 measures 0.73-0.79)
+    assert(recall >= 0.90, f"cluster recall $recall%.3f")
   }
 }
