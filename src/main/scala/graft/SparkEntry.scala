@@ -45,7 +45,8 @@ object SparkEntry {
     "q_user_sessions", "q_session_windows", "q_asof_join", "q_event_pairs",
     "q_funnel", "q_hourly_delta", "q_cohort_retention", "q_hourly_anomaly",
     // storage / streaming table maintenance (writes scratch snapshots)
-    "q_skipping_prune", "q_merge_state", "q_cdc_state",
+    "q_skipping_prune", "q_zorder_prune", "q_compaction",
+    "q_merge_state", "q_cdc_state",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -220,6 +221,8 @@ object SparkEntry {
     "q_cdc_state"         -> (Storage.cdcState(_, _)),
     "q_merge_state"       -> (Storage.mergeState(_, _)),
     "q_skipping_prune"    -> (Storage.skippingPrune(_, _)),
+    "q_zorder_prune"      -> (Storage.zorderPrune(_, _)),
+    "q_compaction"        -> (Storage.compaction(_, _)),
   )
 
   // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
@@ -2001,6 +2004,66 @@ object SparkEntry {
         |UNION ALL
         |SELECT custkey, segment, bal FROM updates
         |ORDER BY custkey""".stripMargin,
+
+    // The z-order prune outcome (queries.Storage.zorderPrune): the
+    // Morton layout is a pure function of the data (quantize to 4 bits
+    // per dim between observed min/max, interleave, bucket = z >> 4),
+    // so DuckDB recomputes the per-file 2-D ranges and exactly which
+    // files survive the box predicate.
+    "q_zorder_prune" ->
+      """WITH st AS (
+        |  SELECT CAST(min(l_partkey) AS DOUBLE) AS plo,
+        |         CAST(max(l_partkey) AS DOUBLE) AS phi,
+        |         CAST(min(l_suppkey) AS DOUBLE) AS slo,
+        |         CAST(max(l_suppkey) AS DOUBLE) AS shi
+        |  FROM lineitem
+        |), q AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    least(greatest(CAST(floor((CAST(l_partkey AS DOUBLE) - plo)
+        |      / (phi - plo) * 15) AS BIGINT), 0), 15) AS bp,
+        |    least(greatest(CAST(floor((CAST(l_suppkey AS DOUBLE) - slo)
+        |      / (shi - slo) * 15) AS BIGINT), 0), 15) AS bs
+        |  FROM lineitem, st
+        |), zz AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    (((bp >> 0) & 1) << 0) | (((bs >> 0) & 1) << 1)
+        |    | (((bp >> 1) & 1) << 2) | (((bs >> 1) & 1) << 3)
+        |    | (((bp >> 2) & 1) << 4) | (((bs >> 2) & 1) << 5)
+        |    | (((bp >> 3) & 1) << 6) | (((bs >> 3) & 1) << 7) AS z
+        |  FROM q
+        |), files AS (
+        |  SELECT z >> 4 AS zb,
+        |    min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+        |    min(l_suppkey) AS smn, max(l_suppkey) AS smx
+        |  FROM zz GROUP BY 1
+        |), bounds AS (
+        |  SELECT CAST(floor(plo + (phi - plo) * 0.30) AS BIGINT) AS bplo,
+        |         CAST(floor(plo + (phi - plo) * 0.55) AS BIGINT) AS bphi,
+        |         CAST(floor(slo + (shi - slo) * 0.40) AS BIGINT) AS bslo,
+        |         CAST(floor(slo + (shi - slo) * 0.65) AS BIGINT) AS bshi
+        |  FROM st
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM files) AS files_total,
+        |  (SELECT count(*) FROM files, bounds
+        |     WHERE NOT ((pmx < bplo OR pmn > bphi)
+        |             OR (smx < bslo OR smn > bshi))) AS files_kept,
+        |  (SELECT count(*) FROM lineitem, bounds
+        |     WHERE l_partkey BETWEEN bplo AND bphi
+        |       AND l_suppkey BETWEEN bslo AND bshi) AS rows_matched,
+        |  (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem, bounds
+        |     WHERE l_partkey BETWEEN bplo AND bphi
+        |       AND l_suppkey BETWEEN bslo AND bshi) AS key_sum""".stripMargin,
+
+    // Post-compaction data identity (queries.Storage.compaction): the
+    // file-count outcome is require-gated in the query (bytes are not
+    // SQL-recomputable); the oracle proves the rewrite lost/duplicated
+    // nothing.
+    "q_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+        |FROM lineitem""".stripMargin,
 
     // The skipping-index prune outcome (queries.Storage.skippingPrune):
     // the clustered layout is a pure function of the data (bucket =

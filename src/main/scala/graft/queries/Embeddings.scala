@@ -295,14 +295,23 @@ object Embeddings {
     * driver query; the full decision path is recomputed driver-side in
     * the spec. */
   def semanticDedup(s: SparkSession, dir: String, threshold: Double = 0.35,
-      nCells: Int = 8, lloydIters: Int = 3, nAssign: Int = 3,
+      nCells: Int = 0, lloydIters: Int = 3, nAssign: Int = 3,
       seed: Int = 42): DataFrame = {
     import s.implicits._
     val Ann = graft.operators.Ann
     val cv = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), asDouble($"embedding").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = Ann.ivfFit(cv, nCells, lloydIters, seed)
+    // nCells ≤ 0 → derive from the corpus: ~250 vectors per cell, min 8.
+    // This is the SemDeDup scale law APPLIED, not just documented — the
+    // r8 10× experiment measured the hardcoded-8 version timing out
+    // (cells grow 10× → candidate join 100×); with cells ∝ corpus the
+    // per-cell pair cost stays constant and total candidate work grows
+    // linearly. At the driver SFs (≤2000 vectors) this still yields 8
+    // cells, so pinned recall and oracle behavior are unchanged.
+    val cells = if (nCells > 0) nCells
+      else math.max(8, (cv.count() / 250L).toInt)
+    val centroids = Ann.ivfFit(cv, cells, lloydIters, seed)
     if (centroids.isEmpty) {
       cv.unpersist(blocking = false)
       return cv.select($"id".as("vec_id"), lit(0).as("cell"),

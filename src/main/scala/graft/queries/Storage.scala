@@ -126,6 +126,104 @@ object Storage {
     s.read.parquet(dest).orderBy($"custkey")
   }
 
+  /** Z-order layout evidence (sources.ZOrder + SkippingIndex) with a
+    * FULL oracle: lineitem is clustered on the Morton key of
+    * (l_partkey, l_suppkey) — the REAL quantize/interleave operators, 4
+    * bits per dimension — into 16 contiguous z-range files, the min/max
+    * index is built over BOTH dimensions from the real files, and a 2-D
+    * box predicate (~25 % of each dimension) prunes through it. The one
+    * departure from ZOrder.cluster is the file assignment: explicit
+    * z-range buckets (z >> 4) instead of repartitionByRange, because
+    * range-partitioner SAMPLING is not replicable in SQL while the
+    * explicit buckets — the same contiguous-z layout — make every
+    * output column a pure function of the data. The top 4 z bits are
+    * the interleaved high-order bits of both dimensions, so the 16
+    * files tile a 4×4 grid over (partkey, suppkey): a quarter-domain
+    * box keeps ~the 2×2 grid cells it touches — the multi-dimension
+    * locality a 1-D sort cannot give — and DuckDB recomputes the exact
+    * per-file ranges, hence exactly which files an honest index keeps. */
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-zorder-").toString
+    val table = s"$tmp/table"
+    val Z = graft.sources.ZOrder
+    val bits = 4
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val st = li.agg(
+      min($"l_partkey").cast("double"), max($"l_partkey").cast("double"),
+      min($"l_suppkey").cast("double"), max($"l_suppkey").cast("double"))
+      .head
+    val (pLo, pHi, sLo, sHi) =
+      (st.getDouble(0), st.getDouble(1), st.getDouble(2), st.getDouble(3))
+    val z = Z.interleave(Seq(
+      Z.quantize($"l_partkey", pLo, pHi, bits),
+      Z.quantize($"l_suppkey", sLo, sHi, bits)), bits)
+    li.withColumn("zb", shiftright(z, 4))
+      .repartition($"zb")
+      .write.partitionBy("zb").parquet(table)
+
+    val index = graft.sources.SkippingIndex
+      .build(s, table, Seq("l_partkey", "l_suppkey")).persist()
+    // box: [lo+0.30·span, lo+0.55·span] × [lo+0.40·span, lo+0.65·span],
+    // floored to integers with the same double ops the oracle uses
+    val bpLo = math.floor(pLo + (pHi - pLo) * 0.30).toLong
+    val bpHi = math.floor(pLo + (pHi - pLo) * 0.55).toLong
+    val bsLo = math.floor(sLo + (sHi - sLo) * 0.40).toLong
+    val bsHi = math.floor(sLo + (sHi - sLo) * 0.65).toLong
+    def ruledOut(c: String, lo: Long, hi: Long) =
+      col(s"${c}_min").isNotNull && col(s"${c}_max").isNotNull &&
+        (col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi))
+    val kept = index.filter(!(ruledOut("l_partkey", bpLo, bpHi) ||
+      ruledOut("l_suppkey", bsLo, bsHi)))
+    val files = kept.select($"file").collect().map(_.getString(0))
+    val filesTotal = index.count()
+    index.unpersist(blocking = false)
+    val matched = (if (files.isEmpty) li.limit(0)
+      else s.read.parquet(files.toIndexedSeq: _*))
+      .filter($"l_partkey".between(bpLo, bpHi) &&
+        $"l_suppkey".between(bsLo, bsHi))
+      .agg(count(lit(1)), sum($"l_orderkey")).head
+    Seq((filesTotal, files.length.toLong, matched.getLong(0),
+      matched.getLong(1)))
+      .toDF("files_total", "files_kept", "rows_matched", "key_sum")
+  }
+
+  /** Compaction evidence (sources.Maintenance.compact): fragment
+    * lineitem into 64 files, compact to ~16 MB targets, and return
+    * data-identity aggregates over the COMPACTED table — the oracle
+    * recomputes them from lineitem directly, so any row lost,
+    * duplicated, or corrupted by the rewrite breaks the hash compare.
+    * The file-count outcome is enforced in-query (fragmented count is
+    * exactly the requested 64; compacted count is size-derived — real
+    * bytes, not SQL-recomputable — so it is gated by a hard require
+    * rather than emitted): a compaction that stops compacting turns
+    * this query into a driver-visible `err`, not a silent pass. */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-compact-").toString
+    val (frag, dest) = (s"$tmp/frag", s"$tmp/compacted")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .repartition(64)
+      .write.parquet(frag)
+    def dataFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val before = dataFiles(frag)
+    require(before == 64, s"fragmented write produced $before files")
+    graft.sources.Maintenance.compact(s, frag, dest,
+      targetFileBytes = 16L * 1024 * 1024)
+    val after = dataFiles(dest)
+    require(after < before / 2,
+      s"compaction left $after of $before files — not compacting")
+    s.read.parquet(dest)
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_orderkey").as("key_sum"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+          .as("qty_sum"))
+  }
+
   /** Data-skipping prune evidence (sources.SkippingIndex) with a FULL
     * oracle — the file-level outcome is recomputed in SQL, not just the
     * row counts: lineitem is laid out as 8 contiguous `l_orderkey`
