@@ -38,6 +38,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size shuffle parallelism from the DATA, not the static
+      // 32: big shuffles start at 8×cores partitions (so per-task sort/
+      // agg state stays inside execution memory at 10×+ SFs — the r8
+      // scale run's q_linkpred_e2e died exactly here) and AQE coalesces
+      // small ones back to ~cores by its advisory target. This is the
+      // "partitions must scale with data" posture a real cluster runs.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

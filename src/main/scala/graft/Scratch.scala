@@ -8,6 +8,8 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // AQE sizes big shuffles from the data (see Bench's note)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -124,9 +124,19 @@ object Ann {
     // Lloyd refinement: per-cell elementwise mean, renormalized. The agg
     // output is nCells × dim rows — collected like IDF.fit's DF counts.
     for (_ <- 0 until lloydIters) {
+      // The exchange between the assignment projection and the
+      // posexplode is load-bearing: without it, codegen inlines the
+      // whole nCells-centroid score machinery (nCells struct allocs +
+      // nCells×dim multiplies) into the Generate and re-evaluates it
+      // PER EXPLODED ELEMENT — a dim× amplification that turned one
+      // Lloyd pass at 80 cells into ~16 min of CPU in the r8 10×
+      // experiment (jstack: every worker in generate_doConsume).
+      // Behind the barrier the cell is computed once per row and the
+      // shuffle is a slim (cell, v) pair, nCells-independent.
       val means = cv
-        .select(assignCell(centroids)($"v").as("cell"),
-          posexplode($"v").as(Seq("pos", "x")))
+        .select(assignCell(centroids)($"v").as("cell"), $"v")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
         .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
       val dim = centroids.head.length

@@ -317,12 +317,20 @@ object Embeddings {
       return cv.select($"id".as("vec_id"), lit(0).as("cell"),
         lit(1L).as("kept")).limit(0)
     }
+    // Persisted + eagerly materialized: the frame has THREE consumers
+    // (both sides of the salted candidate join and the final select),
+    // and the per-row score machinery (2× cells dot-product arrays +
+    // a sort) must evaluate once per row, never inlined into the
+    // explode below or re-derived per consumer — the same
+    // generate-inlining hazard ivfFit's Lloyd pass guards against.
     val assigned = cv.select($"id", $"v", norm($"v").as("nrm"),
       Ann.assignCell(centroids)($"v").as("cell"),
       transform(
         slice(reverse(array_sort(Ann.cellScores(centroids)($"v"))),
           1, nAssign),
         sc => sc.getField("cell")).as("probe_cells"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
     // candidate pairs: share ≥1 probe cell; slim (id, cell) rows only,
     // deduped BEFORE the vectors are re-attached for the exact re-rank
     // (lshNearDupPairs' candidates-then-verify shape — the pair join
@@ -344,10 +352,13 @@ object Embeddings {
         (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
       .filter($"cosine" >= threshold)
     // connectedComponents materializes its rounds eagerly (checkpointed
-    // lineage), so the pair join runs against the cached cv here…
+    // lineage), so the pair join runs against the cached assigned here…
     val comps = graft.operators.Graph.connectedComponents(pairs)
-    // …and the single remaining downstream scan re-reads from source.
+    // …and the single remaining downstream scan recomputes once from
+    // source (same discipline as the cv release — don't pin executor
+    // memory past the operator's lifetime).
     cv.unpersist(blocking = false)
+    assigned.unpersist(blocking = false)
     assigned.select($"id", $"cell")
       .join(comps.select($"id", $"component"), Seq("id"), "left_outer")
       .select($"id".as("vec_id"), $"cell",
