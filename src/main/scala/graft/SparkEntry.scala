@@ -46,7 +46,7 @@ object SparkEntry {
     "q_funnel", "q_hourly_delta", "q_cohort_retention", "q_hourly_anomaly",
     // storage / streaming table maintenance (writes scratch snapshots)
     "q_skipping_prune", "q_zorder_prune", "q_compaction",
-    "q_merge_state", "q_cdc_state",
+    "q_merge_state", "q_merge_partitioned", "q_evolved_read", "q_cdc_state",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -223,6 +223,8 @@ object SparkEntry {
     "q_skipping_prune"    -> (Storage.skippingPrune(_, _)),
     "q_zorder_prune"      -> (Storage.zorderPrune(_, _)),
     "q_compaction"        -> (Storage.compaction(_, _)),
+    "q_merge_partitioned" -> (Storage.mergePartitionedState(_, _)),
+    "q_evolved_read"      -> (Storage.evolvedRead(_, _)),
   )
 
   // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
@@ -2004,6 +2006,47 @@ object SparkEntry {
         |UNION ALL
         |SELECT custkey, segment, bal FROM updates
         |ORDER BY custkey""".stripMargin,
+
+    // The post-MERGE partitioned snapshot (Storage.mergePartitionedState):
+    // same set expression as q_merge_state; the partition mechanics
+    // (cross-partition key moves, new partition dirs, by-reference
+    // moves) happen Spark-side and any mistake surfaces as missing/
+    // duplicated rows here.
+    "q_merge_partitioned" ->
+      """WITH updates AS (
+        |  SELECT custkey, segment, bal FROM (
+        |    SELECT o_custkey AS custkey, o_orderpriority AS segment,
+        |      o_totalprice AS bal,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderkey % 13 = 0
+        |  ) WHERE rn = 1
+        |)
+        |SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |       c_acctbal AS bal
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT custkey FROM updates)
+        |UNION ALL
+        |SELECT custkey, segment, bal FROM updates
+        |ORDER BY custkey""".stripMargin,
+
+    // The schema-evolution read (Storage.evolvedRead): legacy rows are
+    // customer-derived with a null evolved column, evolved rows are
+    // orders-derived — the aggregate proves the mergeSchema union and
+    // null-fill.
+    "q_evolved_read" ->
+      """SELECT seg, count(*) AS n_rows,
+        |  CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum,
+        |  CAST(sum(custkey) AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT 'legacy' AS seg, c_acctbal AS bal, c_custkey AS custkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice, o_custkey + 1000000
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |)
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin,
 
     // The z-order prune outcome (queries.Storage.zorderPrune): the
     // Morton layout is a pure function of the data (quantize to 4 bits

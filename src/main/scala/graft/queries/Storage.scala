@@ -126,6 +126,65 @@ object Storage {
     s.read.parquet(dest).orderBy($"custkey")
   }
 
+  /** Partition-scoped COW MERGE evidence (sources.Upsert.mergePartitioned):
+    * the base snapshot is hive-partitioned by `segment`
+    * (c_mktsegment, 5 values); the update set re-segments each matched
+    * customer to its latest ≡0 (mod 13) order's priority — a DIFFERENT
+    * value domain, so every update MOVES its key across partitions and
+    * materializes new partition directories, exercising the
+    * touched-partition discovery (update partitions ∪ partitions holding
+    * matched keys), the literal-predicate pruning path, and the
+    * by-reference move of untouched files. The merged table itself is
+    * the same anti-join∖union set expression in SQL — the oracle
+    * hash-checks it bit-for-bit. */
+  def mergePartitionedState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baseDir = Files.createTempDirectory("graft-mergep-base-").toString + "/t"
+    val dest = Files.createTempDirectory("graft-mergep-dest-").toString + "/t"
+    Tables.customer(s, dir)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment".as("segment"),
+        $"c_acctbal".as("bal"))
+      .write.partitionBy("segment").parquet(baseDir)
+    val updates = Tables.orders(s, dir)
+      .filter($"o_orderkey" % 13 === 0)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"o_orderkey".desc)))
+      .filter($"__rn" === 1)
+      .select($"o_custkey".as("custkey"),
+        $"o_orderpriority".as("segment"), $"o_totalprice".as("bal"))
+    graft.sources.Upsert.mergePartitioned(s, baseDir, updates,
+      keyCols = Seq("custkey"), partCols = Seq("segment"), dest)
+    s.read.parquet(dest)
+      .select($"custkey", $"segment", $"bal") // partition col order varies
+      .orderBy($"custkey")
+  }
+
+  /** Schema-evolution read evidence (sources.Maintenance.readEvolved):
+    * legacy files carry (custkey, bal); later files add a `seg` column.
+    * The mergeSchema read must union the schemas and null-fill `seg` on
+    * legacy rows — the aggregate over coalesce(seg,'legacy') is
+    * recomputed by the oracle from customer ∪ orders directly, so a
+    * read that drops legacy rows, mis-fills the evolved column, or
+    * fails to merge footers breaks the hash compare. */
+  def evolvedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = Files.createTempDirectory("graft-evolve-").toString + "/t"
+    Tables.customer(s, dir)
+      .select($"c_custkey".as("custkey"), $"c_acctbal".as("bal"))
+      .write.parquet(table)
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" % 3 === 1)
+      .select(($"o_custkey" + 1000000L).as("custkey"),
+        $"o_totalprice".as("bal"), $"o_orderpriority".as("seg"))
+      .write.mode("append").parquet(table)
+    graft.sources.Maintenance.readEvolved(s, table)
+      .groupBy(coalesce($"seg", lit("legacy")).as("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"bal".cast("decimal(18,2)")).cast("double").as("bal_sum"),
+        sum($"custkey").as("key_sum"))
+      .orderBy($"seg")
+  }
+
   /** Z-order layout evidence (sources.ZOrder + SkippingIndex) with a
     * FULL oracle: lineitem is clustered on the Morton key of
     * (l_partkey, l_suppkey) — the REAL quantize/interleave operators, 4
