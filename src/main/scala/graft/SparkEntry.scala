@@ -47,6 +47,7 @@ object SparkEntry {
     // storage / streaming table maintenance (writes scratch snapshots)
     "q_skipping_prune", "q_zorder_prune", "q_compaction",
     "q_merge_state", "q_merge_partitioned", "q_evolved_read", "q_cdc_state",
+    "q_stream_sessions",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -225,6 +226,7 @@ object SparkEntry {
     "q_compaction"        -> (Storage.compaction(_, _)),
     "q_merge_partitioned" -> (Storage.mergePartitionedState(_, _)),
     "q_evolved_read"      -> (Storage.evolvedRead(_, _)),
+    "q_stream_sessions"   -> ((s, d) => Storage.streamSessions(s, d)),
   )
 
   // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
@@ -2006,6 +2008,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT custkey, segment, bal FROM updates
         |ORDER BY custkey""".stripMargin,
+
+    // Streaming sessionization replay (Storage.streamSessions): the
+    // flatMapGroupsWithState machine over ts-ordered micro-batches ≡
+    // batch gap sessionization (one lag/cumsum window), per-session
+    // rows with µs-exact bounds.
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE user_id % 50 = 0
+        |), flagged AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        |), sess AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // The post-MERGE partitioned snapshot (Storage.mergePartitionedState):
     // same set expression as q_merge_state; the partition mechanics

@@ -90,6 +90,59 @@ object Storage {
     graft.streaming.CdcSink.read(s, root).orderBy($"custkey")
   }
 
+  private val streamSessionsSeq =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming sessionization evidence (streaming.EventStreams
+    * .sessionize — flatMapGroupsWithState with event-time timeout): a
+    * deterministic replay of a 2 % user slice of the events table
+    * through the REAL stateful operator, in three ts-ordered
+    * micro-batches, then one per-user far-future sentinel event that
+    * closes every still-open session through the ordinary gap logic
+    * (the sentinel's own session stays open and unemitted). With
+    * batches sliced in global ts order, an event in a later batch is ≥
+    * every earlier event, so a session the timeout already emitted can
+    * never be extended by a later event (t > last + 2·gap ⇒ the batch
+    * semantics also split there) — stream output ≡ the batch gap
+    * sessionization, which is one lag/cumsum window in SQL. The oracle
+    * therefore checks the custom state machine's session boundaries,
+    * counts, and µs timestamps bit-for-bit — driver-visible evidence
+    * for the stateful-streaming family beyond the CDC sink. */
+  def streamSessions(s: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .filter($"user_id" % 50 === 0)
+      .select($"user_id".cast("long").as("user_id"), $"ts")
+      .orderBy($"ts", $"user_id")
+      .as[(Long, java.sql.Timestamp)].collect()
+    require(ev.nonEmpty, s"no events for the user slice in $dir")
+    val users = ev.map(_._1).distinct.toIndexedSeq
+    val sentinel = new java.sql.Timestamp(
+      ev.iterator.map(_._2.getTime).max + (gapMinutes + 120L) * 60000L)
+    // memory-sink names are session-global: unique per invocation so
+    // bench reruns never read a previous replay's table
+    val name = s"graft_stream_sessions_${streamSessionsSeq.incrementAndGet()}"
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.streaming.EventStreams
+      .sessionize(mem.toDF().toDF("user_id", "ts"), gapMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val third = math.max((ev.length + 2) / 3, 1)
+      ev.grouped(third).foreach { b =>
+        mem.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      mem.addData(users.map(u => (u, sentinel)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"start_us")
+  }
+
   /** Copy-on-write MERGE evidence (sources.Upsert): write a base
     * snapshot derived from `customer`, merge a deterministic update set
     * derived from `orders` — the latest order per customer among order
