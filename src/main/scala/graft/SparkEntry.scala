@@ -46,8 +46,8 @@ object SparkEntry {
     "q_funnel", "q_hourly_delta", "q_cohort_retention", "q_hourly_anomaly",
     // storage / streaming table maintenance (writes scratch snapshots)
     "q_skipping_prune", "q_zorder_prune", "q_compaction",
-    "q_merge_state", "q_merge_partitioned", "q_evolved_read", "q_cdc_state",
-    "q_stream_sessions",
+    "q_merge_state", "q_merge_partitioned", "q_evolved_read",
+    "q_bucketed_join", "q_cdc_state", "q_stream_sessions",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -227,6 +227,7 @@ object SparkEntry {
     "q_merge_partitioned" -> (Storage.mergePartitionedState(_, _)),
     "q_evolved_read"      -> (Storage.evolvedRead(_, _)),
     "q_stream_sessions"   -> ((s, d) => Storage.streamSessions(s, d)),
+    "q_bucketed_join"     -> (Storage.bucketedJoin(_, _)),
   )
 
   // DuckDB lambda/list helpers used below (verified against DuckDB 1.x):
@@ -2008,6 +2009,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT custkey, segment, bal FROM updates
         |ORDER BY custkey""".stripMargin,
+
+    // Bucketed co-located join (Storage.bucketedJoin): the aggregate
+    // over the shuffle-free-require-gated join ≡ the plain SQL join.
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Streaming sessionization replay (Storage.streamSessions): the
     // flatMapGroupsWithState machine over ts-ordered micro-batches ≡

@@ -92,6 +92,53 @@ object Storage {
 
   private val streamSessionsSeq =
     new java.util.concurrent.atomic.AtomicInteger(0)
+  private val bucketSeq =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bucketed co-located join evidence (sources.Bucketing): orders and
+    * customer are written as managed tables bucketed (and bucket-sorted)
+    * on the join key, the join is planned under frozen conf (broadcast
+    * off, AQE off — the same freeze BucketingSpec uses) and the plan is
+    * REQUIRE-gated in-query: a shuffle exchange anywhere, a non-SMJ
+    * join, or an unbucketed scan turns this query into a driver-visible
+    * `err`. The returned aggregate is oracle-checked against the plain
+    * join in SQL — plan shape AND data correctness in one driver
+    * signal. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = bucketSeq.incrementAndGet()
+    val (tl, tr) = (s"graft_bkt_orders_$n", s"graft_bkt_customer_$n")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir).select($"o_custkey".as("custkey"),
+        $"o_totalprice"), tl, "custkey", buckets = 8)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.customer(s, dir).select($"c_custkey".as("custkey"),
+        $"c_mktsegment".as("segment")), tr, "custkey", buckets = 8)
+    val conf = s.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = graft.sources.Bucketing.bucketJoin(s, tl, tr, "custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"bucketed join planned a shuffle:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed join did not plan SMJ:\n$plan")
+      require(plan.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n$plan")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    s.table(tl).join(s.table(tr), "custkey")
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+      .orderBy($"segment")
+  }
 
   /** Streaming sessionization evidence (streaming.EventStreams
     * .sessionize — flatMapGroupsWithState with event-time timeout): a
