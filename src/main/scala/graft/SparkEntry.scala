@@ -47,7 +47,7 @@ object SparkEntry {
     // storage / streaming table maintenance (writes scratch snapshots)
     "q_skipping_prune", "q_zorder_prune", "q_compaction",
     "q_merge_state", "q_merge_partitioned", "q_evolved_read",
-    "q_bucketed_join", "q_cdc_state", "q_stream_sessions",
+    "q_bucketed_join", "q_cdc_state", "q_stream_sessions", "q_stream_dedup",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
     "q_repetition_filter", "q_profile",
@@ -227,6 +227,7 @@ object SparkEntry {
     "q_merge_partitioned" -> (Storage.mergePartitionedState(_, _)),
     "q_evolved_read"      -> (Storage.evolvedRead(_, _)),
     "q_stream_sessions"   -> ((s, d) => Storage.streamSessions(s, d)),
+    "q_stream_dedup"      -> (Storage.streamDedup(_, _)),
     "q_bucketed_join"     -> (Storage.bucketedJoin(_, _)),
   )
 
@@ -2009,6 +2010,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT custkey, segment, bal FROM updates
         |ORDER BY custkey""".stripMargin,
+
+    // Streaming watermarked dedup replay (Storage.streamDedup): the
+    // survivors of an at-least-once replay with injected in-batch and
+    // cross-batch duplicates ≡ the raw distinct slice.
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_id % 20 = 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Bucketed co-located join (Storage.bucketedJoin): the aggregate
     // over the shuffle-free-require-gated join ≡ the plain SQL join.

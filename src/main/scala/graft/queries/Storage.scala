@@ -108,6 +108,19 @@ object Storage {
     import s.implicits._
     val n = bucketSeq.incrementAndGet()
     val (tl, tr) = (s"graft_bkt_orders_$n", s"graft_bkt_customer_$n")
+    // The in-memory catalog is per-JVM but the warehouse directory is
+    // not: a previous process's table leaves its location behind, and
+    // saveAsTable(Overwrite) only replaces REGISTERED tables — a stale
+    // location fails with LOCATION_ALREADY_EXISTS (seen on the second
+    // 10× bench run). Drop both the catalog entry and the physical
+    // location for the names this query owns.
+    Seq(tl, tr).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     graft.sources.Bucketing.writeBucketed(
       Tables.orders(s, dir).select($"o_custkey".as("custkey"),
         $"o_totalprice"), tl, "custkey", buckets = 8)
@@ -188,6 +201,54 @@ object Storage {
     s.table(name)
       .select($"user_id", $"start_us", $"end_us", $"n_events")
       .orderBy($"user_id", $"start_us")
+  }
+
+  /** Streaming exact-dedup evidence (streaming.EventStreams.dedupEvents
+    * — dropDuplicatesWithinWatermark, the bounded-state dedup of an
+    * at-least-once ingest): a 5 % event slice is replayed in three
+    * ts-ordered micro-batches with every third event RE-DELIVERED, both
+    * within its own batch and again in the following batch (the two
+    * at-least-once failure shapes). The survivors must be exactly the
+    * original slice: in-batch duplicates collapse against state,
+    * cross-batch duplicates are either matched by state inside the
+    * delay window or dropped as late — both remove them, and originals
+    * are never late because batches are fed in ts order. The aggregate
+    * over the survivors is recomputed by the oracle from the raw slice,
+    * so a dedup that loses an original, passes a duplicate, or expires
+    * state too early breaks the hash compare. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .filter($"event_id" % 20 === 0)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+      .as[(Long, java.sql.Timestamp, String, Double)].collect()
+    require(ev.nonEmpty, s"no events in the dedup slice for $dir")
+    val name = s"graft_stream_dedup_${streamSessionsSeq.incrementAndGet()}"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.EventStreams.dedupEvents(
+        mem.toDF().toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val third = math.max((ev.length + 2) / 3, 1)
+      val slices = ev.grouped(third).toSeq
+      slices.zipWithIndex.foreach { case (b, i) =>
+        val dupesWithin = b.zipWithIndex.collect {
+          case (e, j) if j % 3 == 0 => e }
+        val dupesFromPrev = if (i == 0) IndexedSeq.empty
+          else slices(i - 1).takeRight(5).toIndexedSeq
+        mem.addData(b.toIndexedSeq ++ dupesWithin ++ dupesFromPrev)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("value_sum"),
+        sum($"event_id").as("id_sum"))
+      .orderBy($"event_type")
   }
 
   /** Copy-on-write MERGE evidence (sources.Upsert): write a base
