@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Driver-visible evidence queries for the storage/streaming families
-  * that were previously spec-only (VERDICT r7 #2/#3): a deterministic
-  * Structured-Streaming replay through the CDC MERGE sink, a COW MERGE
-  * snapshot read, and a data-skipping prune whose file counts are
-  * recomputable in SQL. Each derives its inputs purely from the sf
-  * tables so a DuckDB oracle can recompute the exact final state —
+  * that were previously spec-only (VERDICT r7 #2/#3): deterministic
+  * Structured-Streaming replays through the CDC MERGE sink, the
+  * stateful session machine, and the watermarked dedup; COW MERGE
+  * (flat and partitioned) snapshot reads; schema-evolution reads;
+  * skipping-index / z-order prunes whose file-level outcomes are
+  * recomputable in SQL; compaction data identity; and a plan-gated
+  * bucketed co-located join. Each derives its inputs purely from the
+  * sf tables so a DuckDB oracle can recompute the exact final state —
   * these are the table-maintenance capabilities a 100 TB training
-  * corpus needs (recrawl upserts, takedown deletes, scan pruning), and
-  * until now a regression in them was invisible to the driver's
-  * per-round correctness gate.
+  * corpus needs (recrawl upserts, takedown deletes, scan pruning,
+  * shuffle-free layouts), and until now a regression in them was
+  * invisible to the driver's per-round correctness gate.
   *
   * Scratch space: each invocation replays into fresh
   * `Files.createTempDirectory` roots (the same convention the streaming
