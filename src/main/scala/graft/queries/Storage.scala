@@ -37,10 +37,10 @@ object Storage {
     * total-ordered; '1-URGENT'+'F' orders become deletes; every 5th
     * order key is remapped +2000 so the insert path is exercised on
     * keys no customer holds), replay it through the real
-    * foreachBatch→collapse→snapshot→commit sink in three micro-batches,
-    * and return the final committed snapshot.
+    * foreachBatch→collapse→snapshot→commit sink in two in-order
+    * micro-batches, and return the final committed snapshot.
     *
-    * Oracle-exactness across batching: the three batches are sliced
+    * Oracle-exactness across batching: the batches are sliced
     * from the change set in `_seq` order, so sequential per-batch
     * last-wins application equals GLOBAL last-wins per key — which is
     * one SQL window (row_number over _seq desc) in DuckDB, independent
@@ -82,10 +82,12 @@ object Storage {
       mem.toDF().toDF("custkey", "status", "last_price", "_op", "_seq"),
       root, Seq("custkey"), checkpointLocation = Some(ckpt))
     try {
-      // tertile slices in _seq order: batch k's every _seq < batch
-      // k+1's, the precondition for batch-order-invariant last-wins
-      val third = (changes.length + 2) / 3
-      changes.grouped(math.max(third, 1)).foreach { batch =>
+      // in-order halves: batch k's every _seq < batch k+1's, the
+      // precondition for batch-order-invariant last-wins (two batches
+      // exercise the multi-batch chain at half the per-microbatch
+      // constant — the driver env runs 5-20x slower than local)
+      val half = (changes.length + 1) / 2
+      changes.grouped(math.max(half, 1)).foreach { batch =>
         mem.addData(batch.toIndexedSeq)
         q.processAllAvailable()
       }
@@ -159,7 +161,7 @@ object Storage {
   /** Streaming sessionization evidence (streaming.EventStreams
     * .sessionize — flatMapGroupsWithState with event-time timeout): a
     * deterministic replay of a 2 % user slice of the events table
-    * through the REAL stateful operator, in three ts-ordered
+    * through the REAL stateful operator, in two ts-ordered
     * micro-batches, then one per-user far-future sentinel event that
     * closes every still-open session through the ordinary gap logic
     * (the sentinel's own session stays open and unemitted). With
@@ -193,8 +195,10 @@ object Storage {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      val third = math.max((ev.length + 2) / 3, 1)
-      ev.grouped(third).foreach { b =>
+      // two in-order halves + the sentinel batch (see cdcState on the
+      // driver-env time budget; cross-batch state is still exercised)
+      val half = math.max((ev.length + 1) / 2, 1)
+      ev.grouped(half).foreach { b =>
         mem.addData(b.toIndexedSeq)
         q.processAllAvailable()
       }
@@ -208,7 +212,7 @@ object Storage {
 
   /** Streaming exact-dedup evidence (streaming.EventStreams.dedupEvents
     * — dropDuplicatesWithinWatermark, the bounded-state dedup of an
-    * at-least-once ingest): a 5 % event slice is replayed in three
+    * at-least-once ingest): a 5 % event slice is replayed in two
     * ts-ordered micro-batches with every third event RE-DELIVERED, both
     * within its own batch and again in the following batch (the two
     * at-least-once failure shapes). The survivors must be exactly the
@@ -235,8 +239,8 @@ object Storage {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
-      val third = math.max((ev.length + 2) / 3, 1)
-      val slices = ev.grouped(third).toSeq
+      val half = math.max((ev.length + 1) / 2, 1)
+      val slices = ev.grouped(half).toSeq
       slices.zipWithIndex.foreach { case (b, i) =>
         val dupesWithin = b.zipWithIndex.collect {
           case (e, j) if j % 3 == 0 => e }
