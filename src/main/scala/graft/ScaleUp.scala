@@ -32,7 +32,7 @@ object ScaleUp {
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def stride(df: DataFrame, c: String): Long =
-      df.agg(max(col(c))).head.getLong(0) + 1L
+      df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
 
     // key strides, computed from the source so copies never collide
     val kCust = stride(read("customer"), "c_custkey")

@@ -1955,10 +1955,12 @@ object SparkEntry {
         |ORDER BY lang, rnk""".stripMargin,
 
     // The post-replay CDC table: global last-wins per key over the
-    // derived change stream (queries.Storage.cdcState). One window in
-    // SQL == any batching of the sink, because the replay slices
-    // batches in _seq order; a sink that drops/double-applies a batch
-    // or collapses out of _seq order diverges from this.
+    // derived change stream (queries.Storage.cdcState — a ~14% slice,
+    // o_orderkey ≡ 0 mod 7, replayed across TWO query instances off one
+    // checkpoint). One window in SQL == any batching of the sink,
+    // because the replay splits batches on a _seq threshold; a sink
+    // that drops/double-applies a batch (e.g. a restart that loses or
+    // ignores the checkpoint) or collapses out of _seq order diverges.
     "q_cdc_state" ->
       """WITH changes AS (
         |  SELECT
@@ -1969,6 +1971,7 @@ object SparkEntry {
         |         THEN 'D' ELSE 'U' END AS _op,
         |    o_orderkey AS _seq
         |  FROM orders
+        |  WHERE o_orderkey % 7 = 0
         |), last AS (
         |  SELECT custkey, status, last_price, _op,
         |    row_number() OVER (PARTITION BY custkey ORDER BY _seq DESC) AS rn
