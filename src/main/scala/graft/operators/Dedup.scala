@@ -57,6 +57,46 @@ object Dedup {
       xxhash64(lit(b), slice(sig, b * rows + 1, rows)).as("bucket"))): _*)
   }
 
+  /** The (band, bucket, id) LSH frame `minhashNearDup` pairs within —
+    * exposed as the banding diagnostic: tuning k/bands (and validating
+    * `maxBucket`) on a real corpus starts from this frame's bucket-size
+    * histogram, because candidate volume is Σ n·(n−1)/2 over bucket
+    * sizes n. Input: a (id, sh: array&lt;string&gt;) frame of distinct
+    * shingles per doc.
+    *
+    * Signature via explode + codegen hash-aggregate, NOT per-row
+    * higher-order functions: HOF lambdas evaluate interpreted (outside
+    * whole-stage codegen), and the k min-passes over a string array
+    * measured ~10× the cost of this form, which hashes each shingle
+    * string ONCE, mixes k seeded variants on longs, and takes the k mins
+    * in one HashAggregate with map-side partial aggregation. Same
+    * signature values as `minhashSignature`. At scale the shuffle is
+    * slim (id, k longs) rows — postings never leave their map task.
+    * explode must be a top-level generator (Spark rejects generators
+    * nested in expressions), so project it first, then hash.
+    * Bucket = hash of the band's k/bands signature components (same
+    * banding scheme as `bandKeys`; bucket ids differ — scalar multi-arg
+    * hash vs array hash). */
+  def minhashBuckets(shingled: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
+    val spark = shingled.sparkSession
+    import spark.implicits._
+    val posts = shingled
+      .select($"id", explode($"sh").as("s"))
+      .select($"id", xxhash64($"s").as("h"))
+    val sigCols = (0 until k).map(j => min(xxhash64(lit(j), $"h")).as(s"m$j"))
+    val sig = posts.groupBy($"id").agg(sigCols.head, sigCols.tail: _*)
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val comps = (b * rows until (b + 1) * rows).map(j => col(s"m$j"))
+      struct(lit(b).as("band"),
+        xxhash64((lit(b) +: comps): _*).as("bucket"))
+    }
+    sig
+      .select($"id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
+  }
+
   /** MinHash/LSH near-duplicate candidate pairs with exact-Jaccard
     * verification.
     *
@@ -74,7 +114,6 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
       shingleN: Int = 2, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, s"k=$k must be a multiple of bands=$bands")
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -90,34 +129,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextOps.shingles(col(tokensCol), shingleN)).as("sh"))
 
-    // Signature via explode + codegen hash-aggregate, NOT per-row
-    // higher-order functions: HOF lambdas evaluate interpreted (outside
-    // whole-stage codegen), and the k min-passes over a string array
-    // measured ~10× the cost of this form, which hashes each shingle
-    // string ONCE, mixes k seeded variants on longs, and takes the k mins
-    // in one HashAggregate with map-side partial aggregation. Same
-    // signature values as `minhashSignature`. At scale the shuffle is
-    // slim (id, k longs) rows — postings never leave their map task.
-    // explode must be a top-level generator (Spark rejects generators
-    // nested in expressions), so project it first, then hash.
-    val posts = shingled
-      .select($"id", explode($"sh").as("s"))
-      .select($"id", xxhash64($"s").as("h"))
-    val sigCols = (0 until k).map(j => min(xxhash64(lit(j), $"h")).as(s"m$j"))
-    val sig = posts.groupBy($"id").agg(sigCols.head, sigCols.tail: _*)
-
-    // (band, bucket, id) — one SLIM row per band per doc; bucket = hash of
-    // the band's k/bands signature components (same banding scheme as
-    // `bandKeys`; bucket ids differ — scalar multi-arg hash vs array hash).
-    val rows = k / bands
-    val bandStructs = (0 until bands).map { b =>
-      val comps = (b * rows until (b + 1) * rows).map(j => col(s"m$j"))
-      struct(lit(b).as("band"),
-        xxhash64((lit(b) +: comps): _*).as("bucket"))
-    }
-    val buckets = sig
-      .select($"id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"bk.band".as("band"), $"bk.bucket".as("bucket"), $"id")
+    val buckets = minhashBuckets(shingled, k, bands)
 
     // Bucket-local candidate pairs from ONE pass: hot-bucket guard FIRST
     // (a sort-based window count over the (band, bucket) partitions —
