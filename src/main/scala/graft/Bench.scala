@@ -74,7 +74,13 @@ object Bench {
       val t = new Thread(r); t.setDaemon(true); t
     }
     val all = SparkEntry.queries
-    val ordered = SparkEntry.orderedQueryNames
+    // optional subset (comma-separated names) for targeted scale
+    // experiments (e.g. the family-scoped 30× run) — the driver never
+    // sets this and always benches the full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = only.fold(SparkEntry.orderedQueryNames)(o =>
+      SparkEntry.orderedQueryNames.filter(o))
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -74,7 +74,7 @@ object SparkEntry {
     "q_simhash_neardup", "q_simhash_recall",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
     "q_ivf_recall", "q_similarity_join_p2", "q_quality_classifier",
-    "q_linkpred_e2e")
+    "q_linkpred_ann_e2e", "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
   def orderedQueryNames: Seq[String] = {
@@ -216,6 +216,7 @@ object SparkEntry {
     "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
     "q_ivf_recall"        -> (Extended.ivfRecall(_, _)),
     "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
+    "q_linkpred_ann_e2e"  -> (Extended.linkpredAnnE2e(_, _)),
     // storage / streaming table-maintenance evidence (r8): the CDC MERGE
     // sink replay, the COW MERGE snapshot, and the skipping-index prune
     // — all oracle-checked (VERDICT r7 #2/#3)
@@ -1096,6 +1097,33 @@ object SparkEntry {
          |$steps
          |SELECT id AS doc_id, rank AS pagerank_fp
          |FROM r6 ORDER BY doc_id""".stripMargin
+    },
+
+    // k-core by UNROLLED peeling (recursive CTEs forbid aggregation
+    // inside recursion, so the loop is unrolled like pagerank_fp's):
+    // each round drops degree<2 vertices and their edges; once the
+    // fixpoint is reached every further round is a no-op, so 10 rounds
+    // ≡ Graph.kCore's loop as long as the data's peeling depth ≤ 10
+    // (measured: 7 rounds at sf0.01 — the oracle SF). The rounds are
+    // AS MATERIALIZED: left to the inliner, each round re-expands its
+    // whole predecessor chain (2^rounds scans — 'Too many open files').
+    "q_pair_kcore" -> {
+      val round = (i: Int) =>
+        s"""dr$i AS MATERIALIZED (
+           |  SELECT id FROM (SELECT a_id AS id FROM e$i
+           |                  UNION ALL SELECT b_id FROM e$i)
+           |  GROUP BY id HAVING count(*) < 2),
+           |e${i + 1} AS MATERIALIZED (
+           |  SELECT a_id, b_id FROM e$i
+           |  WHERE a_id NOT IN (SELECT id FROM dr$i)
+           |    AND b_id NOT IN (SELECT id FROM dr$i))""".stripMargin
+      val rounds = (0 until 10).map(round).mkString(",\n")
+      s"""WITH $pairGraphCte,
+         |e0 AS MATERIALIZED (SELECT a_id, b_id FROM p),
+         |$rounds
+         |SELECT id AS doc_id, count(*) AS core_degree
+         |FROM (SELECT a_id AS id FROM e10 UNION ALL SELECT b_id FROM e10)
+         |GROUP BY id ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_clusters" ->

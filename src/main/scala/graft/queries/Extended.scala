@@ -591,4 +591,122 @@ object Extended {
     graft.ml.LinkPredictor.sweepMetrics(
       scored.withColumn("p1r", round($"p1", 3)), "p1r")
   }
+
+  /** The PRODUCTION link-prediction path (VERDICT r8 #3): candidates from
+    * the MinHash-LSH ANN tier instead of source-blocking, then featurize →
+    * LR → holdout confusion (the q_quality_classifier convention).
+    *
+    * Why this candidate tier: q_linkpred_e2e's blocked self-join is
+    * quadratic in block size BY CONSTRUCTION (the reference's p1 shape —
+    * 44× at the r8 10× run). At scale, candidates must come from a
+    * similarity index whose work is bounded per item. Sign-LSH over the
+    * corpus embeddings is ruled out by measurement: the test corpus's
+    * embeddings are INDEPENDENT of its text similarity (positive pairs'
+    * mean cosine ≈ 0.0004 — same as random), so the Jaccard-appropriate
+    * ANN tier is MinHash banding over the same token streams the labels
+    * live in. Token-set jaccard is also ruled out as the link definition
+    * here: on this word-salad corpus ~73% of ALL pairs exceed 0.5 token
+    * jaccard — a dense graph no candidate scheme can make sparse — so the
+    * link label is bigram-SHINGLE jaccard ≥ 0.5, the corpus-wide near-dup
+    * definition (q_minhash_neardup), which is sparse and LSH-retrievable
+    * with spec-pinned recall (NearDupCrossGateSpec).
+    *
+    * No label leakage: features are token-level overlap and metadata
+    * (common_tokens, token_jaccard, same_lang, chars_diff — the
+    * linkpredPairs feature set), the label is shingle-level — correlated
+    * (that's the learnable signal) but not derivable from any feature:
+    * token order, which tokens ADJOIN, is what shingles add.
+    *
+    * Scale shape: candidate volume = Σ bucket² over band buckets, hard-
+    * bounded by maxBucket; negatives are 2 seeded pseudo-random partners
+    * per doc (linear); featurization touches only candidates ∪ negatives.
+    * Every stage is corpus-linear except the capped bucket join — the
+    * sub-10× e2e family member the scale run asked for. */
+  def linkpredAnnE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tokens = docs
+      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
+      .repartition(s.sparkContext.defaultParallelism)
+    // ANN tier: banded minhash buckets, exact shingle-jaccard verify at
+    // threshold 0 — every bucket candidate survives WITH its jaccard, so
+    // sub-threshold candidates become hard negatives instead of being
+    // thrown away (threshold 0.5 is applied to the LABEL, not the pairs)
+    val cand = graft.operators.Dedup
+      .minhashNearDup(tokens, "doc_id", "tokens", shingleN = 2,
+        k = 32, bands = 8, threshold = 0.0)
+      .select($"a_id", $"b_id", ($"jaccard" >= 0.5).cast("int").as("label"))
+    // easy negatives: 2 seeded pseudo-random partners per doc — the
+    // partner id is a hash into the id domain, inner-joined back to the
+    // corpus so holes in the id space just drop out; pairs the ANN tier
+    // already surfaced are removed (they carry a verified label)
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val negs = docs.select($"doc_id")
+      .select($"doc_id", explode(array(lit(1), lit(2))).as("j"))
+      .select($"doc_id",
+        pmod(xxhash64($"doc_id", $"j", lit("linkpred-neg")), lit(maxId + 1))
+          .as("partner"))
+      .filter($"doc_id" =!= $"partner")
+      .select(least($"doc_id", $"partner").as("a_id"),
+        greatest($"doc_id", $"partner").as("b_id"))
+      .distinct()
+      .join(docs.select($"doc_id".as("b_id")), Seq("b_id"), "left_semi")
+      .join(cand.select($"a_id", $"b_id"), Seq("a_id", "b_id"), "left_anti")
+      .withColumn("label", lit(0))
+    val pairs = cand.unionByName(negs)
+    // double attribute join (the p1 J1/J2 shape) on hashed token sets;
+    // the O(pairs) intersect compares longs, not strings
+    val d = docs.select($"doc_id", $"lang", $"n_chars",
+      array_distinct(transform(TextAnalysis.toks($"text"), t => xxhash64(t)))
+        .as("tset"))
+    val feat = pairs
+      .join(d.select($"doc_id".as("a_id"), $"lang".as("a_lang"),
+        $"n_chars".as("a_chars"), $"tset".as("a_t")), "a_id")
+      .join(d.select($"doc_id".as("b_id"), $"lang".as("b_lang"),
+        $"n_chars".as("b_chars"), $"tset".as("b_t")), "b_id")
+      .select($"a_id", $"b_id", $"label".cast("double").as("label"),
+        size(array_intersect($"a_t", $"b_t")).cast("double")
+          .as("common_tokens"),
+        // token-set jaccard is a FEATURE here, not the label (the label
+        // is shingle-level): the strongest learnable signal for the
+        // shingle-overlap link, and exactly what a production featurizer
+        // would hand the model
+        (size(array_intersect($"a_t", $"b_t")).cast("double") /
+          (size($"a_t") + size($"b_t") -
+            size(array_intersect($"a_t", $"b_t"))).cast("double"))
+          .as("token_jaccard"),
+        when($"a_lang" === $"b_lang", 1.0).otherwise(0.0).as("same_lang"),
+        abs($"a_chars" - $"b_chars").cast("double").as("chars_diff"))
+      .withColumn("holdout",
+        substring(md5(concat(lit("lpann:"), $"a_id", lit(":"), $"b_id")),
+          1, 1).isin("0", "1", "2", "3"))
+      // class weight: positives are ~1-3% of the pair stream (the ANN
+      // tier's precision is the point — it retrieves few, mostly-true
+      // candidates; the negative mass is sampled). Without the weight,
+      // L-BFGS parks the boundary inside the positive cluster at small
+      // SFs (measured: 2/5 holdout positives lost at sf0.001).
+      .withColumn("w", when($"label" === 1.0, 10.0).otherwise(1.0))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(
+        Array("common_tokens", "token_jaccard", "same_lang", "chars_diff"))
+      .setOutputCol("features")
+      .setHandleInvalid("skip")
+      .transform(feat)
+      .cache()
+    try {
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(10).setLabelCol("label").setFeaturesCol("features")
+        .setWeightCol("w")
+      val model = lr.fit(assembled.filter(!$"holdout"))
+      val conf = model.transform(assembled.filter($"holdout"))
+        .select($"label".cast("long").as("label"),
+          $"prediction".cast("long").as("pred"))
+        .groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"pred")
+      val out = conf.collect() // ≤4 rows — materialize before unpersist
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
+          conf.schema)
+        .orderBy($"label", $"pred")
+    } finally assembled.unpersist(blocking = false)
+  }
 }

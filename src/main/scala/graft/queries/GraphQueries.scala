@@ -142,11 +142,12 @@ object GraphQueries {
     * resembles everything — as opposed to chains of borderline pairwise
     * hits, which a 2-core sheds entirely. Degrees/components can't make
     * that distinction (a bridge merges components; raw degree counts
-    * chain links). Rows-only: same driver treatment as the other
-    * iterative graph op outputs that have no SQL twin (peeling needs
-    * aggregation inside recursion, which recursive CTEs forbid);
-    * GraphSpec pins ≡ local peeling on both synthetic and the real
-    * sf0.001 pair graph. */
+    * chain links). ORACLE-checked since r9: recursive CTEs forbid
+    * aggregation inside recursion, so the DuckDB twin UNROLLS the
+    * peeling (10 rounds; the sf0.01 graph's measured depth is 7, and
+    * post-fixpoint rounds are no-ops) — the same device as the
+    * pagerank_fp oracle. GraphSpec additionally pins ≡ local peeling
+    * on both synthetic and the real sf0.001 pair graph. */
   def pairKcore(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
     import s.implicits._
     graft.operators.Graph.kCore(pairGraph(s, dir), k)

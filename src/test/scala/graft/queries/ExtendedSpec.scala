@@ -196,4 +196,24 @@ class ExtendedSpec extends SparkSpec {
     val bestF1 = m.map(_.getAs[Double]("f1")).max
     assert(bestF1 > 0.5, s"bestF1=$bestF1")
   }
+
+  test("linkpredAnnE2e: ANN-candidate production path learns the shingle " +
+      "link on the holdout with bounded errors") {
+    val m = Extended.linkpredAnnE2e(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    val correct = m.getOrElse((0L, 0L), 0L) + m.getOrElse((1L, 1L), 0L)
+    assert(total > 0)
+    // both classes reach the holdout (positives exist — the ANN tier
+    // surfaced real shingle-links; negatives exist — the sampled easy
+    // mass arrived); the class-weighted LR buys full positive recall at
+    // the cost of a few hard-negative FPs (bucket candidates just below
+    // the 0.5 shingle threshold): pin recall ≥ 0.75 and accuracy ≥ 0.95
+    // (measured: recall 1.0, accuracy 0.985-0.992 across SFs)
+    val pos = m.getOrElse((1L, 1L), 0L) + m.getOrElse((1L, 0L), 0L)
+    assert(pos >= 1, s"confusion=$m")
+    assert(m.getOrElse((0L, 0L), 0L) >= 10, s"confusion=$m")
+    assert(m.getOrElse((1L, 1L), 0L) * 4 >= pos * 3, s"confusion=$m")
+    assert(correct * 100 >= total * 95, s"confusion=$m")
+  }
 }
