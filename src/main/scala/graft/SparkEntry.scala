@@ -59,7 +59,8 @@ object SparkEntry {
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
     "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
-    "q_wav_stats", "q_adpcm_stats", "q_video_stats", "q_mjpeg_stats",
+    "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
+    "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
     "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
@@ -180,6 +181,9 @@ object SparkEntry {
     // clips round-trip through the codec seams, integer features
     "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
     "q_adpcm_stats"       -> ((s, _) => graft.multimodal.Multimodal.adpcmStats(s)),
+    // the lossy MDCT/TDAC transform tier: silence exactness + SNR floor
+    // as oracle-hashable booleans (see Multimodal.mdctStats)
+    "q_mdct_stats"        -> ((s, _) => graft.multimodal.Multimodal.mdctStats(s)),
     "q_video_stats"       -> ((s, _) => graft.multimodal.Multimodal.videoStats(s)),
     "q_mjpeg_stats"       -> ((s, _) => graft.multimodal.Multimodal.mjpegStats(s)),
     // learned-BPE tokenizer (operators/Bpe.scala): roundtrip is the
@@ -1118,12 +1122,20 @@ object SparkEntry {
            |  WHERE a_id NOT IN (SELECT id FROM dr$i)
            |    AND b_id NOT IN (SELECT id FROM dr$i))""".stripMargin
       val rounds = (0 until 10).map(round).mkString(",\n")
+      // fixpoint guard: the unrolled depth (10; measured 7 at sf0.01)
+      // must actually reach the fixpoint — if the LAST round still
+      // peeled a vertex (dr9 non-empty), error() out loudly instead of
+      // silently diverging from Graph.kCore's fixpoint loop on a deeper
+      // corpus and reporting a false hash mismatch
       s"""WITH $pairGraphCte,
          |e0 AS MATERIALIZED (SELECT a_id, b_id FROM p),
          |$rounds
          |SELECT id AS doc_id, count(*) AS core_degree
          |FROM (SELECT a_id AS id FROM e10 UNION ALL SELECT b_id FROM e10)
-         |GROUP BY id ORDER BY doc_id""".stripMargin
+         |GROUP BY id
+         |HAVING (SELECT count(*) FROM dr9) = 0
+         |  OR error('kcore oracle: peeling depth exceeds the 10 unrolled rounds')
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_dedup_clusters" ->
@@ -1596,6 +1608,23 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS zero_crossings,
         |  true AS decoded
         |FROM range(48) t(id)
+        |ORDER BY media_id""".stripMargin,
+
+    // lossy MDCT codec: metadata fields are exact by construction; the
+    // lossy contract rides in two oracle-predicted booleans — silence
+    // round-trips to exact zeros (silent-band elision), tones clear a
+    // 30 dB SNR floor vs the formula-regenerated original (MdctSpec pins
+    // the same bound single-node)
+    "q_mdct_stats" ->
+      """SELECT id AS media_id,
+        |  CAST(8000 + (id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 + (id % 2) AS INT) AS channels,
+        |  CAST(((700 + (id % 40) * 11) * 1000)
+        |    // (8000 + (id % 3) * 4000) AS BIGINT) AS duration_ms,
+        |  (id % 5 = 0) AS silent,
+        |  true AS snr_ok,
+        |  true AS decoded
+        |FROM range(40) t(id)
         |ORDER BY media_id""".stripMargin,
 
     "q_video_stats" ->

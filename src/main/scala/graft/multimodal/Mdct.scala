@@ -22,7 +22,8 @@ package graft.multimodal
   * obligation, the quantizer — is implemented and spec-pinned.
   *
   * Container ("GMA1"): magic, sampleRate, channels (1|2), samples per
-  * channel, frame size N; per channel, ceil(S/N)+1 frames; per frame,
+  * channel, frame size N; per channel, S/N + 2 frames (hop N, first
+  * window centered on the signal start — floor division); per frame,
   * 32 bands × [scale-exponent byte, then N/32 10-bit codes unless the
   * band is silent]. All multi-byte ints are big-endian. Every reader
   * guard rejects truncation/forged sizes with None, never a throw — the
@@ -116,9 +117,11 @@ object Mdct {
     }
   }
 
-  private class BitReader(b: Array[Byte], var pos: Int) {
+  /** Bit reader bounded to [pos, end) — a channel's bitstream may not
+    * read past its declared length into the next channel's bytes. */
+  private class BitReader(b: Array[Byte], var pos: Int, end: Int) {
     private var bit = 0
-    def remaining: Int = (b.length - pos) * 8 - bit
+    def remaining: Int = (end - pos) * 8 - bit
     def read(bits: Int): Int = {
       var v = 0
       var i = 0
@@ -221,8 +224,9 @@ object Mdct {
         val chLen = i32(off)
         off += 4
         if (chLen < 0 || off + chLen > bytes.length) return None
-        val br = new BitReader(bytes, off)
-        val acc = new Array[Double](perCh + 2 * N)
+        val br = new BitReader(bytes, off, off + chLen)
+        // window t writes acc[t*N, t*N + 2N); max index (frames+1)*N - 1
+        val acc = new Array[Double]((frames + 1) * N)
         var t = 0
         while (t < frames) {
           val coeffs = new Array[Double](N)

@@ -367,6 +367,74 @@ object Multimodal {
     audioFeatures(clips).toDF().orderBy("media_id")
   }
 
+  case class MdctStat(media_id: Long, sample_rate: Int, channels: Int,
+    duration_ms: Long, silent: Boolean, snr_ok: Boolean, decoded: Boolean)
+
+  /** Driver-evidence query for the MDCT/TDAC transform codec
+    * (q_mdct_stats): each row generates a seeded clip — every fifth id
+    * is SILENCE (which the codec must round-trip to exact zeros via
+    * silent-band elision, so `silent` is oracle-exact), the rest are
+    * per-channel sinusoids whose lossy reconstruction must clear a
+    * 30 dB SNR floor against the formula-regenerated original. The
+    * oracle predicts every column from the id alone — the booleans are
+    * the lossy-codec contract made hashable, the ADPCM-query pattern
+    * extended to a genuinely lossy transform tier. Encode AND decode
+    * both run on executors. */
+  def mdctStats(spark: org.apache.spark.sql.SparkSession,
+      n: Int = 40): DataFrame = {
+    import spark.implicits._
+    def tone(id: Long, perCh: Int, channels: Int): Array[Short] = {
+      val amp = 6000.0 + 100.0 * (id % 17)
+      Array.tabulate[Short](perCh * channels) { i =>
+        val s = i / channels
+        val c = i % channels
+        val f = 0.01 * (1 + c) + 0.002 * (id % 7)
+        math.round(amp * math.sin(2 * math.Pi * f * s)).toShort
+      }
+    }
+    spark.range(n)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { id =>
+        val rate = 8000 + (id % 3).toInt * 4000
+        val channels = 1 + (id % 2).toInt
+        val perCh = 700 + (id % 40).toInt * 11
+        val samples =
+          if (id % 5 == 0) new Array[Short](perCh * channels)
+          else tone(id, perCh, channels)
+        (id, rate, channels, perCh,
+          Mdct.encode(Wav.Audio(rate, channels, samples)))
+      }
+      .toDF("media_id", "rate", "channels", "per_ch", "payload")
+      .as[(Long, Int, Int, Int, Array[Byte])]
+      .map { case (id, rate, channels, perCh, payload) =>
+        Mdct.decode(payload) match {
+          case Some(a) =>
+            val ref =
+              if (id % 5 == 0) new Array[Short](perCh * channels)
+              else tone(id, perCh, channels)
+            var sig = 0.0; var err = 0.0; var anyNonZero = false
+            var i = 0
+            while (i < ref.length) {
+              val s = ref(i).toDouble
+              val e = s - a.samples(i).toDouble
+              sig += s * s; err += e * e
+              if (a.samples(i) != 0) anyNonZero = true
+              i += 1
+            }
+            val snrOk =
+              if (sig == 0.0) err == 0.0 // silence must be exact
+              else 10 * math.log10(sig / math.max(err, 1e-12)) > 30.0
+            MdctStat(id, a.sampleRate, a.channels, a.durationMs,
+              silent = !anyNonZero, snr_ok = snrOk, decoded = true)
+          case None =>
+            MdctStat(id, -1, -1, -1L, silent = false, snr_ok = false,
+              decoded = false)
+        }
+      }
+      .toDF().orderBy("media_id")
+  }
+
   /** Driver-evidence query for the REAL Y4M parser (q_video_stats): each
     * row generates a seeded 4:2:0 clip (per-frame gradient planes, pure
     * function of media_id), encodes with Y4m.encode, and runs the real

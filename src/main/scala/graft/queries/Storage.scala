@@ -104,7 +104,10 @@ object Storage {
       val fs = src.getFileSystem(hconf)
       fs.listStatus(src).map(_.getPath).filter(_.getName.startsWith("part-"))
         .zipWithIndex.foreach { case (p, i) =>
-          fs.rename(p, new org.apache.hadoop.fs.Path(land, s"b$n-$i.json"))
+          val dest = new org.apache.hadoop.fs.Path(land, s"b$n-$i.json")
+          require(fs.rename(p, dest),
+            s"cdcState publish: rename $p -> $dest failed — a dropped " +
+              "batch file would only surface later as an oracle mismatch")
         }
     }
     val schema = changes.schema

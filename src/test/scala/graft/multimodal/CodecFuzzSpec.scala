@@ -40,6 +40,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     val samples = Array.tabulate[Short](520)(i => ((i * 113) % 5000).toShort)
     Wav.encodeAdpcm(Wav.Audio(8000, 2, samples))
   }
+  private def mdctGma: Array[Byte] = {
+    val samples = Array.tabulate[Short](2 * 700)(i =>
+      ((i * 113) % 5000 - 2500).toShort)
+    Mdct.encode(Wav.Audio(16000, 2, samples))
+  }
   private def avi: Array[Byte] = {
     val frames = Vector.tabulate(3) { f =>
       val px = Array.tabulate[Byte](16 * 16 * 3)(i => ((i * 5 + f) % 256).toByte)
@@ -102,6 +107,7 @@ class CodecFuzzSpec extends AnyFunSuite {
   fuzz("Ppm.decode", ppm, Ppm.decode)
   fuzz("Wav.decode", wav, Wav.decode)
   fuzz("Wav.decode (ADPCM)", adpcm, Wav.decode)
+  fuzz("Mdct.decode", mdctGma, Mdct.decode)
   fuzz("Y4m.decode", y4m, Y4m.decode(_))
   // container parse + every frame decompressed, so a mutated JPEG inside
   // a valid container exercises the frame path too
