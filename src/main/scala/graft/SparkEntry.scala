@@ -58,7 +58,8 @@ object SparkEntry {
     "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
-    "q_tfidf_topk", "q_embed_stats", "q_png_stats", "q_jpeg_stats",
+    "q_tfidf_topk", "q_bm25_topk", "q_embed_stats", "q_png_stats",
+    "q_jpeg_stats",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
     "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
@@ -154,6 +155,9 @@ object SparkEntry {
     "q_quality_classifier" -> (graft.ml.QualityFilter.confusion(_, _)),
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
+    // BM25 retrieval over a corpus-derived query (df-rank terms); the
+    // RAG passage-ranking primitive as a broadcast posting-list probe
+    "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     "q_ingest_neardup"    -> ((s, d) => TextAnalysis.ingestNearDup(s, d)),
     // graph analytics over the near-dup pair graph
@@ -1487,6 +1491,47 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked
         |WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    // BM25 with a RATIONAL idf (N−df+0.5)/(df+0.5) — no ln(), so score
+    // doubles bit-match across engines; the per-doc sum folds in sorted
+    // term order on both sides (list(ORDER BY)+list_reduce here,
+    // sort_array+aggregate in Spark) to pin double-addition order; the
+    // query is the 8 terms at df ranks 20-27 (df desc, term asc)
+    "q_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), nn AS (
+        |  SELECT (SELECT count(*) FROM documents) AS n,
+        |         (SELECT sum(dl) FROM dl) AS tot
+        |), qt AS (
+        |  SELECT term, df FROM (
+        |    SELECT term, df,
+        |      row_number() OVER (ORDER BY df DESC, term ASC) AS r
+        |    FROM df)
+        |  WHERE r BETWEEN 20 AND 27
+        |), sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    (CAST(n - qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |          (CAST(dl.dl AS DOUBLE)
+        |            / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN nn
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |    list_reduce(list(score ORDER BY term), (a, x) -> a + x) AS score
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+        |    AS rank,
+        |  doc_id, n_terms, score
+        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_embed_stats" ->
       // integer-exact vector reductions: counts, and a ×16 (power of two —

@@ -776,6 +776,68 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rnk")
   }
 
+  /** BM25 top-k retrieval (q_bm25_topk): the ranking function RAG
+    * pipelines use to pick training/grounding passages, as a relational
+    * plan. The "query" is corpus-derived for determinism: the 8 terms at
+    * document-frequency ranks 20–27 (df desc, term asc tie-break).
+    *
+    * Float parity with the DuckDB oracle follows the q_tfidf_topk
+    * playbook: a RATIONAL idf (N−df+0.5)/(df+0.5) instead of libm ln
+    * (exactly-rounded IEEE div only), every arithmetic node written in
+    * the same shape on both sides, and the per-doc term-score sum folded
+    * in SORTED TERM ORDER (sort_array + aggregate here, list(ORDER BY) +
+    * list_reduce there) so double addition order — the one thing SQL
+    * semantics leave unspecified — is pinned.
+    *
+    * Scale posture: tf/df/doclen are linear shuffles on their natural
+    * keys; the 8-term query frame is broadcast into the tf join (a
+    * per-term posting-list probe, never a corpus shuffle); the final
+    * top-k is orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * — per-partition heaps and a k-row driver merge, no global sort
+    * exchange at any corpus size. */
+  def bm25TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val toksD = docs.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = toksD.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toksD.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val tot = dl.agg(sum($"dl")).head.getLong(0)
+    // avgdl via the same single IEEE division DuckDB performs
+    val avgdl = tot.toDouble / n.toDouble
+    // top-27-by-df via TakeOrderedAndProject (per-partition heaps), THEN
+    // the rank window over just those 27 rows — the unbounded window
+    // never sees the full vocabulary
+    val wq = Window.orderBy($"df".desc, $"term".asc)
+    val qterms = df.orderBy($"df".desc, $"term".asc).limit(27)
+      .withColumn("r", row_number().over(wq))
+      .filter($"r" >= 20 && $"r" <= 27)
+      .select($"term", $"df")
+    val idf = ((lit(n) - $"df").cast("double") + 0.5) /
+      ($"df".cast("double") + 0.5)
+    val ratio = $"dl".cast("double") / avgdl
+    val denom = $"tf".cast("double") +
+      lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * ratio)
+    val perTerm = tf
+      .join(broadcast(qterms), "term") // 8-row posting-list probe
+      .join(dl, "doc_id")
+      .select($"doc_id", $"term",
+        (idf * ($"tf".cast("double") * 2.2) / denom).as("score"))
+    val scored = perTerm
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(sort_array(collect_list(struct($"term", $"score"))),
+            x => x.getField("score")),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    scored.orderBy($"score".desc, $"doc_id".asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
+      .select($"rank", $"doc_id", $"n_terms", $"score")
+      .orderBy($"rank")
+  }
+
   /** Link-prediction candidate featurization — the reference p1 core
     * (double attribute join J1/J2 + feature derivation F1-F3 + label join
     * J3) on the documents table: candidate pairs blocked by source, token

@@ -34,6 +34,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 1.0 / 3.0) < 1e-12)
   }
 
+  test("bm25TopK ≡ independent local BM25 (ranks exact, scores to 1e-12)") {
+    val dir = sf("sf0.001")
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // plain-Scala recompute, same rational idf and sorted-term fold
+    val toks = texts.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    val n = toks.size
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, g) => ((id, w), g.size.toLong) } }
+      .toMap
+    val dl = toks.map { case (id, ts) => (id, ts.size.toLong) }
+    val df = tf.keys.groupBy(_._2).map { case (w, g) => (w, g.size.toLong) }
+    val qterms = df.toSeq.sortBy { case (w, c) => (-c, w) }
+      .slice(19, 27).map(_._1).toSet
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val scored = toks.keys.flatMap { id =>
+      val terms = qterms.filter(w => tf.contains((id, w))).toSeq.sorted
+      if (terms.isEmpty) None
+      else {
+        val s = terms.foldLeft(0.0) { (acc, w) =>
+          val t = tf((id, w)).toDouble
+          val d = df(w)
+          val idf = ((n - d).toDouble + 0.5) / (d.toDouble + 0.5)
+          acc + idf * (t * 2.2) /
+            (t + 1.2 * (1.0 - 0.75 + 0.75 * (dl(id).toDouble / avgdl)))
+        }
+        Some((id, terms.size.toLong, s))
+      }
+    }.toSeq
+    val want = scored.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = TextAnalysis.bm25TopK(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === want.length)
+    got.zip(want).zipWithIndex.foreach {
+      case (((rank, id, nt, s), (wId, wNt, wS)), i) =>
+        assert(rank === i + 1)
+        assert(id === wId, s"rank ${i + 1}")
+        assert(nt === wNt, s"doc $id")
+        assert(math.abs(s - wS) <= math.abs(wS) * 1e-12, s"doc $id: $s vs $wS")
+    }
+    // non-vacuous: the top-k is full and multi-term matches exist
+    assert(got.length === 10 && got.exists(_._3 > 1))
+  }
+
   test("repetition filter: hand-computed metrics and keep verdicts") {
     val spark2 = spark
     import spark2.implicits._
