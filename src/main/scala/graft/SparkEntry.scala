@@ -58,13 +58,14 @@ object SparkEntry {
     "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
-    "q_tfidf_topk", "q_bm25_topk", "q_embed_stats", "q_png_stats",
-    "q_jpeg_stats",
+    "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_embed_stats",
+    "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
     "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
-    "q_linkpred_pairs", "q_ngram_jaccard", "q_ingest_neardup",
+    "q_linkpred_pairs", "q_ngram_jaccard", "q_containment_pairs",
+    "q_ingest_neardup",
     "q_pair_degrees",
     "q_pair_triangles", "q_dedup_clusters", "q_cluster_sizes",
     "q_dedup_corpus",
@@ -158,7 +159,12 @@ object SparkEntry {
     // BM25 retrieval over a corpus-derived query (df-rank terms); the
     // RAG passage-ranking primitive as a broadcast posting-list probe
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
+    // two-stage lexical→semantic rerank over the BM25 candidates
+    "q_hybrid_retrieval"  -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
+    // per-side containment over the same postings: the quote-inclusion
+    // pairs symmetric Jaccard structurally misses
+    "q_containment_pairs" -> ((s, d) => TextAnalysis.containmentPairs(s, d)),
     "q_ingest_neardup"    -> ((s, d) => TextAnalysis.ingestNearDup(s, d)),
     // graph analytics over the near-dup pair graph
     "q_pair_degrees"      -> (GraphQueries.pairDegrees(_, _)),
@@ -271,6 +277,45 @@ object SparkEntry {
     (a: String, b: String) =>
       s"list_reduce(list_transform(generate_series(1, len($a)), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** BM25 top-k oracle body (see q_bm25_topk comment at its map entry);
+    * parameterized by k so q_hybrid_retrieval can reuse the exact same
+    * candidate stage at a wider k. */
+  private def bm25Sql(limit: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY term
+       |), nn AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n,
+       |         (SELECT sum(dl) FROM dl) AS tot
+       |), qt AS (
+       |  SELECT term, df FROM (
+       |    SELECT term, df,
+       |      row_number() OVER (ORDER BY df DESC, term ASC) AS r
+       |    FROM df)
+       |  WHERE r BETWEEN 20 AND 27
+       |), sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    (CAST(n - qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)
+       |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+       |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+       |          (CAST(dl.dl AS DOUBLE)
+       |            / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS score
+       |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN nn
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_terms,
+       |    list_reduce(list(score ORDER BY term), (a, x) -> a + x) AS score
+       |  FROM sc GROUP BY doc_id
+       |)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+       |    AS rank,
+       |  doc_id, n_terms, score
+       |FROM agg ORDER BY score DESC, doc_id ASC LIMIT $limit""".stripMargin
 
   /** Exact cosine top-k (query set vec_id < 10, k = 5) — the oracle for
     * BOTH q_cosine_topk (brute force) and q_ivf_recall (IVF at full
@@ -799,6 +844,33 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.12
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // per-side containment over the q_ngram_jaccard shingle universe;
+    // quote_inclusion marks rows under the Jaccard tier's 0.12 threshold
+    "q_containment_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+        |  FROM documents
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+        |    CAST(len(a.sh) AS BIGINT) AS a_n,
+        |    CAST(len(b.sh) AS BIGINT) AS b_n
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |)
+        |SELECT a_id, b_id, lang, inter, a_n, b_n,
+        |  CAST(inter AS DOUBLE) / CAST(a_n AS DOUBLE) AS cont_a,
+        |  CAST(inter AS DOUBLE) / CAST(b_n AS DOUBLE) AS cont_b,
+        |  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard,
+        |  (CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) < 0.12)
+        |    AS quote_inclusion
+        |FROM pairs
+        |WHERE greatest(CAST(inter AS DOUBLE) / CAST(a_n AS DOUBLE),
+        |               CAST(inter AS DOUBLE) / CAST(b_n AS DOUBLE)) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
     // minhash recall gate: the exact strong-pair universe (same shingle
@@ -1497,41 +1569,34 @@ object SparkEntry {
     // term order on both sides (list(ORDER BY)+list_reduce here,
     // sort_array+aggregate in Spark) to pin double-addition order; the
     // query is the 8 terms at df ranks 20-27 (df desc, term asc)
-    "q_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
-        |), dl AS (
-        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-        |), df AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY term
-        |), nn AS (
-        |  SELECT (SELECT count(*) FROM documents) AS n,
-        |         (SELECT sum(dl) FROM dl) AS tot
-        |), qt AS (
-        |  SELECT term, df FROM (
-        |    SELECT term, df,
-        |      row_number() OVER (ORDER BY df DESC, term ASC) AS r
-        |    FROM df)
-        |  WHERE r BETWEEN 20 AND 27
-        |), sc AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    (CAST(n - qt.df AS DOUBLE) + 0.5) / (CAST(qt.df AS DOUBLE) + 0.5)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2)
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
-        |          (CAST(dl.dl AS DOUBLE)
-        |            / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))))) AS score
-        |  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN nn
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_terms,
-        |    list_reduce(list(score ORDER BY term), (a, x) -> a + x) AS score
-        |  FROM sc GROUP BY doc_id
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
-        |    AS rank,
-        |  doc_id, n_terms, score
-        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q_bm25_topk" -> bm25Sql(10),
+
+    // hybrid two-stage retrieval: BM25 candidates (the exact bm25Sql
+    // stage at k=50) reranked by embedding cosine to the rank-1 doc's
+    // vector; same in-order dot fold and q_nrm * nrm denominator shape
+    // as q_cosine_topk
+    "q_hybrid_retrieval" ->
+      s"""WITH cand AS (
+         |  SELECT rank AS bm25_rank, doc_id, score AS bm25
+         |  FROM (${bm25Sql(50)})
+         |), qv AS (
+         |  SELECT embedding AS qe,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_nrm
+         |  FROM embeddings
+         |  WHERE vec_id = (SELECT doc_id FROM cand WHERE bm25_rank = 1)
+         |), rr AS (
+         |  SELECT cand.bm25_rank, cand.doc_id, cand.bm25,
+         |    ${dotSql("qv.qe", "e.embedding")}
+         |      / (qv.q_nrm * sqrt(${dotSql("e.embedding", "e.embedding")}))
+         |      AS cosine
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+         |  CROSS JOIN qv
+         |)
+         |SELECT
+         |  CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+         |    AS rerank,
+         |  doc_id, bm25_rank, bm25, cosine
+         |FROM rr ORDER BY cosine DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_embed_stats" ->
       // integer-exact vector reductions: counts, and a ×16 (power of two —

@@ -518,17 +518,20 @@ object TextAnalysis {
     * #shingles × maxDf². The hot set is tiny by construction (few shingles
     * exceed the cap), so it is broadcast and postings are pruned with a
     * broadcast anti-join — no extra shuffle of the posting list. */
-  def ngramJaccardPairsOn(tokens: DataFrame, threshold: Double,
-      maxDf: Int): DataFrame = {
+  /** Shared posting-join core: per blocked pair (a_id < b_id, same
+    * lang), the distinct-shingle intersection count plus both documents'
+    * distinct-shingle sizes — everything any set-overlap measure
+    * (Jaccard, containment, overlap coefficient) needs. Shingles are
+    * hashed to xxhash64 longs at explode time: the posting join key
+    * becomes (lang, 8-byte long) instead of (lang, string) — narrower
+    * shuffle rows and long-equality probes across the Σdf² posting
+    * self-join (~19M probe rows at sf0.1). Counts are unchanged unless
+    * two distinct shingles of the same language collide in 64 bits
+    * (P ≈ 10⁻¹³ over this corpus) — same determinism argument as the
+    * minhash signature path; the string-level oracles still bit-match. */
+  private def postingPairCounts(tokens: DataFrame, maxDf: Int): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
-    // Shingles are hashed to xxhash64 longs at explode time: the posting
-    // join key becomes (lang, 8-byte long) instead of (lang, string) —
-    // narrower shuffle rows and long-equality probes across the Σdf²
-    // posting self-join (~19M probe rows at sf0.1). Counts are unchanged
-    // unless two distinct shingles of the same language collide in 64 bits
-    // (P ≈ 10⁻¹³ over this corpus) — same determinism argument as the
-    // minhash signature path; the string-level oracle still bit-matches.
     val d = tokens
       .select($"doc_id", $"lang",
         array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
@@ -550,10 +553,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("a_n")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n".as("b_n")), "b_id")
+  }
+
+  def ngramJaccardPairsOn(tokens: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    postingPairCounts(tokens, maxDf)
       .select($"a_id", $"b_id", $"lang",
         ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
           .as("jaccard"))
       .filter($"jaccard" >= threshold)
+  }
+
+  /** Containment near-duplicate pairs (q_containment_pairs): per-side
+    * containment |A∩B|/|A| and |A∩B|/|B| over the same blocked shingle
+    * postings as q_ngram_jaccard. Containment is the measure QUOTE
+    * INCLUSION needs: a short document embedded verbatim in a long one
+    * has containment ≈ 1 on the short side but Jaccard ≈ |short|/|long|
+    * — far below any sane near-dup threshold, so symmetric-Jaccard
+    * dedup ships the duplicated passage into training twice. Rows whose
+    * Jaccard sits below the q_ngram_jaccard threshold are flagged
+    * `quote_inclusion`: exactly the pairs the Jaccard tier misses. */
+  def containmentPairs(s: SparkSession, dir: String,
+      threshold: Double = 0.4, maxDf: Int = 10000): DataFrame =
+    containmentPairsOn(shingleTokens(s, dir), threshold, maxDf)
+
+  /** containmentPairs on an arbitrary (doc_id, lang, t) tokens frame. */
+  def containmentPairsOn(tokens: DataFrame, threshold: Double,
+      maxDf: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    postingPairCounts(tokens, maxDf)
+      .select($"a_id", $"b_id", $"lang", $"inter", $"a_n", $"b_n",
+        ($"inter".cast("double") / $"a_n".cast("double")).as("cont_a"),
+        ($"inter".cast("double") / $"b_n".cast("double")).as("cont_b"),
+        ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter(greatest($"cont_a", $"cont_b") >= threshold)
+      .withColumn("quote_inclusion", $"jaccard" < 0.12)
+      .orderBy($"a_id", $"b_id")
   }
 
   /** Per-source corpus diversity — the data-mixing diagnostic read
@@ -836,6 +875,53 @@ object TextAnalysis {
         row_number().over(Window.orderBy($"score".desc, $"doc_id".asc)))
       .select($"rank", $"doc_id", $"n_terms", $"score")
       .orderBy($"rank")
+  }
+
+  /** Hybrid two-stage retrieval (q_hybrid_retrieval): the
+    * lexical-then-semantic pattern production RAG rankers use — BM25
+    * selects nCand candidates, an embedding-cosine pass reranks them.
+    * The query vector is corpus-derived for determinism: the embedding
+    * of the BM25 rank-1 document (doc_id ≡ vec_id in the testdata).
+    *
+    * Scale posture: stage 1 is the bm25TopK plan (linear shuffles +
+    * TakeOrderedAndProject); stage 2 joins the DRIVER-BOUNDED candidate
+    * frame (nCand rows, broadcast) against the embeddings table — one
+    * corpus probe, no pairwise blow-up — and the rerank window sorts
+    * ≤ nCand rows. Float parity: dot products via the same in-order
+    * fold as q_cosine_topk, denominators in the same q_nrm * nrm shape
+    * on both engines. */
+  def hybridRetrieval(s: SparkSession, dir: String, nCand: Int = 50,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    import graft.queries.Embeddings.{dot, norm}
+    // the candidate frame is DRIVER-BOUNDED by construction (nCand rows
+    // out of a TakeOrderedAndProject), so collecting it is the scalar
+    // pattern, not a distributed-operator smell — and inlining the
+    // query vector as a LITERAL keeps the rerank free of the 1-row
+    // cross join a broadcast scalar frame would need (which Catalyst
+    // constant-folds into a nested-loop join, tripping the engine's
+    // no-BNLJ invariant)
+    val candRows = bm25TopK(s, dir, nCand)
+      .select($"rank".as("bm25_rank"), $"doc_id", $"score".as("bm25"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val cand = candRows.toSeq.toDF("bm25_rank", "doc_id", "bm25")
+    val top1Id = candRows.find(_._1 == 1).get._2
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val q = emb.filter($"vec_id" === top1Id).select($"v")
+      .head.getSeq[Double](0)
+    // same strict in-order fold as VectorExprs.DotProduct, so this
+    // driver-side norm is bit-identical to norm(q_v) in-plan
+    val qNrm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+    emb.join(broadcast(cand), $"doc_id" === $"vec_id")
+      .select($"bm25_rank", $"doc_id", $"bm25",
+        (dot(typedLit(q), $"v") / (lit(qNrm) * norm($"v"))).as("cosine"))
+      .withColumn("rerank", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id".asc)))
+      .filter($"rerank" <= k)
+      .select($"rerank", $"doc_id", $"bm25_rank", $"bm25", $"cosine")
+      .orderBy($"rerank")
   }
 
   /** Link-prediction candidate featurization — the reference p1 core

@@ -130,4 +130,29 @@ class PlanShapeSpec extends SparkSpec {
     val plan = query("q_mix_temperature").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q_bm25_topk: query terms broadcast, top-k is TakeOrdered, " +
+    "documents scan reads only doc_id/text") {
+    val df = query("q_bm25_topk")
+    val plan = df.queryExecution.sparkPlan.toString
+    // the 8-term query frame must broadcast into the tf probe — a
+    // shuffled join here would move the whole posting universe
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // orderBy+limit must plan as per-partition heaps, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    val read = scanOf(df, "documents").requiredSchema.fieldNames.toSet
+    assert(read === Set("doc_id", "text"), s"read=$read")
+  }
+
+  test("q_nullsafe_join: aggregate-pushdown keeps the join at tier " +
+    "cardinality (a broadcast 11-row self-join, no corpus-sized side)") {
+    val df = query("q_nullsafe_join")
+    val plan = df.queryExecution.sparkPlan.toString
+    // both join inputs are per-tier aggregates → broadcastable; the
+    // 60×-super-linear enumerated form planned a corpus×corpus SMJ
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    val read = scanOf(df, "customer").requiredSchema.fieldNames.toSet
+    assert(read === Set("c_acctbal"), s"read=$read")
+  }
 }

@@ -79,6 +79,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length === 10 && got.exists(_._3 > 1))
   }
 
+  test("containment catches quote inclusion that Jaccard misses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 2 is a verbatim passage of doc 1: jaccard = 5/59 ≈ 0.085
+    // (below the 0.12 near-dup threshold) while doc 2's own containment
+    // is 1.0; doc 3 shares nothing
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"w$i").mkString(" ")
+    val toks = Seq((1L, long), (2L, quote), (3L, "x y z q r"))
+      .map { case (id, text) => (id, "en", text.split(" ").toSeq) }
+      .toDF("doc_id", "lang", "t")
+    val got = TextAnalysis.containmentPairsOn(toks, 0.4, 10000).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    val (inter, aN, bN) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(inter === 5L && aN === 59L && bN === 5L) // 6 tokens → 5 bigrams
+    assert(r.getDouble(7) === 1.0, "short side fully contained")
+    assert(r.getDouble(8) < 0.12, "jaccard below the near-dup threshold")
+    assert(r.getBoolean(9), "flagged as quote inclusion")
+    // the Jaccard tier at its production threshold indeed misses it
+    assert(TextAnalysis.ngramJaccardPairsOn(toks, 0.12, 10000).count() === 0)
+  }
+
+  test("containmentPairs at sf0.001: internal consistency, " +
+      "jaccard twin agreement, non-vacuous") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.containmentPairs(spark, dir).collect()
+    got.foreach { r =>
+      val (inter, aN, bN) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getDouble(6) === inter.toDouble / aN.toDouble)
+      assert(r.getDouble(7) === inter.toDouble / bN.toDouble)
+      assert(math.max(r.getDouble(6), r.getDouble(7)) >= 0.4)
+      assert(r.getBoolean(9) === (r.getDouble(8) < 0.12))
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("hybridRetrieval: rerank-1 is the query doc, cosine ordered, " +
+      "all rows from the BM25 candidate set") {
+    val dir = sf("sf0.001")
+    val cand = TextAnalysis.bm25TopK(spark, dir, k = 50).collect()
+      .map(r => (r.getLong(1), r.getInt(0))).toMap // doc_id -> bm25_rank
+    val top1 = cand.collectFirst { case (id, 1) => id }.get
+    val got = TextAnalysis.hybridRetrieval(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= 10)
+    // the query vector IS doc top1's embedding → self-cosine ≈ 1 wins
+    assert(got.head._2 === top1)
+    assert(math.abs(got.head._4 - 1.0) < 1e-9)
+    got.zipWithIndex.foreach { case ((rr, id, br, _), i) =>
+      assert(rr === i + 1)
+      assert(cand(id) === br, s"doc $id carries its stage-1 rank")
+    }
+    val cos = got.map(_._4)
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+      "rerank order is non-increasing cosine")
+  }
+
   test("repetition filter: hand-computed metrics and keep verdicts") {
     val spark2 = spark
     import spark2.implicits._
