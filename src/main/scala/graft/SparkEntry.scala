@@ -50,7 +50,7 @@ object SparkEntry {
     "q_bucketed_join", "q_cdc_state", "q_stream_sessions", "q_stream_dedup",
     // text analysis
     "q_token_stats", "q_source_diversity", "q_quality_score",
-    "q_repetition_filter", "q_profile",
+    "q_repetition_filter", "q_compress_ratio", "q_profile",
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
     "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
@@ -134,6 +134,9 @@ object SparkEntry {
     "q_quality_score"     -> (TextAnalysis.qualityScore(_, _)),
     "q_source_diversity"  -> (TextAnalysis.sourceDiversity(_, _)),
     "q_repetition_filter" -> (TextAnalysis.repetitionFilter(_, _)),
+    // deflate-based repetitiveness signal; rows-only by design (no
+    // DuckDB deflate) — kernel pinned by in-process recompute in spec
+    "q_compress_ratio"    -> (TextAnalysis.compressRatio(_, _)),
     "q_token_packing"     -> ((s, d) => TextAnalysis.tokenPacking(s, d)),
     "q_doc_chunks"        -> ((s, d) => TextAnalysis.docChunks(s, d)),
     "q_chunk_dedup"       -> ((s, d) => TextAnalysis.chunkDedup(s, d)),

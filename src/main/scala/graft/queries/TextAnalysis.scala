@@ -62,6 +62,52 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Deflate length of a byte string at a FIXED level with raw (nowrap)
+    * framing — the kernel behind compressRatio. Deterministic for a
+    * given JDK zlib: same input, same level, same strategy → same
+    * bitstream (the spec recomputes it in-process to pin this). */
+  def deflateLen(b: Array[Byte], level: Int = 6): Long = {
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(b)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+
+  /** Compression-ratio quality signal (q_compress_ratio): the
+    * Gopher-family repetitiveness filter that needs no tokenizer —
+    * deflate(text)/|text|. Highly compressible text (boilerplate,
+    * templated spam, keyword stuffing) lands low; incompressible text
+    * (minified code, base64 residue, wrong-encoding bytes) lands ~1.
+    * Both tails are drop candidates; the keep band is [0.25, 0.95].
+    * ratio_x1000 is an INTEGER (floor of a long product quotient) so
+    * the per-doc row is float-free. Rows-only by design: the deflate
+    * bitstream has no DuckDB twin — the spec pins the kernel by
+    * in-process recompute instead, the JPEG-stats convention. Per-doc
+    * map over the corpus: embarrassingly parallel, no shuffle until
+    * the final diagnostic sort. */
+  def compressRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"text")
+      .as[(Long, String, String)]
+      .map { case (id, source, text) =>
+        val raw = text.getBytes("UTF-8")
+        val defl = deflateLen(raw)
+        val ratioX1000 =
+          if (raw.length == 0) 1000L else defl * 1000L / raw.length
+        (id, source, raw.length.toLong, defl, ratioX1000,
+          ratioX1000 >= 250L && ratioX1000 <= 950L)
+      }
+      .toDF("doc_id", "source", "n_bytes", "n_deflate", "ratio_x1000",
+        "keep")
+      .orderBy($"doc_id")
+  }
+
   /** Lexical-commonness scoring: each document's mean document-frequency
     * over its distinct tokens — the integer-exact stand-in for unigram-LM
     * perplexity (low mean df = rare/OOV-heavy text: noise, code, wrong

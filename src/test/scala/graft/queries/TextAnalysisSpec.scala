@@ -79,6 +79,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length === 10 && got.exists(_._3 > 1))
   }
 
+  test("compressRatio ≡ in-process deflate recompute; both verdicts occur") {
+    val dir = sf("sf0.001")
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val got = TextAnalysis.compressRatio(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(got.length === texts.size)
+    got.foreach { case (id, nBytes, nDefl, ratio, keep) =>
+      val raw = texts(id).getBytes("UTF-8")
+      assert(nBytes === raw.length.toLong, s"doc $id")
+      assert(nDefl === TextAnalysis.deflateLen(raw), s"doc $id")
+      val want = if (raw.isEmpty) 1000L else nDefl * 1000L / raw.length
+      assert(ratio === want, s"doc $id")
+      assert(keep === (ratio >= 250L && ratio <= 950L), s"doc $id")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "both keep and drop must occur on the real corpus")
+  }
+
   test("containment catches quote inclusion that Jaccard misses") {
     val spark2 = spark
     import spark2.implicits._
