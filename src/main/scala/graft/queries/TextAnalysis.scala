@@ -575,13 +575,55 @@ object TextAnalysis {
     * two distinct shingles of the same language collide in 64 bits
     * (P ≈ 10⁻¹³ over this corpus) — same determinism argument as the
     * minhash signature path; the string-level oracles still bit-match. */
+  /** Duplication factor above which postingPairCounts switches to the
+    * twin-collapsed form: the collapse pays for its extra shuffle +
+    * expansion once the direct form's probe mass (∝ dup²) exceeds ~2×. */
+  private val CollapseDupFactor = 1.4
+
+  /** (doc_id, lang, distinct hashed shingle set) — the input both
+    * pairwise forms share. */
+  private[queries] def shingleFrame(tokens: DataFrame): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.select($"doc_id", $"lang",
+      array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
+        .as("sh"))
+  }
+
   private def postingPairCounts(tokens: DataFrame, maxDf: Int): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
-    val d = tokens
-      .select($"doc_id", $"lang",
-        array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
-          .as("sh"))
+    val d = shingleFrame(tokens)
+    // EXACT-TWIN COLLAPSE VALVE — the guard that makes the pairwise core
+    // survive duplicated corpora (a web crawl IS mostly exact dups; the
+    // r10 30× twin-replica run timed the direct form out at >360 s,
+    // because every shingle's df multiplies by the dup factor and the
+    // posting self-join probe mass by its square — measured ~7 s
+    // collapsed). Engagement is adaptive, the hot-bucket-guard style:
+    // one cheap linear probe estimates the exact-duplication factor as
+    // docs per distinct TOKEN-SEQUENCE hash — no shingle/sort work, so
+    // the probe costs a narrow scan, not a second shingle pass. (Docs
+    // that differ in token order but share a shingle SET escape the
+    // probe; they are negligible duplication mass, and the branch choice
+    // only affects COST — both branches produce IDENTICAL rows, so the
+    // oracle hash never depends on it.) A dup-light corpus (the common
+    // case — and where the collapse's extra wide shuffle costs 3-5×)
+    // keeps the direct form.
+    val probe = tokens
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"lang", $"t"), 0.02).as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+    if (dupFactor < CollapseDupFactor) postingPairCountsDirect(d, maxDf)
+    else postingPairCountsCollapsed(d, maxDf)
+  }
+
+  /** The direct posting-join form — optimal when exact twins are rare. */
+  private[queries] def postingPairCountsDirect(d: DataFrame,
+      maxDf: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
     val posts = d.select($"lang", $"doc_id", explode($"sh").as("shingle"))
     // df agg is map-side combinable; output cardinality = distinct
     // (lang, shingle) — small. Only the > maxDf tail is broadcast.
@@ -599,6 +641,83 @@ object TextAnalysis {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("a_id"), $"n".as("a_n")), "a_id")
       .join(sizes.select($"doc_id".as("b_id"), $"n".as("b_n")), "b_id")
+      .select($"a_id", $"b_id", $"lang", $"inter", $"a_n", $"b_n")
+  }
+
+  /** The twin-collapsed form: documents with the IDENTICAL shingle set
+    * form one equivalence class; the posting join runs on one
+    * representative per class (probe mass = unique-content corpus, dup
+    * factor gone) and classes expand back into member pairs afterwards
+    * — pure output-sized work. The expansion reproduces the direct
+    * form's rows EXACTLY: inter/a_n/b_n are class-level constants, and
+    * intra-class (twin) pairs have inter = a_n = b_n. */
+  private[queries] def postingPairCountsCollapsed(d: DataFrame,
+      maxDf: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    // class key = the sorted shingle set itself (exact — no collision
+    // caveat); the shuffle carries each doc's set once either way
+    val cls = d
+      .groupBy($"lang", array_sort($"sh").as("sh"))
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("csize"),
+        collect_list($"doc_id").as("members"))
+
+    val posts = cls.select($"rep", $"lang", $"csize",
+      explode($"sh").as("shingle"))
+    // df counts DOCUMENTS (Σ class sizes), not classes — the cap
+    // semantics are unchanged by the collapse
+    val hot = posts.groupBy($"lang", $"shingle")
+      .agg(sum($"csize").as("df"))
+      .filter($"df" > maxDf)
+      .select($"lang", $"shingle")
+    val kept = posts.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+    val sizes = kept.groupBy($"rep").agg(count(lit(1)).as("n"))
+
+    val repPairs = kept
+      .select($"lang", $"rep".as("a_rep"), $"shingle")
+      .join(kept.select($"lang".as("b_lang"), $"rep".as("b_rep"),
+          $"shingle".as("b_shingle")),
+        $"lang" === $"b_lang" && $"shingle" === $"b_shingle" &&
+          $"a_rep" < $"b_rep")
+      .groupBy($"a_rep", $"b_rep", $"lang")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"rep".as("a_rep"), $"n".as("a_n")), "a_rep")
+      .join(sizes.select($"rep".as("b_rep"), $"n".as("b_n")), "b_rep")
+
+    // cross-class expansion: every member-pair inherits the class-level
+    // (inter, a_n, b_n); the id-order convention (a_id < b_id) swaps the
+    // sides where a member of the larger-rep class has the smaller id
+    val memb = cls.select($"rep", $"members")
+    val cross = repPairs
+      .join(memb.select($"rep".as("a_rep"), $"members".as("a_members")),
+        "a_rep")
+      .join(memb.select($"rep".as("b_rep"), $"members".as("b_members")),
+        "b_rep")
+      .select($"lang", $"inter", $"a_n", $"b_n",
+        explode($"a_members").as("x"), $"b_members")
+      .select($"lang", $"inter", $"a_n", $"b_n", $"x",
+        explode($"b_members").as("y"))
+      .select(
+        least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"),
+        $"lang",
+        $"inter",
+        when($"x" < $"y", $"a_n").otherwise($"b_n").as("a_n"),
+        when($"x" < $"y", $"b_n").otherwise($"a_n").as("b_n"))
+
+    // intra-class expansion: twins share the whole kept shingle set, so
+    // inter = a_n = b_n = n. Classes whose kept set is empty never enter
+    // the direct form's pair frame — excluded here too (inner join on
+    // sizes keeps only reps with kept postings).
+    val intra = cls.filter($"csize" >= 2)
+      .join(sizes, "rep")
+      .filter($"n" >= 1)
+      .select($"lang", $"n", explode($"members").as("x"), $"members")
+      .select($"lang", $"n", $"x", explode($"members").as("y"))
+      .filter($"x" < $"y")
+      .select($"x".as("a_id"), $"y".as("b_id"), $"lang",
+        $"n".as("inter"), $"n".as("a_n"), $"n".as("b_n"))
+
+    cross.unionByName(intra)
   }
 
   def ngramJaccardPairsOn(tokens: DataFrame, threshold: Double,

@@ -79,6 +79,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length === 10 && got.exists(_._3 > 1))
   }
 
+  test("twin-collapsed pairwise form ≡ direct form on a twin-heavy corpus " +
+      "(rows identical, including intra-twin and cross-class swaps)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 content classes × 3 twins each + 2 singletons + 1 empty-shingle
+    // class of 2 docs (must produce NO pairs in either form); ids
+    // interleave across classes so the cross-class a_id < b_id swap path
+    // is exercised (a twin of a LATER class can carry a SMALLER id)
+    val base = Seq(
+      "alpha beta gamma delta epsilon",
+      "alpha beta gamma zeta eta",
+      "one two three four five six",
+      "one two three nine ten")
+    val docs =
+      (0 until 12).map(i => (i.toLong, base(i % 4))) ++
+        Seq((12L, "solo text piece first"), (13L, "second lonely doc here"),
+          (14L, "x"), (15L, "y")) // single-token docs: empty shingle sets
+    val toks = docs.map { case (id, t) => (id, "en", t.split(" ").toSeq) }
+      .toDF("doc_id", "lang", "t")
+    val d = TextAnalysis.shingleFrame(toks)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val direct = TextAnalysis.postingPairCountsDirect(d, 10000)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    val collapsed = TextAnalysis.postingPairCountsCollapsed(d, 10000)
+      .collect().map(key).sortBy(x => (x._1, x._2))
+    assert(direct.nonEmpty, "twin corpus must produce pairs")
+    assert(collapsed.toSeq === direct.toSeq)
+    // intra-twin pairs exist (inter == a_n == b_n) and the empty-shingle
+    // docs appear in neither form
+    assert(direct.exists(p => p._4 == p._5 && p._5 == p._6))
+    assert(!direct.exists(p => p._1 >= 14L || p._2 >= 14L))
+  }
+
   test("compressRatio ≡ in-process deflate recompute; both verdicts occur") {
     val dir = sf("sf0.001")
     val texts = spark.read.parquet(s"$dir/documents.parquet")
