@@ -256,16 +256,33 @@ object SparkEntry {
   //   n < 1), list_reduce (left fold from the first element ≡ Spark
   //   aggregate with 0.0 init), epoch_us, json_extract_string, md5.
 
-  // shared CTE: the near-dup pair graph (GraphQueries.pairGraph) — bigram
-  // shingle Jaccard ≥ 0.08 within a language, canonical a_id < b_id.
-  private val pairGraphCte =
-    """d AS (
+  // shared CTE: per-document distinct bigram-shingle sets with the SAME
+  // per-(lang, shingle) document-frequency cap (df ≤ 10000) the Spark
+  // side applies (TextAnalysis.postingPairCounts maxDf) — mirrored here
+  // so the bit-match holds by construction even on a corpus where the
+  // cap binds (ADVICE r10; it is a measured no-op on the testdata — max
+  // shingle df 152 at sf0.1). Docs whose kept set is empty drop out of
+  // `d`; they can never pass any overlap threshold, so the pair results
+  // are unchanged. Ends with `d(doc_id, lang, sh)`.
+  private val cappedShingleCte =
+    """d0 AS (
       |  SELECT doc_id, lang,
       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
+      |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh0
       |  FROM documents
-      |), pr AS (
+      |), dk AS (
+      |  SELECT doc_id, lang, shingle
+      |  FROM (SELECT doc_id, lang, unnest(sh0) AS shingle FROM d0)
+      |  QUALIFY count(*) OVER (PARTITION BY lang, shingle) <= 10000
+      |), d AS (
+      |  SELECT doc_id, lang, list(shingle) AS sh FROM dk GROUP BY doc_id, lang
+      |)""".stripMargin
+
+  // shared CTE: the near-dup pair graph (GraphQueries.pairGraph) — bigram
+  // shingle Jaccard ≥ 0.08 within a language, canonical a_id < b_id.
+  private val pairGraphCte =
+    cappedShingleCte + """, pr AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) + len(b.sh) AS sz
       |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -831,13 +848,7 @@ object SparkEntry {
         |ORDER BY lang, source""".stripMargin,
 
     "q_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
-        |  FROM documents
-        |), pairs AS (
+      ("WITH " + cappedShingleCte + """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
         |    len(list_intersect(a.sh, b.sh)) AS inter,
         |    len(a.sh) + len(b.sh) AS sz
@@ -847,18 +858,12 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.12
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     // per-side containment over the q_ngram_jaccard shingle universe;
     // quote_inclusion marks rows under the Jaccard tier's 0.12 threshold
     "q_containment_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
-        |  FROM documents
-        |), pairs AS (
+      ("WITH " + cappedShingleCte + """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
         |    CAST(len(a.sh) AS BIGINT) AS a_n,
@@ -874,20 +879,14 @@ object SparkEntry {
         |FROM pairs
         |WHERE greatest(CAST(inter AS DOUBLE) / CAST(a_n AS DOUBLE),
         |               CAST(inter AS DOUBLE) / CAST(b_n AS DOUBLE)) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     // minhash recall gate: the exact strong-pair universe (same shingle
     // construction as q_ngram_jaccard, threshold 0.7) with found=1 pinned —
     // the oracle has no approximate side, so it bit-matches exactly when
     // the Spark-side banding recalled EVERY strong pair.
     "q_neardup_recall" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
-        |  FROM documents
-        |), pairs AS (
+      ("WITH " + cappedShingleCte + """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
         |    len(list_intersect(a.sh, b.sh)) AS inter,
         |    len(a.sh) + len(b.sh) AS sz
@@ -898,7 +897,7 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS found
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.7
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     // simhash recall gate: the same exact strong-pair universe with
     // covered=1 pinned. Spark-side, covered = found-by-SimHash OR outside
@@ -906,13 +905,7 @@ object SparkEntry {
     // GUARANTEED pair was missed (deterministic, unlike an empirical
     // found pin); non-vacuity is pinned in NearDupCrossGateSpec.
     "q_simhash_recall" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
-        |  FROM documents
-        |), pairs AS (
+      ("WITH " + cappedShingleCte + """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
         |    len(list_intersect(a.sh, b.sh)) AS inter,
         |    len(a.sh) + len(b.sh) AS sz
@@ -923,18 +916,12 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS covered
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.7
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     // incremental ingest dedup: the same pair universe restricted to
     // pairs touching the simulated batch (doc_id % 10 = 7).
     "q_ingest_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
-        |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-        |             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]) END) AS sh
-        |  FROM documents
-        |), pairs AS (
+      ("WITH " + cappedShingleCte + """, pairs AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang,
         |    len(list_intersect(a.sh, b.sh)) AS inter,
         |    len(a.sh) + len(b.sh) AS sz
@@ -945,7 +932,7 @@ object SparkEntry {
         |  CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) AS jaccard
         |FROM pairs
         |WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.08
-        |ORDER BY a_id, b_id""".stripMargin,
+        |ORDER BY a_id, b_id""".stripMargin),
 
     "q_linkpred_pairs" ->
       """WITH d AS (

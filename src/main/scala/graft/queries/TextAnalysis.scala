@@ -78,6 +78,27 @@ object TextAnalysis {
     } finally d.end()
   }
 
+  /** Cross-JVM deflate-drift tripwire (ADVICE r10): q_compress_ratio is
+    * rows-only, so a heterogeneous executor JDK (or one linked against
+    * zlib-ng / system zlib) producing a DIFFERENT level-6 bitstream would
+    * silently change n_deflate and keep verdicts with nothing to catch
+    * it. Each executor JVM checks ONCE (lazy val) that its deflate of a
+    * fixed probe matches the length pinned at build time on the
+    * reference JDK; drift fails the task loudly instead of shipping
+    * silently-shifted quality verdicts. Zero per-row cost after the
+    * first row on each executor. */
+  private val DeflateProbeText =
+    "graft deflate determinism probe 0123456789 abcdefghijklmnopqrstuvwxyz " * 4
+  private val DeflateProbeLen = 73L // pinned: OpenJDK 17 zlib, level 6, nowrap
+  @transient private lazy val deflateProbeOk: Boolean = {
+    val got = deflateLen(DeflateProbeText.getBytes("UTF-8"))
+    require(got == DeflateProbeLen,
+      s"deflate probe drift: this JVM compresses the fixed probe to $got " +
+        s"bytes, expected $DeflateProbeLen — its zlib differs from the " +
+        "build JDK's, so compressRatio verdicts would not be reproducible")
+    true
+  }
+
   /** Compression-ratio quality signal (q_compress_ratio): the
     * Gopher-family repetitiveness filter that needs no tokenizer —
     * deflate(text)/|text|. Highly compressible text (boilerplate,
@@ -96,6 +117,7 @@ object TextAnalysis {
       .select($"doc_id", $"source", $"text")
       .as[(Long, String, String)]
       .map { case (id, source, text) =>
+        require(deflateProbeOk) // per-executor-JVM zlib drift tripwire
         val raw = text.getBytes("UTF-8")
         val defl = deflateLen(raw)
         val ratioX1000 =
@@ -538,10 +560,12 @@ object TextAnalysis {
     * spreads the (single-split) scan so shingling and the posting-join
     * probe (Σ df² ≈ 19M rows at sf0.1) parallelize.
     *
-    * maxDf 10000 at the call sites is a deliberate no-op on the test
-    * corpus (max observed shingle df: 28 at sf0.01, 152 at sf0.1) so the
-    * DuckDB oracle — which computes uncapped Jaccard — still bit-matches;
-    * at production scale the cap is the load-bearing skew guard (see
+    * maxDf 10000 at the call sites is a measured no-op on the test
+    * corpus (max observed shingle df: 28 at sf0.01, 152 at sf0.1); since
+    * r11 the DuckDB oracles mirror the cap structurally
+    * (SparkEntry.cappedShingleCte), so the bit-match holds by
+    * construction even on a corpus where the cap binds. At production
+    * scale the cap is the load-bearing skew guard (see
     * ngramJaccardPairsOn). */
   private def shingleTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -656,14 +680,27 @@ object TextAnalysis {
     val s = d.sparkSession
     import s.implicits._
     // class key = the sorted shingle set itself (exact — no collision
-    // caveat); the shuffle carries each doc's set once either way
-    val cls = d
-      .groupBy($"lang", array_sort($"sh").as("sh"))
-      .agg(min($"doc_id").as("rep"), count(lit(1)).as("csize"),
-        collect_list($"doc_id").as("members"))
+    // caveat); the shuffle carries each doc's set once either way.
+    // Class assignment via a WINDOW over the set key rather than a
+    // groupBy + collect_list(doc_id): the old form materialized each
+    // class's full member list into ONE row and expanded pairs with a
+    // double explode, so a mega-class (a boilerplate page replicated
+    // corpus-wide) concentrated an O(n²) expansion and an O(n) array in
+    // a single task/row (ADVICE r10). The window streams each class's
+    // rows through its partition group (spilling, never one array), and
+    // the pair expansions below are JOINS, which distribute.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"key")
+    val keyed = d
+      .select($"doc_id", $"lang", $"sh", array_sort($"sh").as("key"))
+      .withColumn("rep", min($"doc_id").over(w))
+      .withColumn("csize", count(lit(1)).over(w))
+      .drop("key")
+    // (rep, member) — slim: two longs + lang per doc
+    val memb = keyed.select($"rep", $"lang", $"doc_id", $"csize")
 
-    val posts = cls.select($"rep", $"lang", $"csize",
-      explode($"sh").as("shingle"))
+    val posts = keyed.filter($"doc_id" === $"rep")
+      .select($"rep", $"lang", $"csize", explode($"sh").as("shingle"))
     // df counts DOCUMENTS (Σ class sizes), not classes — the cap
     // semantics are unchanged by the collapse
     val hot = posts.groupBy($"lang", $"shingle")
@@ -685,18 +722,13 @@ object TextAnalysis {
       .join(sizes.select($"rep".as("b_rep"), $"n".as("b_n")), "b_rep")
 
     // cross-class expansion: every member-pair inherits the class-level
-    // (inter, a_n, b_n); the id-order convention (a_id < b_id) swaps the
-    // sides where a member of the larger-rep class has the smaller id
-    val memb = cls.select($"rep", $"members")
+    // (inter, a_n, b_n). Two joins, output-sized and task-distributed
+    // (AQE skew-split applies); the id-order convention (a_id < b_id)
+    // swaps the sides where a member of the larger-rep class has the
+    // smaller id.
     val cross = repPairs
-      .join(memb.select($"rep".as("a_rep"), $"members".as("a_members")),
-        "a_rep")
-      .join(memb.select($"rep".as("b_rep"), $"members".as("b_members")),
-        "b_rep")
-      .select($"lang", $"inter", $"a_n", $"b_n",
-        explode($"a_members").as("x"), $"b_members")
-      .select($"lang", $"inter", $"a_n", $"b_n", $"x",
-        explode($"b_members").as("y"))
+      .join(memb.select($"rep".as("a_rep"), $"doc_id".as("x")), "a_rep")
+      .join(memb.select($"rep".as("b_rep"), $"doc_id".as("y")), "b_rep")
       .select(
         least($"x", $"y").as("a_id"), greatest($"x", $"y").as("b_id"),
         $"lang",
@@ -707,12 +739,13 @@ object TextAnalysis {
     // intra-class expansion: twins share the whole kept shingle set, so
     // inter = a_n = b_n = n. Classes whose kept set is empty never enter
     // the direct form's pair frame — excluded here too (inner join on
-    // sizes keeps only reps with kept postings).
-    val intra = cls.filter($"csize" >= 2)
+    // sizes keeps only reps with kept postings). A member self-join, not
+    // a per-row explode²: output is inherently O(csize²) — identical to
+    // the direct form's rows — but builds as join output across tasks.
+    val intra = memb.filter($"csize" >= 2)
       .join(sizes, "rep")
-      .filter($"n" >= 1)
-      .select($"lang", $"n", explode($"members").as("x"), $"members")
-      .select($"lang", $"n", $"x", explode($"members").as("y"))
+      .select($"rep", $"lang", $"n", $"doc_id".as("x"))
+      .join(memb.select($"rep", $"doc_id".as("y")), Seq("rep"))
       .filter($"x" < $"y")
       .select($"x".as("a_id"), $"y".as("b_id"), $"lang",
         $"n".as("inter"), $"n".as("a_n"), $"n".as("b_n"))
@@ -1071,11 +1104,32 @@ object TextAnalysis {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     val cand = candRows.toSeq.toDF("bm25_rank", "doc_id", "bm25")
-    val top1Id = candRows.find(_._1 == 1).get._2
+    // Empty-corpus / missing-vector guard: the DuckDB oracle's empty
+    // candidate (or empty query-vector) CTE cross-joins to an EMPTY
+    // result — mirror that instead of throwing NoSuchElementException
+    // from a driver-side .get/.head (ADVICE r10). The doc_id ≡ vec_id
+    // invariant holds on the testdata; this is the off-corpus path.
+    def emptyOut: DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rerank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bm25_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bm25",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val top1IdOpt = candRows.find(_._1 == 1).map(_._2)
+    if (top1IdOpt.isEmpty) return emptyOut
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val q = emb.filter($"vec_id" === top1Id).select($"v")
-      .head.getSeq[Double](0)
+    val qRowOpt = emb.filter($"vec_id" === top1IdOpt.get).select($"v")
+      .head(1).headOption
+    if (qRowOpt.isEmpty) return emptyOut
+    val q = qRowOpt.get.getSeq[Double](0)
     // same strict in-order fold as VectorExprs.DotProduct, so this
     // driver-side norm is bit-identical to norm(q_v) in-plan
     val qNrm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
