@@ -70,7 +70,7 @@ object SparkEntry {
     "q_pair_triangles", "q_dedup_clusters", "q_cluster_sizes",
     "q_dedup_corpus",
     "q_dedup_keepbest", "q_pair_kcore",
-    "q_pair_pagerank", "q_pair_pagerank_fp", "q_embed_centroids",
+    "q_pair_pagerank_fp", "q_embed_centroids",
     "q_semantic_dedup",
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
@@ -177,7 +177,11 @@ object SparkEntry {
     "q_dedup_corpus"      -> (GraphQueries.dedupCorpus(_, _)),
     "q_dedup_keepbest"    -> (GraphQueries.dedupKeepBest(_, _)),
     "q_pair_kcore"        -> ((s, d) => GraphQueries.pairKcore(s, d)),
-    "q_pair_pagerank"     -> (GraphQueries.pairPagerank(_, _)),
+    // q_pair_pagerank (float twin) RETIRED r11 (ADVICE r9 #6): 5.3 s of
+    // bench for zero driver signal — rows-only while the fixed-point twin
+    // below is oracle bit-matched; the float operator (Graph.pageRank)
+    // stays, pinned by GraphSpec (closed forms + ≡ local power iteration
+    // + fp-twin agreement within truncation error).
     "q_pair_pagerank_fp"  -> (GraphQueries.pairPagerankFixed(_, _)),
     "q_linkpred_pairs"    -> (TextAnalysis.linkpredPairs(_, _)),
     // embeddings / similarity search (north star)

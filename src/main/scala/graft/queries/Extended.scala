@@ -694,8 +694,13 @@ object Extended {
       .transform(feat)
       .cache()
     try {
+      // maxIter 5 (was 10 — ADVICE r9 #4 fit budget, same argument as
+      // linkpredE2e): each L-BFGS iteration is a treeAggregate pass over
+      // the candidate frame, and the weighted boundary separates within
+      // 5 iterations — the holdout floors below (recall ≥ 0.75,
+      // accuracy ≥ 0.95, ExtendedSpec) are re-pinned under this budget.
       val lr = new org.apache.spark.ml.classification.LogisticRegression()
-        .setMaxIter(10).setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(5).setLabelCol("label").setFeaturesCol("features")
         .setWeightCol("w")
       val model = lr.fit(assembled.filter(!$"holdout"))
       val conf = model.transform(assembled.filter($"holdout"))

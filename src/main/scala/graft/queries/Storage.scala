@@ -218,36 +218,73 @@ object Storage {
   def streamSessions(s: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = Tables.events(s, dir)
       .filter($"user_id" % 50 === 0)
       .select($"user_id".cast("long").as("user_id"), $"ts")
       .orderBy($"ts", $"user_id")
       .as[(Long, java.sql.Timestamp)].collect()
     require(ev.nonEmpty, s"no events for the user slice in $dir")
-    val users = ev.map(_._1).distinct.toIndexedSeq
-    val sentinel = new java.sql.Timestamp(
-      ev.iterator.map(_._2.getTime).max + (gapMinutes + 120L) * 60000L)
-    // memory-sink names are session-global: unique per invocation so
-    // bench reruns never read a previous replay's table
-    val name = s"graft_stream_sessions_${streamSessionsSeq.incrementAndGet()}"
-    val mem = MemoryStream[(Long, java.sql.Timestamp)]
-    val q = graft.streaming.EventStreams
-      .sessionize(mem.toDF().toDF("user_id", "ts"), gapMinutes)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try {
-      // two in-order halves + the sentinel batch (see cdcState on the
-      // driver-env time budget; cross-batch state is still exercised)
-      val half = math.max((ev.length + 1) / 2, 1)
-      ev.grouped(half).foreach { b =>
-        mem.addData(b.toIndexedSeq)
-        q.processAllAvailable()
-      }
-      mem.addData(users.map(u => (u, sentinel)))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(name)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val evUs = ev.map { case (u, t) => (u, us(t)) }
+    val users = evUs.map(_._1).distinct.toIndexedSeq
+    val sentinelUs =
+      evUs.iterator.map(_._2).max + (gapMinutes + 120L) * 60000000L
+
+    // Since r11 this replay runs through a RESTART (ADVICE r9 #7): a
+    // JSON landing dir + checkpoint + parquet file sink (the cdcState
+    // conventions), batch 1 under query instance 1, batch 2 + the
+    // sentinel under a NEW instance recovering the same checkpoint — so
+    // the oracle bit-match now also proves the flatMapGroupsWithState
+    // state store (open sessions, watermark, timeout registrations)
+    // survives a query restart: a session spanning the restart boundary
+    // is only emitted whole if instance 2 recovered instance 1's state.
+    val land = Files.createTempDirectory("graft-sess-land-").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt-").toString
+    val out = Files.createTempDirectory("graft-sess-out-").toString
+
+    // driver-side atomic publish: write hidden (source-ignored), then
+    // rename into visibility — the file source never sees a half file.
+    // µs epochs as JSON longs round-trip exactly (no timestamp parsing).
+    def publish(name: String, batch: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Paths.get(land, s".$name.tmp")
+      java.nio.file.Files.write(tmp, batch
+        .map { case (u, t) => s"""{"user_id":$u,"ts_us":$t}""" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(land, s"$name.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(10) // distinct mtimes: the source replays in file order
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    // one bounded drain of everything new since the checkpoint; with
+    // onePerTrigger each landed file replays as its own micro-batch
+    def drain(onePerTrigger: Boolean): Unit = {
+      val rdr = s.readStream.schema(schema)
+      val src =
+        (if (onePerTrigger) rdr.option("maxFilesPerTrigger", 1) else rdr)
+          .json(land)
+      val q = graft.streaming.EventStreams
+        .sessionize(src.select($"user_id",
+          timestamp_micros($"ts_us").as("ts")), gapMinutes)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val half = math.max((evUs.length + 1) / 2, 1)
+    val batches = evUs.grouped(half).toSeq
+    publish("b1", batches.head.toIndexedSeq)
+    drain(onePerTrigger = false) // instance 1
+    batches.drop(1).zipWithIndex.foreach { case (b, i) =>
+      publish(s"b${i + 2}", b.toIndexedSeq) }
+    publish("b9-sentinel", users.map(u => (u, sentinelUs)))
+    drain(onePerTrigger = true) // instance 2: a RESTART, same checkpoint
+    s.read.parquet(out)
       .select($"user_id", $"start_us", $"end_us", $"n_events")
       .orderBy($"user_id", $"start_us")
   }
