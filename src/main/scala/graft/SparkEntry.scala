@@ -53,7 +53,8 @@ object SparkEntry {
     "q_repetition_filter", "q_compress_ratio", "q_profile",
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
-    "q_lang_id", "q_fingerprint", "q_df_score", "q_span_dedup",
+    "q_lang_id", "q_fingerprint", "q_df_score", "q_dsir_weights",
+    "q_span_dedup",
     "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_winnow_dedup",
     "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
@@ -149,6 +150,7 @@ object SparkEntry {
     "q_cdc_chunks"        -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "q_cdc_dedup"         -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "q_df_score"          -> ((s, d) => TextAnalysis.dfScore(s, d)),
+    "q_dsir_weights"      -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     "q_span_dedup"        -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "q_pii_scrub"         -> (TextAnalysis.piiScrub(_, _)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
@@ -1887,6 +1889,34 @@ object SparkEntry {
         |FROM d JOIN dfs USING (tok)
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR importance weights: smoothed target/raw occurrence-mass
+    // ratios per token, per-doc mean over the token stream folded in
+    // sorted token order (the bm25 float-parity device); the 55/1024
+    // keep threshold is dyadic and sits inside the measured score band
+    // at every SF. See TextAnalysis.dsirWeights.
+    "q_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), w AS (
+        |  SELECT tok,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |      / CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |      AS wt
+        |  FROM t GROUP BY tok
+        |), per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    list_reduce(list(w.wt ORDER BY t.tok), (a, x) -> a + x) AS wsum
+        |  FROM t JOIN w USING (tok)
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |  wsum / CAST(n_tokens AS DOUBLE) AS dsir_score,
+        |  (wsum / CAST(n_tokens AS DOUBLE) >= CAST(55 AS DOUBLE) / 1024)
+        |    AS keep
+        |FROM per
+        |ORDER BY doc_id""".stripMargin,
 
     "q_span_dedup" ->
       """WITH t AS (

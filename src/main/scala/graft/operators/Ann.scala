@@ -227,6 +227,38 @@ object Ann {
       return corpus.select($"id".as("a_id"), $"id".as("b_id"),
         lit(0.0).as("cosine")).limit(0)
     val dim = dims(0).getInt(0)
+    // EXACT-TWIN COLLAPSE VALVE (the postingPairCounts device applied to
+    // vectors — found by the r11 30× twin-replica decade, where this
+    // query TIMED OUT at 300 s: identical vectors share every bucket in
+    // every table, so each bucket's member count multiplies by the dup
+    // factor and the Σ bucket² candidate join by its square). One cheap
+    // linear probe estimates the exact-duplication factor; dup-light
+    // corpora (the common case) keep the direct form and its plan.
+    val probe = corpus
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"vec"), 0.02).as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+    if (dupFactor < CollapseDupFactor)
+      lshNearDupPairsDirect(corpus, threshold, nTables, nBits, seed,
+        maxBucket, dim)
+    else
+      lshNearDupPairsCollapsed(corpus, threshold, nTables, nBits, seed,
+        maxBucket, dim)
+  }
+
+  /** Duplication factor above which lshNearDupPairs collapses exact
+    * vector twins before bucketing — same rationale and value as
+    * TextAnalysis.CollapseDupFactor. */
+  private val CollapseDupFactor = 1.4
+
+  /** The direct bucket self-join — optimal when exact twins are rare. */
+  private[operators] def lshNearDupPairsDirect(corpus: DataFrame,
+      threshold: Double, nTables: Int, nBits: Int, seed: Int,
+      maxBucket: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
       .withColumn("nrm", norm($"v"))
     val wBucket = Window.partitionBy($"table", $"bucket")
@@ -248,6 +280,78 @@ object Ann {
       .select($"a_id", $"b_id",
         (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
       .filter($"cosine" >= threshold)
+  }
+
+  /** The twin-collapsed form: identical vectors form one class, buckets
+    * and candidate pairs run on one representative per class, classes
+    * expand back into member pairs afterwards. Produces EXACTLY the
+    * direct form's rows:
+    *  - the maxBucket guard counts VECTORS (Σ class sizes) per bucket,
+    *    not classes, so guard semantics are unchanged;
+    *  - cross-class pairs inherit the rep-pair cosine (members share the
+    *    reps' vectors, so the direct form computes the identical IEEE
+    *    expression);
+    *  - intra-class (twin) pairs get dot(v,v)/(nrm·nrm) — the exact
+    *    expression the direct form evaluates for an identical pair
+    *    (NOT a literal 1.0: sqrt-then-square rounds; a zero vector is
+    *    an ANSI divide-by-zero error in BOTH forms alike);
+    *  - a class emits intra pairs iff it survives the guard in ≥ 1
+    *    table, exactly when the direct form would co-bucket its twins
+    *    (twins share ALL buckets, so survival is class-level). */
+  private[operators] def lshNearDupPairsCollapsed(corpus: DataFrame,
+      threshold: Double, nTables: Int, nBits: Int, seed: Int,
+      maxBucket: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wTwin = Window.partitionBy($"vec")
+    val keyed = corpus
+      .withColumn("rep", min($"id").over(wTwin))
+      .withColumn("csize", count(lit(1)).over(wTwin))
+    val memb = keyed.select($"rep", $"id")
+    val reps = keyed.filter($"id" === $"rep")
+      .select($"rep".as("id"), asDouble($"vec").as("v"), $"csize")
+      .withColumn("nrm", norm($"v"))
+    val wBucket = Window.partitionBy($"table", $"bucket")
+    val b = reps
+      .select($"id", $"csize", explode(
+        signLshBuckets($"v", nTables, nBits, dim, seed)).as("bk"))
+      .select($"id", $"csize", $"bk.table".as("table"),
+        $"bk.bucket".as("bucket"))
+      .withColumn("n", sum($"csize").over(wBucket))
+      .filter($"n" <= maxBucket)
+      .drop("n")
+    val repCand = b
+      .join(b.select($"id".as("b_id"), $"table", $"bucket"),
+        Seq("table", "bucket"))
+      .filter($"id" < $"b_id")
+      .select($"id".as("a_id"), $"b_id").distinct()
+    val repPairs = repCand
+      .join(reps.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_nrm")), "a_id")
+      .join(reps.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_nrm")), "b_id")
+      .select($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      .filter($"cosine" >= threshold)
+    // cross-class expansion: join-based and task-distributed — never a
+    // per-row array explode (the postingPairCountsCollapsed discipline)
+    val cross = repPairs
+      .join(memb.select($"rep".as("a_id"), $"id".as("x")), "a_id")
+      .join(memb.select($"rep".as("b_id"), $"id".as("y")), "b_id")
+      .select(least($"x", $"y").as("a_id"),
+        greatest($"x", $"y").as("b_id"), $"cosine")
+    // intra-class expansion: survivors = classes present in ≥1 kept
+    // bucket; self-cosine computed once per class, then a member
+    // self-join (x < y)
+    val survivors = b.select($"id".as("rep")).distinct()
+    val intra = reps.filter($"csize" >= 2)
+      .join(survivors, reps("id") === survivors("rep"), "left_semi")
+      .select($"id".as("rep"),
+        (dot($"v", $"v") / ($"nrm" * $"nrm")).as("cosine"))
+      .filter($"cosine" >= threshold)
+      .join(memb.select($"rep", $"id".as("x")), "rep")
+      .join(memb.select($"rep", $"id".as("y")), "rep")
+      .filter($"x" < $"y")
+      .select($"x".as("a_id"), $"y".as("b_id"), $"cosine")
+    cross.unionByName(intra)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a (table, bucket)

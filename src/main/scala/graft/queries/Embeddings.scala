@@ -105,24 +105,73 @@ object Embeddings {
       exactPairCache.remove(k).foreach(_.unpersist(blocking = false))
     }
 
-  /** The direct (uncached) exact pair plan; see cosineNearDup. */
+  /** The direct (uncached) exact pair plan; see cosineNearDup. Adaptive
+    * exact-twin collapse (r11): on a duplicated corpus the label blocks
+    * multiply by the dup factor and the salted block self-join by its
+    * square — the 30× decade measured the q_lsh_recall exact side past
+    * its cap on exactly this. Identical (label, vector) rows form one
+    * class; the block join runs on representatives and classes expand
+    * back join-wise. Rows are EXACTLY the direct form's: cross pairs
+    * share the reps' vectors (identical IEEE expression), twin pairs get
+    * dot(v,v)/(nrm·nrm) — what the direct plan computes for an identical
+    * pair (a zero vector is an ANSI divide-by-zero error in both plans
+    * alike). Dup-light corpora keep the direct plan. */
   private def cosineNearDupPairsOn(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      .withColumn("nrm", norm($"v"))
-    val a = e.repartition(s.sparkContext.defaultParallelism)
-      .select($"vec_id".as("a_id"), $"label",
-        $"v".as("a_v"), $"nrm".as("a_nrm"))
-    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
-      $"v".as("b_v"), $"nrm".as("b_nrm"))
-    graft.operators.SkewJoin.salted(a, b,
-        $"label" === $"b_label" && $"a_id" < $"b_id",
-        saltOn = $"a_id", salts = Extended.PAIR_SALTS)
-      .select($"a_id", $"b_id", $"label",
-        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
-      .filter($"cosine" >= threshold)
+    val raw = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", $"embedding")
+    val probe = raw
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"label", $"embedding"), 0.02)
+          .as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+
+    def pairsOf(src: DataFrame): DataFrame = {
+      val e = src.select($"vec_id", $"label", asDouble($"embedding").as("v"))
+        .withColumn("nrm", norm($"v"))
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select($"vec_id".as("a_id"), $"label",
+          $"v".as("a_v"), $"nrm".as("a_nrm"))
+      val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"),
+        $"v".as("b_v"), $"nrm".as("b_nrm"))
+      graft.operators.SkewJoin.salted(a, b,
+          $"label" === $"b_label" && $"a_id" < $"b_id",
+          saltOn = $"a_id", salts = Extended.PAIR_SALTS)
+        .select($"a_id", $"b_id", $"label",
+          (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+        .filter($"cosine" >= threshold)
+    }
+
+    if (dupFactor < 1.4) pairsOf(raw)
+    else {
+      val wTwin = Window.partitionBy($"label", $"embedding")
+      val keyed = raw
+        .withColumn("rep", min($"vec_id").over(wTwin))
+        .withColumn("csize", count(lit(1)).over(wTwin))
+      val memb = keyed.select($"rep", $"vec_id")
+      val reps = keyed.filter($"vec_id" === $"rep")
+      val repPairs = pairsOf(
+        reps.select($"vec_id", $"label", $"embedding"))
+      val cross = repPairs
+        .join(memb.select($"rep".as("a_id"), $"vec_id".as("x")), "a_id")
+        .join(memb.select($"rep".as("b_id"), $"vec_id".as("y")), "b_id")
+        .select(least($"x", $"y").as("a_id"),
+          greatest($"x", $"y").as("b_id"), $"label", $"cosine")
+      val intra = reps.filter($"csize" >= 2)
+        .select($"rep", $"label", asDouble($"embedding").as("v"))
+        .withColumn("nrm", norm($"v"))
+        .select($"rep", $"label",
+          (dot($"v", $"v") / ($"nrm" * $"nrm")).as("cosine"))
+        .filter($"cosine" >= threshold)
+        .join(memb.select($"rep", $"vec_id".as("x")), "rep")
+        .join(memb.select($"rep", $"vec_id".as("y")), "rep")
+        .filter($"x" < $"y")
+        .select($"x".as("a_id"), $"y".as("b_id"), $"label", $"cosine")
+      cross.unionByName(intra)
+    }
   }
 
   /** Label-free near-dup pairs via sign-LSH blocking

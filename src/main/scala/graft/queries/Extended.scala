@@ -334,9 +334,10 @@ object Extended {
   def multisetPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextOps
-    val d = Tables.documents(s, dir)
+    val d0 = Tables.documents(s, dir)
       .select($"doc_id", $"source", TextAnalysis.toks($"text").as("t"))
       .repartition(s.sparkContext.defaultParallelism)
+
     // Salted shuffle self-join on the block key (operators.SkewJoin):
     // `source` has ~10 distinct values, so an unsalted equi-join would put
     // each block's whole O(n²) pair set in ONE task — and the previous
@@ -344,18 +345,63 @@ object Extended {
     // (impossible at 100 TB). The shuffle key becomes (source, salt) with
     // source×SALTS cardinality; replication cost: b side ×SALTS in the
     // shuffle — linear, vs broadcast's ×executors copy.
-    val a = d.select($"doc_id".as("a_id"), $"source", $"t".as("a_t"))
-    val b = d.select($"doc_id".as("b_id"), $"source".as("b_source"),
-      $"t".as("b_t"))
-    graft.operators.SkewJoin.salted(a, b,
-        $"source" === $"b_source" && $"a_id" < $"b_id",
-        saltOn = $"a_id", salts = PAIR_SALTS)
-      .select($"a_id", $"b_id", $"source",
-        graft.functions.TextExprs.commonWordsMultiset($"a_t", $"b_t")
-          .as("common_multiset"),
-        TextOps.commonWordsSet($"a_t", $"b_t").as("common_set"))
-      .filter($"common_multiset" >= 20)
-      .orderBy($"a_id", $"b_id")
+    def pairsOf(d: DataFrame): DataFrame = {
+      val a = d.select($"doc_id".as("a_id"), $"source", $"t".as("a_t"))
+      val b = d.select($"doc_id".as("b_id"), $"source".as("b_source"),
+        $"t".as("b_t"))
+      graft.operators.SkewJoin.salted(a, b,
+          $"source" === $"b_source" && $"a_id" < $"b_id",
+          saltOn = $"a_id", salts = PAIR_SALTS)
+        .select($"a_id", $"b_id", $"source",
+          graft.functions.TextExprs.commonWordsMultiset($"a_t", $"b_t")
+            .as("common_multiset"),
+          TextOps.commonWordsSet($"a_t", $"b_t").as("common_set"))
+        .filter($"common_multiset" >= 20)
+    }
+
+    // EXACT-TWIN COLLAPSE VALVE (r11, found by the 30× decade at 190×
+    // for 30× data): identical (source, token-array) docs pair with
+    // every partner identically, so the per-pair multiset UDF work
+    // multiplies by dup². Classes collapse to one representative, the
+    // blocked join runs rep-level, and member pairs inherit the
+    // class-pair values; intra pairs evaluate the SAME expressions on
+    // (t, t) — bit-identical to the direct form. Dup-light corpora keep
+    // the direct plan.
+    val probe = d0
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"source", $"t"), 0.02).as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+    val pairs = if (dupFactor < 1.4) pairsOf(d0)
+    else {
+      val wTwin = Window.partitionBy($"source", $"t")
+      val keyed = d0
+        .withColumn("rep", min($"doc_id").over(wTwin))
+        .withColumn("csize", count(lit(1)).over(wTwin))
+      val memb = keyed.select($"rep", $"doc_id")
+      val reps = keyed.filter($"doc_id" === $"rep")
+      val repPairs = pairsOf(reps.select($"doc_id", $"source", $"t"))
+      val cross = repPairs
+        .join(memb.select($"rep".as("a_id"), $"doc_id".as("x")), "a_id")
+        .join(memb.select($"rep".as("b_id"), $"doc_id".as("y")), "b_id")
+        .select(least($"x", $"y").as("a_id"),
+          greatest($"x", $"y").as("b_id"), $"source",
+          $"common_multiset", $"common_set")
+      val intra = reps.filter($"csize" >= 2)
+        .select($"rep", $"source",
+          graft.functions.TextExprs.commonWordsMultiset($"t", $"t")
+            .as("common_multiset"),
+          TextOps.commonWordsSet($"t", $"t").as("common_set"))
+        .filter($"common_multiset" >= 20)
+        .join(memb.select($"rep", $"doc_id".as("x")), "rep")
+        .join(memb.select($"rep", $"doc_id".as("y")), "rep")
+        .filter($"x" < $"y")
+        .select($"x".as("a_id"), $"y".as("b_id"), $"source",
+          $"common_multiset", $"common_set")
+      cross.unionByName(intra)
+    }
+    pairs.orderBy($"a_id", $"b_id")
   }
 
   /** Salt fan-out for low-cardinality block-key self-joins (multisetPairs,

@@ -32,9 +32,62 @@ object GraphQueries {
       .orderBy($"doc_id")
   }
 
-  /** Global triangle count of the pair graph (1 row). */
-  def pairTriangles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.triangleCount(pairGraph(s, dir))
+  /** Global triangle count of the pair graph (1 row).
+    *
+    * Computed on the TWIN QUOTIENT (r11): the near-dup pair graph is by
+    * construction the blow-up of its exact-twin quotient — documents
+    * with identical (lang, shingle-set) content have identical
+    * adjacency, a class with kept shingles is an internal clique
+    * (jaccard 1.0 intra pairs), and two adjacent classes are completely
+    * joined. The direct wedge join is Σ deg² and exploded on the r11
+    * 30× twin-replica decade (the wedge shuffle filled the disk at
+    * 252 s): every twin class of size m is a K_m, so wedge mass grows
+    * with m³ per class. On the quotient the count decomposes exactly:
+    *   Σ_c survived C(m_c,3)                       (one class)
+    * + Σ_{(c,d)∈E_Q} C(m_c,2)·m_d + m_c·C(m_d,2)   (two classes)
+    * + Σ_{{c,d,e} triangle in E_Q} m_c·m_d·m_e      (three classes)
+    * where E_Q = pair-frame edges between class representatives — both
+    * quotient-sized, so the wedge join runs at unique-content scale at
+    * any duplication factor. (c,d) ∈ E_Q implies both classes survived
+    * (a pair needs a common kept shingle), so only the first term
+    * filters on `survived`. The DuckDB oracle keeps the enumerating
+    * blown-up definition — the bit-match PROVES the decomposition. */
+  def pairTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cls = TextAnalysis.twinClasses(s, dir)
+    val pg = pairGraph(s, dir)
+    val reps = cls.select($"rep")
+    val eq = pg
+      .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
+      .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
+    val m = cls.select($"rep", $"csize")
+    // Σ m(m−1)(m−2) over survived classes; divisible by 6 term-wise
+    val t1x6 = cls.filter($"survived" && $"csize" >= 3)
+      .agg(coalesce(sum(
+        $"csize" * ($"csize" - 1) * ($"csize" - 2)), lit(0L)).as("v"))
+      .head.getLong(0)
+    val eqm = eq
+      .join(m.select($"rep".as("a_id"), $"csize".as("ma")), "a_id")
+      .join(m.select($"rep".as("b_id"), $"csize".as("mb")), "b_id")
+    // Σ [m_c(m_c−1)·m_d + m_c·m_d(m_d−1)] over edges; divisible by 2
+    val t2x2 = eqm
+      .agg(coalesce(sum(
+        $"ma" * ($"ma" - 1) * $"mb" + $"ma" * $"mb" * ($"mb" - 1)),
+        lit(0L)).as("v"))
+      .head.getLong(0)
+    // weighted closed wedges on the quotient: a<b<c paths closed by (a,c)
+    val e = eq.select($"a_id".as("a"), $"b_id".as("b"))
+    val wedge = e.join(e.select($"a".as("b"), $"b".as("c")), "b")
+    val t3 = wedge
+      .join(e.select($"a", $"b".as("c")), Seq("a", "c"), "left_semi")
+      .join(m.select($"rep".as("a"), $"csize".as("ma")), "a")
+      .join(m.select($"rep".as("b"), $"csize".as("mb")), "b")
+      .join(m.select($"rep".as("c"), $"csize".as("mc")), "c")
+      .agg(coalesce(sum($"ma" * $"mb" * $"mc"), lit(0L)).as("v"))
+      .head.getLong(0)
+    val total = t1x6 / 6 + t2x2 / 2 + t3
+    Seq(total).toDF("n_triangles")
+  }
 
   /** Session-scoped materialized components of the pair graph — the
     * iterative large-star/small-star run is the dominant cost of BOTH

@@ -156,6 +156,62 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-style importance weighting (q_dsir_weights): data selection
+    * for a target domain via n-gram importance resampling — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling" (NeurIPS), the standard recipe for up-sampling
+    * domain-relevant mass out of a raw crawl. Each token's weight is the
+    * Laplace-smoothed ratio of its occurrence mass in the TARGET domain
+    * (here: one source) vs the RAW pool (all other sources); a
+    * document's score is the mean weight over its token stream, and
+    * `keep` marks above-baseline target affinity — the resampling
+    * acceptance set. (DSIR proper samples with probability ∝ the
+    * importance weight; the deterministic threshold keeps the oracle
+    * exact while exercising the same weight computation.)
+    *
+    * Bit-exactness: weights are single IEEE divisions of exact integer
+    * counts (+1 smoothing); the per-doc sum folds weights in sorted
+    * token order on BOTH engines (the bm25TopK device), then one final
+    * division by n_tokens. The 55/1024 threshold is dyadic, so the keep
+    * comparison cannot straddle a rounding ulp. Baseline intuition: with
+    * S uniform sources a background token's weight ≈ 1/(S−1) ≈ 0.0526;
+    * this corpus has no source-exclusive vocabulary, so scores spread in
+    * a narrow band around that baseline driven by rare-token smoothing
+    * (measured min/max: 0.0508–0.0678 at sf0.001, 0.0527–0.0603 at
+    * sf0.01, 0.0496–0.0559 at sf0.1). 55/1024 ≈ 0.0537 is the dyadic
+    * point inside ALL three bands, so both verdicts are non-vacuous at
+    * every SF (pinned at sf0.01 in TextAnalysisSpec); on a real mixed
+    * corpus the target's distinctive vocabulary widens the band and the
+    * threshold becomes a genuine domain-affinity cut.
+    *
+    * Scale shape: one vocab-keyed map-side-combinable aggregate (the
+    * weight table), one join back (AQE broadcasts the vocab side when
+    * small; at web scale both sides shuffle on the high-cardinality
+    * `tok`), one per-doc fold over the doc's own tokens — all linear,
+    * the dfScore/bm25 shape. No pairwise anything. */
+  def dsirWeights(s: SparkSession, dir: String, target: String = "src0",
+      threshold: Double = 55.0 / 1024.0): DataFrame = {
+    import s.implicits._
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(toks($"text")).as("tok"))
+    val w = t.groupBy($"tok").agg(
+      ((sum(when($"source" === target, 1L).otherwise(0L)) + 1L)
+        .cast("double") /
+        (sum(when($"source" =!= target, 1L).otherwise(0L)) + 1L)
+          .cast("double")).as("wt"))
+    t.join(w, "tok")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(sort_array(collect_list(struct($"tok", $"wt"))),
+            x => x.getField("wt")),
+          lit(0.0), (acc, x) => acc + x).as("wsum"))
+      .select($"doc_id", $"n_tokens",
+        ($"wsum" / $"n_tokens".cast("double")).as("dsir_score"),
+        ($"wsum" / $"n_tokens".cast("double") >= threshold).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher/C4-style repetition quality filter — the complement of
     * qualityScore's surface stats: repetition is THE dominant failure
     * mode of crawled training text (boilerplate, templated pages, spam),
@@ -550,6 +606,9 @@ object TextAnalysis {
     winnowCache.keys.filter(_._1 eq s).foreach { k =>
       winnowCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    twinClassCache.keys.filter(_._1 eq s).foreach { k =>
+      twinClassCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Token arrays for the shingle path, materialized BEHIND an exchange.
@@ -753,6 +812,48 @@ object TextAnalysis {
     cross.unionByName(intra)
   }
 
+  private val twinClassCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Twin classes of the near-dup pair universe: one row per class of
+    * documents with IDENTICAL (lang, distinct-shingle-set) content —
+    * (rep = min doc_id, lang, csize, survived), where `survived` means
+    * the class has ≥ 1 shingle under the df cap (exactly when the pair
+    * frame gives the class intra edges and cross edges). The pair graph
+    * is by construction the BLOW-UP of its twin quotient — twins have
+    * identical adjacency because Jaccard depends only on class
+    * contents — which is what lets graph analytics that are non-linear
+    * in clique mass (triangles) run on the quotient with closed-form
+    * expansion (GraphQueries.pairTriangles). Session-cached: the class
+    * pass costs one shingle shuffle over the corpus. */
+  def twinClasses(s: SparkSession, dir: String): DataFrame =
+    twinClassCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val d = shingleFrame(shingleTokens(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"key")
+      val keyed = d
+        .withColumn("key", array_sort($"sh"))
+        .withColumn("rep", min($"doc_id").over(w))
+        .withColumn("csize", count(lit(1)).over(w))
+      val reps = keyed.filter($"doc_id" === $"rep")
+      val posts = reps.select($"lang", $"rep", $"csize",
+        explode($"sh").as("shingle"))
+      val hot = posts.groupBy($"lang", $"shingle")
+        .agg(sum($"csize").as("df"))
+        .filter($"df" > 10000)
+        .select($"lang", $"shingle")
+      val surv = posts
+        .join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+        .select($"rep").distinct()
+        .withColumn("survived", lit(true))
+      reps.select($"rep", $"lang", $"csize")
+        .join(surv, Seq("rep"), "left_outer")
+        .select($"rep", $"lang", $"csize",
+          coalesce($"survived", lit(false)).as("survived"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def ngramJaccardPairsOn(tokens: DataFrame, threshold: Double,
       maxDf: Int): DataFrame = {
     val s = tokens.sparkSession
@@ -843,10 +944,31 @@ object TextAnalysis {
       threshold: Double, maxDf: Int): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
+    // same adaptive exact-twin valve as postingPairCounts: the r11 30×
+    // twin-replica decade measured the direct probe at 42× for 30× data
+    // (each batch shingle's index df AND batch df multiply by the dup
+    // factor, so probe mass grows with its square)
+    val probe = tokens
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"lang", $"t"), 0.02).as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
     val d = tokens
       .select($"doc_id", $"lang", isNew.as("is_new"),
         array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
           .as("sh"))
+    if (dupFactor < CollapseDupFactor)
+      ngramJaccardIncrementalDirect(d, threshold, maxDf)
+    else
+      ngramJaccardIncrementalCollapsed(d, threshold, maxDf)
+  }
+
+  /** The direct index-probe form — optimal when exact twins are rare. */
+  private[queries] def ngramJaccardIncrementalDirect(d: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
     val posts = d.select($"lang", $"doc_id", $"is_new",
       explode($"sh").as("shingle"))
     val hot = posts.groupBy($"lang", $"shingle")
@@ -877,6 +999,93 @@ object TextAnalysis {
         ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
           .as("jaccard"))
       .filter($"jaccard" >= threshold)
+  }
+
+  /** The twin-collapsed incremental form: the probe runs rep-level on a
+    * class being "batch" (≥1 new member), then class pairs expand into
+    * exactly the member pairs the direct form emits — pairs touching
+    * ≥1 new doc, canonical a_id < b_id:
+    *  - cross-class (c,d): new_c × all_d  ∪  old_c × new_d (each
+    *    qualifying unordered pair once);
+    *  - intra-class: new × old ∪ new × new (x < y), at the identical
+    *    n/(n+n−n) IEEE division (exactly 1.0) the direct form computes
+    *    for twin pairs, for classes that survive the df cap (n ≥ 1). */
+  private[queries] def ngramJaccardIncrementalCollapsed(d: DataFrame,
+      threshold: Double, maxDf: Int): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val wTwin = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"key")
+    val keyed = d
+      .withColumn("key", array_sort($"sh"))
+      .withColumn("rep", min($"doc_id").over(wTwin))
+      .withColumn("csize", count(lit(1)).over(wTwin))
+      .withColumn("n_new",
+        sum(when($"is_new", 1L).otherwise(0L)).over(wTwin))
+      .drop("key")
+    val memb = keyed.select($"rep", $"doc_id", $"is_new")
+    val reps = keyed.filter($"doc_id" === $"rep")
+      .select($"rep", $"lang", $"sh", $"csize", ($"n_new" >= 1).as("is_batch"))
+
+    val posts = reps.select($"lang", $"rep", $"csize", $"is_batch",
+      explode($"sh").as("shingle"))
+    // df counts DOCUMENTS (Σ class sizes) — cap semantics unchanged
+    val hot = posts.groupBy($"lang", $"shingle")
+      .agg(sum($"csize").as("df"))
+      .filter($"df" > maxDf)
+      .select($"lang", $"shingle")
+    val kept = posts.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+    val sizes = kept.groupBy($"rep").agg(count(lit(1)).as("n"))
+    val batch = kept.filter($"is_batch")
+      .select($"lang".as("b_lang"), $"rep".as("b_rep"),
+        $"shingle".as("b_shingle"))
+    val probed = kept.join(
+      batch.select($"b_lang".as("lang"), $"b_shingle".as("shingle")).distinct(),
+      Seq("lang", "shingle"), "left_semi")
+    val repPairs = probed
+      .join(batch,
+        $"lang" === $"b_lang" && $"shingle" === $"b_shingle" &&
+          (!$"is_batch" || $"rep" < $"b_rep"))
+      .select($"lang",
+        least($"rep", $"b_rep").as("a_rep"),
+        greatest($"rep", $"b_rep").as("b_rep"))
+      .groupBy($"a_rep", $"b_rep", $"lang")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"rep".as("a_rep"), $"n".as("a_n")), "a_rep")
+      .join(sizes.select($"rep".as("b_rep"), $"n".as("b_n")), "b_rep")
+      .select($"a_rep", $"b_rep", $"lang",
+        ($"inter".cast("double") / ($"a_n" + $"b_n" - $"inter").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+
+    val membNew = memb.filter($"is_new")
+    val membOld = memb.filter(!$"is_new")
+    def expand(aSide: DataFrame, bSide: DataFrame): DataFrame = repPairs
+      .join(aSide.select($"rep".as("a_rep"), $"doc_id".as("x")), "a_rep")
+      .join(bSide.select($"rep".as("b_rep"), $"doc_id".as("y")), "b_rep")
+      .select(least($"x", $"y").as("a_id"),
+        greatest($"x", $"y").as("b_id"), $"lang", $"jaccard")
+    val cross = expand(membNew, memb).unionByName(expand(membOld, membNew))
+
+    val intraCls = reps
+      .filter($"csize" >= 2 && $"is_batch")
+      .join(sizes, "rep")
+      .select($"rep", $"lang",
+        ($"n".cast("double") / ($"n" + $"n" - $"n").cast("double"))
+          .as("jaccard"))
+      .filter($"jaccard" >= threshold)
+    val intraNewOld = intraCls
+      .join(membNew.select($"rep", $"doc_id".as("x")), "rep")
+      .join(membOld.select($"rep", $"doc_id".as("y")), "rep")
+      .select(least($"x", $"y").as("a_id"),
+        greatest($"x", $"y").as("b_id"), $"lang", $"jaccard")
+    val intraNewNew = intraCls
+      .join(membNew.select($"rep", $"doc_id".as("x")), "rep")
+      .join(membNew.select($"rep", $"doc_id".as("y")), "rep")
+      .filter($"x" < $"y")
+      .select($"x".as("a_id"), $"y".as("b_id"), $"lang", $"jaccard")
+
+    cross.unionByName(intraNewOld).unionByName(intraNewNew)
   }
 
   /** q_ingest_neardup: incremental dedup of a simulated nightly batch

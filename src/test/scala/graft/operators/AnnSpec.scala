@@ -137,6 +137,42 @@ class AnnSpec extends SparkSpec {
     assert(Ann.ivfTopK(empty, queries, k = 3).count() === 0L)
   }
 
+  test("lshNearDupPairs: twin-collapsed form \u2261 direct form on a " +
+      "twin-heavy corpus, including the weighted maxBucket guard") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.xxhash64
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    // 7 classes of 5 twins each + one singleton (no zero vectors: ANSI
+    // mode turns 0/0 into an error in BOTH forms alike)
+    val base = Seq.tabulate(7)(_ => Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (for {
+      (v, bi) <- base.zipWithIndex
+      c <- 0 until 5
+    } yield ((bi * 100 + c).toLong, v)) :+
+      (9999L, Array.fill(dim)(rng.nextGaussian().toFloat))
+    val df = rows.toDF("id", "vec")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    for (maxBucket <- Seq(10000, 6)) {
+      val direct = run(Ann.lshNearDupPairsDirect(
+        df, 0.2, 24, 4, 42, maxBucket, dim))
+      val collapsed = run(Ann.lshNearDupPairsCollapsed(
+        df, 0.2, 24, 4, 42, maxBucket, dim))
+      assert(collapsed === direct, s"maxBucket=$maxBucket")
+      if (maxBucket == 10000) assert(direct.nonEmpty)
+    }
+    // the public API's probe engages the collapse on this corpus
+    val n = df.count().toDouble
+    val u = df.agg(org.apache.spark.sql.functions
+      .approx_count_distinct(xxhash64($"vec"), 0.02)).head.getLong(0)
+    assert(n / u >= 1.4)
+    assert(run(Ann.lshNearDupPairs(df, 0.2)) ===
+      run(Ann.lshNearDupPairsDirect(df, 0.2, 24, 4, 42, 10000, dim)))
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._

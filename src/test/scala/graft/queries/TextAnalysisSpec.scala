@@ -558,4 +558,90 @@ class TextAnalysisSpec extends SparkSpec {
         assert(r.getString(4) === md5hex(raw(id)), s"doc $id md5")
     }
   }
+
+  test("incremental ingest: twin-collapsed form \u2261 direct form on a " +
+      "twin-heavy corpus (old\u00d7new, new\u00d7new, intra-twin rows)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col, transform, xxhash64}
+    // 5 base docs replicated 6\u00d7 with distinct ids + 2 singletons; batch =
+    // ids \u2261 0 mod 3 (some twins new, some old, mixed within classes)
+    val base = Seq(
+      "a b c d e f g h", "a b c d e f g x", "a b c d e q r s",
+      "m n o p q r s t", "m n o p q r s u")
+    val rows = (for {
+      (t, bi) <- base.zipWithIndex
+      c <- 0 until 6
+    } yield ((bi * 100 + c).toLong, "en", t)) ++
+      Seq((9001L, "en", "z y x w v u t s"), (9002L, "de", "k l m n o p q r"))
+    val tokens = rows.toDF("doc_id", "lang", "text")
+      .select($"doc_id", $"lang", TextAnalysis.toks($"text").as("t"))
+    val d = tokens.select($"doc_id", $"lang",
+      (col("doc_id") % 3 === 0).as("is_new"),
+      array_distinct(transform(TextAnalysis.bigramShingles($"t"),
+        sh => xxhash64(sh))).as("sh"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val direct = run(TextAnalysis.ngramJaccardIncrementalDirect(d, 0.08, 10000))
+    val collapsed = run(TextAnalysis.ngramJaccardIncrementalCollapsed(d, 0.08, 10000))
+    assert(direct.nonEmpty)
+    // non-vacuous on all three row species
+    assert(direct.exists { case (a, b, _, j) => j == 1.0 }, "twin pairs present")
+    assert(direct.exists { case (a, b, _, j) => j < 1.0 }, "cross pairs present")
+    assert(collapsed === direct)
+  }
+
+  test("dsirWeights: scores match a local recompute bit-exactly and the " +
+      "target-exclusive doc is kept") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 1 target doc of exclusive tokens, 3 raw docs: two of raw-only
+    // tokens, one mixed. Weights: target-only tok → (cnt+1)/1; raw-only
+    // tok → 1/(cnt+1).
+    val docs = Seq(
+      (1L, "src0", "alpha beta alpha gamma"),
+      (2L, "srcX", "delta epsilon delta"),
+      (3L, "srcY", "epsilon zeta zeta"),
+      (4L, "srcZ", "alpha delta"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsir-").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.dsirWeights(spark, dir, target = "src0")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // local recompute with the same smoothing and sorted-token fold
+    val toks = docs.map { case (id, src, t) => (id, src, t.split(" ").toSeq) }
+    val vocab = toks.flatMap(_._3).distinct
+    val wt = vocab.map { w =>
+      val tgt = toks.filter(_._2 == "src0").map(_._3.count(_ == w)).sum
+      val raw = toks.filter(_._2 != "src0").map(_._3.count(_ == w)).sum
+      w -> (tgt + 1).toDouble / (raw + 1).toDouble
+    }.toMap
+    toks.foreach { case (id, _, ts) =>
+      val sorted = ts.sorted
+      val s = sorted.foldLeft(0.0)((acc, w) => acc + wt(w))
+      val score = s / ts.size.toDouble
+      val (n, gotScore, keep) = got(id)
+      assert(n === ts.size.toLong, s"doc $id n_tokens")
+      assert(gotScore === score, s"doc $id score bit-exact")
+      assert(keep === (score >= 55.0 / 1024.0), s"doc $id keep")
+    }
+    // the target doc's exclusive tokens weigh (cnt+1)/1 ≥ 2 — far above
+    // any sane threshold (raw-doc drop verdicts need a big corpus where
+    // the baseline ≈ 1/(S−1) bites; pinned on sf0.01 below)
+    assert(got(1L)._3, "target-exclusive doc must be kept")
+  }
+
+  test("dsirWeights: both keep verdicts occur on the real sf0.01 corpus") {
+    val rows = TextAnalysis.dsirWeights(spark, sf("sf0.01")).collect()
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0, "no doc kept — threshold vacuously strict")
+    assert(kept < rows.length, "every doc kept — threshold vacuously loose")
+  }
 }
