@@ -429,11 +429,54 @@ object Extended {
       .select($"doc_id",
         array_distinct(TextAnalysis.bigramShingles($"t")).as("sh"))
       .filter(size($"sh") > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("tf")
-      .setNumFeatures(4096).transform(d)
-    graft.operators.SimilarityJoin
-      .selfJoin(tf, "doc_id", "tf", threshold = 0.5, seed = 42L)
-      .orderBy($"a_id", $"b_id")
+    def selfJoinOf(dd: DataFrame): DataFrame = {
+      val tf = new HashingTF().setInputCol("sh").setOutputCol("tf")
+        .setNumFeatures(4096).transform(dd)
+      graft.operators.SimilarityJoin
+        .selfJoin(tf, "doc_id", "tf", threshold = 0.5, seed = 42L)
+    }
+    // EXACT-TWIN COLLAPSE VALVE (r11; the 50× decade measured this query
+    // at 2.14 s → 185.6 s between sf0.1 and 50× — power ≈ 2.0 between
+    // the 30× and 50× points, a true n² signature): identical shingle
+    // SETS hash to identical HashingTF vectors, hence identical MinHash
+    // signatures, hence co-residence in every LSH bucket — so MLlib's
+    // approxSimilarityJoin exact-verifies every twin pair of every
+    // bucket. The reference-shape selfJoin operator (Q1/Q2 pinned) runs
+    // UNCHANGED on one representative per class; member pairs inherit
+    // the class-pair similarity (identical vectors → identical MLlib
+    // keyDistance), and intra-twin pairs get similarity 1.0 − 0.0 —
+    // exactly what keyDistance returns for identical vectors, which the
+    // direct join always surfaces (twins co-bucket in every table).
+    val probe = d
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64($"sh"), 0.02).as("u"))
+      .head()
+    val dupFactor =
+      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+    val pairs = if (dupFactor < 1.4) selfJoinOf(d)
+    else {
+      val wTwin = Window.partitionBy($"sh")
+      val keyed = d
+        .withColumn("rep", min($"doc_id").over(wTwin))
+        .withColumn("csize", count(lit(1)).over(wTwin))
+      val memb = keyed.select($"rep", $"doc_id")
+      val reps = keyed.filter($"doc_id" === $"rep")
+        .select($"doc_id", $"sh")
+      val repPairs = selfJoinOf(reps)
+      val cross = repPairs
+        .join(memb.select($"rep".as("a_id"), $"doc_id".as("x")), "a_id")
+        .join(memb.select($"rep".as("b_id"), $"doc_id".as("y")), "b_id")
+        .select(least($"x", $"y").as("a_id"),
+          greatest($"x", $"y").as("b_id"), $"similarity")
+      val intra = keyed.filter($"doc_id" === $"rep" && $"csize" >= 2)
+        .select($"rep", (lit(1.0) - lit(0.0)).as("similarity"))
+        .join(memb.select($"rep", $"doc_id".as("x")), "rep")
+        .join(memb.select($"rep", $"doc_id".as("y")), "rep")
+        .filter($"x" < $"y")
+        .select($"x".as("a_id"), $"y".as("b_id"), $"similarity")
+      cross.unionByName(intra)
+    }
+    pairs.orderBy($"a_id", $"b_id")
   }
 
   /** MinHash+LSH banding near-dup (graft-native, no MLlib) over documents.

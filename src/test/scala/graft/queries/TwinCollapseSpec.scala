@@ -98,6 +98,50 @@ class TwinCollapseSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("similarityJoinP2 engages the twin collapse and equals the direct " +
+      "reference-shape MLlib self-join row-for-row") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 4 content classes × 6 twins: the seeded 0.5 sample keeps ~3 per
+    // class (dup factor ≈ 3 → valve engages); classes 0/1 and 2/3 are
+    // mutual near-dups above the 0.5 similarity threshold
+    val texts = Seq(
+      "a b c d e f g h i j k l",
+      "a b c d e f g h i j k m",
+      "p q r s t u v w x y z1 z2",
+      "p q r s t u v w x y z1 z3")
+    val docs = for {
+      (t, ci) <- texts.zipWithIndex
+      c <- 0 until 6
+    } yield ((ci * 10 + c).toLong, t, "en", "srcA", t.length.toLong)
+    val dir = tmp("graft-twin-p2-")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+    val got = rows(Extended.similarityJoinP2(spark, dir))
+    // the direct path, reconstructed exactly (same seeded sample, same
+    // prep, same reference-shape operator)
+    val d = graft.sources.Tables.documents(spark, dir)
+      .sample(0.5, 12345L)
+      .select($"doc_id", TextAnalysis.toks($"text").as("t"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select($"doc_id",
+        array_distinct(TextAnalysis.bigramShingles($"t")).as("sh"))
+      .filter(size($"sh") > 0)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("sh").setOutputCol("tf")
+      .setNumFeatures(4096).transform(d)
+    val direct = rows(graft.operators.SimilarityJoin
+      .selfJoin(tf, "doc_id", "tf", threshold = 0.5, seed = 42L))
+    assert(direct.nonEmpty, "sampled twin corpus must produce pairs")
+    assert(direct.exists(_._3 == 1.0) && direct.exists(_._3 < 1.0),
+      "intra-twin and cross-class pairs must both occur")
+    assert(got === direct)
+  }
+
   test("pairTriangles quotient decomposition ≡ direct wedge count on a " +
       "twin-heavy corpus exercising all three terms") {
     val spark2 = spark
