@@ -59,7 +59,8 @@ object SparkEntry {
     "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
-    "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_embed_stats",
+    "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_mmr_rerank",
+    "q_embed_stats",
     "q_png_stats", "q_jpeg_stats",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
     "q_mjpeg_stats",
@@ -166,6 +167,7 @@ object SparkEntry {
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     // two-stage lexical→semantic rerank over the BM25 candidates
     "q_hybrid_retrieval"  -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
+    "q_mmr_rerank"        -> ((s, d) => TextAnalysis.mmrRerank(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     // per-side containment over the same postings: the quote-inclusion
     // pairs symmetric Jaccard structurally misses
@@ -342,6 +344,58 @@ object SparkEntry {
        |    AS rank,
        |  doc_id, n_terms, score
        |FROM agg ORDER BY score DESC, doc_id ASC LIMIT $limit""".stripMargin
+
+  /** MMR diverse-rerank oracle: 5 unrolled greedy steps over the
+    * BM25-top-20 candidate set (see TextAnalysis.mmrRerank). Each step
+    * re-scores the unselected candidates with
+    * 0.5·rel − 0.5·max(sim to every selected doc) and takes the
+    * (m DESC, doc_id ASC) head — the same arithmetic and tie-break as
+    * the Spark driver loop, so doubles bit-match. */
+  private lazy val mmrSql: String = {
+    def self(a: String) = s"sqrt(${dotSql(s"$a.embedding", s"$a.embedding")})"
+    def simS(a: String, b: String) =
+      s"${dotSql(s"$a.embedding", s"$b.embedding")} / (${self(a)} * ${self(b)})"
+    val head =
+      s"""WITH cand AS (
+         |  SELECT rank, doc_id FROM (${bm25Sql(20)})
+         |), qv AS (
+         |  SELECT embedding AS qe,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_nrm
+         |  FROM embeddings
+         |  WHERE vec_id = (SELECT doc_id FROM cand WHERE rank = 1)
+         |), sc AS (
+         |  SELECT cand.doc_id, e.embedding,
+         |    ${dotSql("qv.qe", "e.embedding")}
+         |      / (qv.q_nrm * sqrt(${dotSql("e.embedding", "e.embedding")}))
+         |      AS rel
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+         |  CROSS JOIN qv
+         |  WHERE cand.rank <> 1
+         |), s1 AS (
+         |  SELECT doc_id, embedding, rel, rel AS m FROM sc
+         |  ORDER BY rel DESC, doc_id ASC LIMIT 1
+         |)""".stripMargin
+    val steps = (2 to 5).map { j =>
+      val sel = (1 until j).map(i => s"s$i")
+      val sims = sel.map(si => simS("c", si))
+      val maxSim = if (sims.size == 1) sims.head
+        else s"greatest(${sims.mkString(", ")})"
+      val notIn = sel.map(si => s"c.doc_id <> $si.doc_id").mkString(" AND ")
+      s""", r$j AS (
+         |  SELECT c.doc_id, c.embedding, c.rel,
+         |    0.5 * c.rel - 0.5 * ($maxSim) AS m
+         |  FROM sc c, ${sel.mkString(", ")}
+         |  WHERE $notIn
+         |), s$j AS (
+         |  SELECT doc_id, embedding, rel, m FROM r$j
+         |  ORDER BY m DESC, doc_id ASC LIMIT 1
+         |)""".stripMargin
+    }.mkString
+    val union = (1 to 5).map(j =>
+      s"SELECT CAST($j AS INT) AS mmr_rank, doc_id, rel, m AS mmr_score FROM s$j")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY mmr_rank")
+    head + steps + union
+  }
 
   /** Exact cosine top-k (query set vec_id < 10, k = 5) — the oracle for
     * BOTH q_cosine_topk (brute force) and q_ivf_recall (IVF at full
@@ -1593,6 +1647,9 @@ object SparkEntry {
          |    AS rerank,
          |  doc_id, bm25_rank, bm25, cosine
          |FROM rr ORDER BY cosine DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // MMR diverse rerank: 5 unrolled greedy steps; λ = 1/2 dyadic.
+    "q_mmr_rerank" -> mmrSql,
 
     "q_embed_stats" ->
       // integer-exact vector reductions: counts, and a ×16 (power of two —

@@ -1352,6 +1352,80 @@ object TextAnalysis {
       .orderBy($"rerank")
   }
 
+  /** MMR diverse rerank (q_mmr_rerank): Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998) over the BM25 candidate set — the
+    * diversity-aware selection production RAG rankers run after
+    * retrieval, so the k context passages aren't k near-copies of one
+    * passage. Greedy: pick argmax rel; then repeatedly pick
+    * argmax [λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)], ties by
+    * doc_id asc. Query vector: the BM25 rank-1 doc's embedding (the
+    * hybridRetrieval convention).
+    *
+    * Scale posture: the distributed work is stage 1 (the bm25TopK
+    * plan) and the candidate vector fetch (one probe join); the greedy
+    * loop runs driver-side on the DRIVER-BOUNDED candidate set (nCand
+    * rows × dim doubles — the same class of driver state as a
+    * collected centroid set), because MMR is inherently sequential in
+    * k over ≤ nCand items.
+    *
+    * The query doc (BM25 rank 1) is the QUERY, not a candidate —
+    * candidates are ranks 2..nCand. With the query doc inside the
+    * candidate set, rel(d) ≡ sim(d, s₁) exactly (s₁ would be the query
+    * doc itself), making every step-2 marginal identically zero at
+    * λ = 1/2 and degenerating selection to id order — measured on the
+    * real corpus before this exclusion.
+    *
+    * Float parity with the unrolled-greedy DuckDB oracle: rel and sim
+    * are the exact in-order-fold cosines list_reduce computes (dot /
+    * (sqrt(selfdot)·sqrt(selfdot)), one division); λ = 1/2 is dyadic,
+    * so the marginal is two exact halvings and one subtraction;
+    * max-over-selected is pure comparison. */
+  def mmrRerank(s: SparkSession, dir: String, nCand: Int = 20,
+      k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val cand = bm25TopK(s, dir, nCand).select($"rank", $"doc_id")
+      .join(emb, $"doc_id" === $"vec_id")
+      .select($"rank", $"doc_id", $"v")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    def dotA(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val out = cand.find(_._1 == 1) match {
+      case None => Seq.empty[(Int, Long, Double, Double)]
+      case Some((_, _, q)) =>
+        val qNrm = math.sqrt(dotA(q, q))
+        // sorted by doc_id: iteration order never affects argmax results
+        // (explicit tie-break below), only makes them reproducible
+        val items = cand.filter(_._1 != 1).sortBy(_._2).map { case (_, id, v) =>
+          (id, v, dotA(q, v) / (qNrm * math.sqrt(dotA(v, v))))
+        }
+        def sim(a: Array[Double], b: Array[Double]): Double =
+          dotA(a, b) / (math.sqrt(dotA(a, a)) * math.sqrt(dotA(b, b)))
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Double, Double)]
+        val selectedVs = scala.collection.mutable.ArrayBuffer
+          .empty[Array[Double]]
+        val remaining = scala.collection.mutable.ArrayBuffer(items: _*)
+        for (rank <- 1 to math.min(k, items.length)) {
+          val scored = remaining.map { case (id, v, rel) =>
+            val m = if (selectedVs.isEmpty) rel
+              else lambda * rel -
+                (1.0 - lambda) * selectedVs.map(sv => sim(v, sv)).max
+            (id, v, rel, m)
+          }
+          val best = scored.minBy { case (id, _, _, m) => (-m, id) }
+          picked += ((rank, best._1, best._3, best._4))
+          selectedVs += best._2
+          remaining --= remaining.filter(_._1 == best._1)
+        }
+        picked.toSeq
+    }
+    out.toDF("mmr_rank", "doc_id", "rel", "mmr_score")
+      .orderBy($"mmr_rank")
+  }
+
   /** Link-prediction candidate featurization — the reference p1 core
     * (double attribute join J1/J2 + feature derivation F1-F3 + label join
     * J3) on the documents table: candidate pairs blocked by source, token

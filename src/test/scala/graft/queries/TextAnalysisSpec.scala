@@ -593,6 +593,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(collapsed === direct)
   }
 
+  test("mmrRerank ≡ independent local greedy MMR (selection, order, and " +
+      "scores bit-exact) and the diversity penalty is non-vacuous") {
+    val dir = sf("sf0.001")
+    val got = TextAnalysis.mmrRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 5)
+    assert(got.map(_._2).distinct.length === 5, "distinct selections")
+    // independent local recompute from raw parquet: same candidate rule
+    // (BM25 rank-1 doc is the query, ranks 2..20 are candidates), same
+    // greedy formulas
+    val bm25 = TextAnalysis.bm25TopK(spark, dir, 20).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val ids = bm25.map(_._2).toSet
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      .filter { case (id, _) => ids.contains(id) }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = vecs(bm25.find(_._1 == 1).get._2)
+    var remaining = bm25.filter(_._1 != 1).map(_._2).sortBy(identity).toList
+    var selected = List.empty[Long]
+    val want = (1 to 5).map { rank =>
+      val scored = remaining.map { id =>
+        val rel = cos(q, vecs(id))
+        val m = if (selected.isEmpty) rel
+          else 0.5 * rel - 0.5 * selected.map(s => cos(vecs(id), vecs(s))).max
+        (id, rel, m)
+      }
+      val best = scored.minBy { case (id, _, m) => (-m, id) }
+      selected = selected :+ best._1
+      remaining = remaining.filterNot(_ == best._1)
+      (rank, best._1, best._2, best._3)
+    }
+    assert(got.toSeq === want)
+    // non-vacuity: at least one selection's marginal differs from its
+    // rel (the diversity penalty actually moved a score)
+    assert(want.exists { case (rank, _, rel, m) => rank > 1 && m != rel })
+  }
+
   test("dsirWeights: scores match a local recompute bit-exactly and the " +
       "target-exclusive doc is kept") {
     val spark2 = spark
