@@ -51,7 +51,14 @@ object GraphQueries {
     * any duplication factor. (c,d) ∈ E_Q implies both classes survived
     * (a pair needs a common kept shingle), so only the first term
     * filters on `survived`. The DuckDB oracle keeps the enumerating
-    * blown-up definition — the bit-match PROVES the decomposition. */
+    * blown-up definition — the bit-match PROVES the decomposition.
+    *
+    * Deliberately NOT gated on a dup-factor probe (unlike the collapse
+    * valves): on the dup-light driver corpus the twinClasses pass costs
+    * ~1.8 s over the direct wedge join at sf0.1, and that price buys
+    * the ORACLE exercising the decomposition every round — a gate would
+    * route the driver SFs to the direct path and demote the quotient
+    * proof to spec-only (TwinCollapseSpec). */
   def pairTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cls = TextAnalysis.twinClasses(s, dir)
