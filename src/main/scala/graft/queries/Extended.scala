@@ -655,6 +655,25 @@ object Extended {
     // L-BFGS sweep scale with the kept blocks, while remaining an
     // end-to-end run over real blocks. The quality floor is pinned by
     // ExtendedSpec (best F1 > 0.5 at sf0.001 under this same trim).
+    // LOUD pair-volume gate (r11, the q_pair_kcore depth-gate
+    // convention): the blocked self-join is quadratic in block size BY
+    // REFERENCE CONSTRUCTION, and at the 30× twin decade its ~900× pair
+    // mass filled the machine's ~66 GB spill volume (disk-full at 342 s,
+    // SCALE_r11.md) — destabilizing neighboring queries. Estimate
+    // Σ C(block, 2) over the kept source blocks with one cheap count and
+    // fail fast, naming the remedy, instead of crashing the JVM's disk.
+    // 1e8 pairs ≈ what the spill budget comfortably holds; the r8 10×
+    // point (~22M pairs) stays well inside it.
+    val pairMass = Tables.documents(s, dir)
+      .filter(pmod(xxhash64($"source"), lit(3)) === 0)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum($"n" * ($"n" - 1)), lit(0L)))
+      .head.getLong(0) / 2
+    require(pairMass <= 100000000L,
+      s"linkpredE2e: blocked candidate volume $pairMass pairs exceeds the " +
+        "1e8 budget — the reference p1 shape enumerates Σ block² pairs by " +
+        "construction; at this scale use q_linkpred_ann_e2e (ANN-candidate " +
+        "production path) instead")
     val pairs = TextAnalysis.linkpredPairsUnsorted(s, dir)
       .filter(pmod(xxhash64($"source"), lit(3)) === 0)
       .repartition(s.sparkContext.defaultParallelism)
