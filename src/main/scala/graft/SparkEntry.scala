@@ -265,7 +265,8 @@ object SparkEntry {
   //   aggregate with 0.0 init), epoch_us, json_extract_string, md5.
 
   // shared CTE: per-document distinct bigram-shingle sets with the SAME
-  // per-(lang, shingle) document-frequency cap (df ≤ 10000) the Spark
+  // per-(lang, shingle) document-frequency cap (TextAnalysis.NearDupMaxDf,
+  // the ONE shared constant — ADVICE r11) the Spark
   // side applies (TextAnalysis.postingPairCounts maxDf) — mirrored here
   // so the bit-match holds by construction even on a corpus where the
   // cap binds (ADVICE r10; it is a measured no-op on the testdata — max
@@ -273,7 +274,7 @@ object SparkEntry {
   // `d`; they can never pass any overlap threshold, so the pair results
   // are unchanged. Ends with `d(doc_id, lang, sh)`.
   private val cappedShingleCte =
-    """d0 AS (
+    s"""d0 AS (
       |  SELECT doc_id, lang,
       |    list_distinct(CASE WHEN len(string_split(text, ' ')) < 2 THEN CAST([] AS VARCHAR[])
       |      ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
@@ -282,7 +283,7 @@ object SparkEntry {
       |), dk AS (
       |  SELECT doc_id, lang, shingle
       |  FROM (SELECT doc_id, lang, unnest(sh0) AS shingle FROM d0)
-      |  QUALIFY count(*) OVER (PARTITION BY lang, shingle) <= 10000
+      |  QUALIFY count(*) OVER (PARTITION BY lang, shingle) <= ${TextAnalysis.NearDupMaxDf}
       |), d AS (
       |  SELECT doc_id, lang, list(shingle) AS sh FROM dk GROUP BY doc_id, lang
       |)""".stripMargin

@@ -234,12 +234,9 @@ object Ann {
     // factor and the Σ bucket² candidate join by its square). One cheap
     // linear probe estimates the exact-duplication factor; dup-light
     // corpora (the common case) keep the direct form and its plan.
-    val probe = corpus
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"vec"), 0.02).as("u"))
-      .head()
-    val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+    // Probe memoized per session (DupProbe, r12): q_lsh_neardup and
+    // q_lsh_recall share one pass over the same corpus frame.
+    val dupFactor = DupProbe.dupFactor(corpus, $"vec")
     if (dupFactor < CollapseDupFactor)
       lshNearDupPairsDirect(corpus, threshold, nTables, nBits, seed,
         maxBucket, dim)
@@ -249,9 +246,9 @@ object Ann {
   }
 
   /** Duplication factor above which lshNearDupPairs collapses exact
-    * vector twins before bucketing — same rationale and value as
-    * TextAnalysis.CollapseDupFactor. */
-  private val CollapseDupFactor = 1.4
+    * vector twins before bucketing — the family-wide constant
+    * (DupProbe.CollapseDupFactor). */
+  private def CollapseDupFactor = DupProbe.CollapseDupFactor
 
   /** The direct bucket self-join — optimal when exact twins are rare. */
   private[operators] def lshNearDupPairsDirect(corpus: DataFrame,

@@ -121,13 +121,9 @@ object Embeddings {
     import s.implicits._
     val raw = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", $"embedding")
-    val probe = raw
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"label", $"embedding"), 0.02)
-          .as("u"))
-      .head()
+    // probe memoized per session (operators.DupProbe, r12)
     val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+      graft.operators.DupProbe.dupFactor(raw, $"label", $"embedding")
 
     def pairsOf(src: DataFrame): DataFrame = {
       val e = src.select($"vec_id", $"label", asDouble($"embedding").as("v"))
@@ -145,7 +141,7 @@ object Embeddings {
         .filter($"cosine" >= threshold)
     }
 
-    if (dupFactor < 1.4) pairsOf(raw)
+    if (dupFactor < graft.operators.DupProbe.CollapseDupFactor) pairsOf(raw)
     else {
       val wTwin = Window.partitionBy($"label", $"embedding")
       val keyed = raw

@@ -366,14 +366,11 @@ object Extended {
     // blocked join runs rep-level, and member pairs inherit the
     // class-pair values; intra pairs evaluate the SAME expressions on
     // (t, t) — bit-identical to the direct form. Dup-light corpora keep
-    // the direct plan.
-    val probe = d0
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"source", $"t"), 0.02).as("u"))
-      .head()
+    // the direct plan. Probe memoized per session (operators.DupProbe).
     val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
-    val pairs = if (dupFactor < 1.4) pairsOf(d0)
+      graft.operators.DupProbe.dupFactor(d0, $"source", $"t")
+    val pairs =
+      if (dupFactor < graft.operators.DupProbe.CollapseDupFactor) pairsOf(d0)
     else {
       val wTwin = Window.partitionBy($"source", $"t")
       val keyed = d0
@@ -447,13 +444,10 @@ object Extended {
     // keyDistance), and intra-twin pairs get similarity 1.0 − 0.0 —
     // exactly what keyDistance returns for identical vectors, which the
     // direct join always surfaces (twins co-bucket in every table).
-    val probe = d
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"sh"), 0.02).as("u"))
-      .head()
-    val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
-    val pairs = if (dupFactor < 1.4) selfJoinOf(d)
+    val dupFactor = graft.operators.DupProbe.dupFactor(d, $"sh")
+    val pairs =
+      if (dupFactor < graft.operators.DupProbe.CollapseDupFactor)
+        selfJoinOf(d)
     else {
       val wTwin = Window.partitionBy($"sh")
       val keyed = d
@@ -664,13 +658,18 @@ object Extended {
     // fail fast, naming the remedy, instead of crashing the JVM's disk.
     // 1e8 pairs ≈ what the spill budget comfortably holds; the r8 10×
     // point (~22M pairs) stays well inside it.
+    // per-block product in DOUBLE (ADVICE r11): a block past ~3.04e9 docs
+    // overflows n*(n-1) in Long and can wrap NEGATIVE, silently passing
+    // the very budget this gate enforces — double loses ulps at that
+    // magnitude but can never wrap, so the gate fails CLOSED at any scale
     val pairMass = Tables.documents(s, dir)
       .filter(pmod(xxhash64($"source"), lit(3)) === 0)
       .groupBy($"source").agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum($"n" * ($"n" - 1)), lit(0L)))
-      .head.getLong(0) / 2
-    require(pairMass <= 100000000L,
-      s"linkpredE2e: blocked candidate volume $pairMass pairs exceeds the " +
+      .agg(coalesce(
+        sum($"n".cast("double") * ($"n" - 1).cast("double")), lit(0.0)))
+      .head.getDouble(0) / 2.0
+    require(pairMass <= 1e8,
+      s"linkpredE2e: blocked candidate volume ${pairMass.toLong} pairs exceeds the " +
         "1e8 budget — the reference p1 shape enumerates Σ block² pairs by " +
         "construction; at this scale use q_linkpred_ann_e2e (ANN-candidate " +
         "production path) instead")

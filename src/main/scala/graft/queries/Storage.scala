@@ -246,15 +246,27 @@ object Storage {
     // driver-side atomic publish: write hidden (source-ignored), then
     // rename into visibility — the file source never sees a half file.
     // µs epochs as JSON longs round-trip exactly (no timestamp parsing).
+    // Replay order: the file source sorts by mtime, and the watermark
+    // advances per micro-batch, so the sentinel file MUST sort strictly
+    // after every data batch or its max-ts rows drag the watermark past
+    // the later events (dropped as late → wrong sessions). A sleep-based
+    // gap (the pre-r12 form) breaks on filesystems with coarse mtime
+    // granularity (ADVICE r11); set strictly increasing mtimes EXPLICITLY
+    // instead — 10 s apart so even second-truncating stores preserve the
+    // order, anchored in the past so real clock time never interleaves.
+    val publishSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+    val mtimeBase = (System.currentTimeMillis() / 1000L) * 1000L - 3600000L
     def publish(name: String, batch: Seq[(Long, Long)]): Unit = {
       val tmp = java.nio.file.Paths.get(land, s".$name.tmp")
       java.nio.file.Files.write(tmp, batch
         .map { case (u, t) => s"""{"user_id":$u,"ts_us":$t}""" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(land, s"$name.json"),
+      val dst = java.nio.file.Paths.get(land, s"$name.json")
+      java.nio.file.Files.move(tmp, dst,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Thread.sleep(10) // distinct mtimes: the source replays in file order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          mtimeBase + publishSeq.getAndIncrement() * 10000L))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",

@@ -567,13 +567,22 @@ object TextAnalysis {
         // doubles are the very values the direct plan would compare.
         scoredNearDupPairs(s, dir).filter($"jaccard" >= threshold)
       else
-        ngramJaccardPairsOn(shingleTokens(s, dir), threshold, maxDf = 10000)
+        ngramJaccardPairsOn(shingleTokens(s, dir), threshold,
+          maxDf = NearDupMaxDf)
     pairs.orderBy($"a_id", $"b_id")
   }
 
   /** Base threshold of the shared scored-pair frame: the loosest any
     * consumer (GraphQueries.pairGraph) asks for. */
   val BaseNearDupThreshold = 0.08
+
+  /** The per-(lang, shingle) document-frequency cap of the near-dup pair
+    * universe. ONE constant by design (ADVICE r11): the pair frame
+    * (scoredNearDupPairs), the twin quotient (twinClasses.`survived`) and
+    * the DuckDB oracle CTE (SparkEntry.cappedShingleCte) must all cap at
+    * the SAME df or pairTriangles' quotient expansion silently diverges
+    * from the pair frame it decomposes. */
+  val NearDupMaxDf = 10000
 
   private val nearDupCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -590,7 +599,7 @@ object TextAnalysis {
   def scoredNearDupPairs(s: SparkSession, dir: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, dir),
       ngramJaccardPairsOn(shingleTokens(s, dir), BaseNearDupThreshold,
-          maxDf = 10000)
+          maxDf = NearDupMaxDf)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Drop this session's materialized pair frames — call when a `dir` is
@@ -659,9 +668,9 @@ object TextAnalysis {
     * (P ≈ 10⁻¹³ over this corpus) — same determinism argument as the
     * minhash signature path; the string-level oracles still bit-match. */
   /** Duplication factor above which postingPairCounts switches to the
-    * twin-collapsed form: the collapse pays for its extra shuffle +
-    * expansion once the direct form's probe mass (∝ dup²) exceeds ~2×. */
-  private val CollapseDupFactor = 1.4
+    * twin-collapsed form — the family-wide constant lives with the
+    * family-wide probe (operators.DupProbe, r12). */
+  private def CollapseDupFactor = graft.operators.DupProbe.CollapseDupFactor
 
   /** (doc_id, lang, distinct hashed shingle set) — the input both
     * pairwise forms share. */
@@ -691,13 +700,10 @@ object TextAnalysis {
     // only affects COST — both branches produce IDENTICAL rows, so the
     // oracle hash never depends on it.) A dup-light corpus (the common
     // case — and where the collapse's extra wide shuffle costs 3-5×)
-    // keeps the direct form.
-    val probe = tokens
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"lang", $"t"), 0.02).as("u"))
-      .head()
+    // keeps the direct form. Memoized (DupProbe, r12): the near-dup
+    // family shares one probe pass per session instead of one per query.
     val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+      graft.operators.DupProbe.dupFactor(tokens, $"lang", $"t")
     if (dupFactor < CollapseDupFactor) postingPairCountsDirect(d, maxDf)
     else postingPairCountsCollapsed(d, maxDf)
   }
@@ -841,7 +847,7 @@ object TextAnalysis {
         explode($"sh").as("shingle"))
       val hot = posts.groupBy($"lang", $"shingle")
         .agg(sum($"csize").as("df"))
-        .filter($"df" > 10000)
+        .filter($"df" > NearDupMaxDf)
         .select($"lang", $"shingle")
       val surv = posts
         .join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
@@ -875,7 +881,7 @@ object TextAnalysis {
     * Jaccard sits below the q_ngram_jaccard threshold are flagged
     * `quote_inclusion`: exactly the pairs the Jaccard tier misses. */
   def containmentPairs(s: SparkSession, dir: String,
-      threshold: Double = 0.4, maxDf: Int = 10000): DataFrame =
+      threshold: Double = 0.4, maxDf: Int = NearDupMaxDf): DataFrame =
     containmentPairsOn(shingleTokens(s, dir), threshold, maxDf)
 
   /** containmentPairs on an arbitrary (doc_id, lang, t) tokens frame. */
@@ -947,13 +953,10 @@ object TextAnalysis {
     // same adaptive exact-twin valve as postingPairCounts: the r11 30×
     // twin-replica decade measured the direct probe at 42× for 30× data
     // (each batch shingle's index df AND batch df multiply by the dup
-    // factor, so probe mass grows with its square)
-    val probe = tokens
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64($"lang", $"t"), 0.02).as("u"))
-      .head()
+    // factor, so probe mass grows with its square). Same (frame, key) as
+    // postingPairCounts' probe → the DupProbe memo shares ONE pass.
     val dupFactor =
-      probe.getLong(0).toDouble / math.max(1L, probe.getLong(1)).toDouble
+      graft.operators.DupProbe.dupFactor(tokens, $"lang", $"t")
     val d = tokens
       .select($"doc_id", $"lang", isNew.as("is_new"),
         array_distinct(transform(bigramShingles($"t"), sh => xxhash64(sh)))
@@ -1096,7 +1099,7 @@ object TextAnalysis {
       threshold: Double = 0.08): DataFrame = {
     import s.implicits._
     ngramJaccardIncrementalOn(shingleTokens(s, dir),
-        col("doc_id") % 10 === 7, threshold, maxDf = 10000)
+        col("doc_id") % 10 === 7, threshold, maxDf = NearDupMaxDf)
       .orderBy($"a_id", $"b_id")
   }
 

@@ -50,4 +50,43 @@ class RelationalOpsSpec extends SparkSpec {
     // the k-bound bites somewhere (a nation with >2 BUILDING customers)
     assert(cust.groupBy(_._1).exists(_._2.length > 2))
   }
+
+  test("nullsafeJoin closed forms ≡ enumerated pair join (n_left = n − 1)") {
+    // The q_nullsafe_join rewrite (r10) replaces the enumerating per-tier
+    // self-join with closed forms: n_pairs = n(n−1) div 2 and — the form
+    // this test pins (VERDICT r10 #7) — n_left = n − 1, i.e. every key of
+    // an n-key tier except its maximum appears at least once as the left
+    // side of an a < b pair. Synthetic tier table with the two edge
+    // shapes the algebra must survive: a NULL tier (matched to itself
+    // only through <=>) and a 1-row tier (no pair, no row at all).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq( // (custkey, tier): NULL×3, 10×4, 20×1, 30×2
+      (1L, Option.empty[Long]), (2L, None), (3L, None),
+      (4L, Some(10L)), (5L, Some(10L)), (6L, Some(10L)), (7L, Some(10L)),
+      (8L, Some(20L)),
+      (9L, Some(30L)), (10L, Some(30L)))
+    val t = rows.toDF("k", "tier")
+    // enumerated (defining) form: a<b pairs within a <=>-matched tier
+    val enumerated = t.as("a")
+      .join(t.as("b"), $"a.tier" <=> $"b.tier" && $"a.k" < $"b.k")
+      .groupBy($"a.tier".as("tier"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"a.k").as("n_left"))
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+    // closed form, exactly the production rewrite's arithmetic
+    val closed = t.groupBy($"tier").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2)
+      .select($"tier", expr("(n * (n - 1)) div 2").as("n_pairs"),
+        ($"n" - 1).as("n_left"))
+      .collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(closed === enumerated)
+    // non-vacuous: the NULL tier produced pairs; the 1-row tier is absent
+    assert(closed.exists(_._1.isEmpty))
+    assert(!closed.exists(_._1.contains(20L)))
+    assert(closed === Set(
+      (None, 3L, 2L), (Some(10L), 6L, 3L), (Some(30L), 1L, 1L)))
+  }
 }
