@@ -420,8 +420,16 @@ object SparkEntry {
        |ORDER BY q_id, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * All entries are static literals except q_bpe_tokens, whose oracle
+    * embeds the corpus-learned merge ranks — Verify calls
+    * TextAnalysis.prepareBpeOracle(dir) before dumping, and the entry is
+    * simply absent (rows-only fallback) if that pre-learn didn't run. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry
+
+  private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full
     // group-by, so the hash match proves refresh == recompute.
     "q_mv_refresh" ->

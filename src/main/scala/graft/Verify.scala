@@ -52,6 +52,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The ONE dynamic oracle: q_bpe_tokens embeds the corpus-learned
+    // merge ranks as a literal table, so they must be learned BEFORE the
+    // dump. One histogram collect + a driver loop (~seconds); guarded so
+    // a failure here costs only that entry (rows-only fallback), never
+    // the dump-first contract below.
+    try graft.queries.TextAnalysis.prepareBpeOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] bpe oracle pre-learn failed: " +
+        e.toString.take(200))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -96,4 +96,29 @@ class BpeSpec extends SparkSpec {
       assert(toks >= words)
     }
   }
+
+  test("bpe oracle builder: literal ranks table, escaping, fallbacks") {
+    import graft.operators.Bpe.{Merge, Model}
+    // a representable model → SQL embedding every (left, right, rank)
+    val sql = TextAnalysis
+      .buildBpeOracleSql(Model(Seq(Merge("a", "b", 0), Merge("ab", "c", 1))))
+      .getOrElse(fail("representable model must yield an oracle"))
+    assert(sql.contains("('a','b',0), ('ab','c',1)"))
+    assert(sql.contains("GROUP BY source ORDER BY source"))
+    // single quotes in symbols are SQL-escaped by doubling
+    val quoted = TextAnalysis
+      .buildBpeOracleSql(Model(Seq(Merge("a'b", "c", 0)))).get
+    assert(quoted.contains("('a''b','c',0)"))
+    // unrepresentable models fall back to rows-only (None): no merges,
+    // or a symbol containing a control char (the chr(31) map-key
+    // separator lives in that range, so this also guards key collisions)
+    assert(TextAnalysis.buildBpeOracleSql(Model(Nil)).isEmpty)
+    assert(TextAnalysis
+      .buildBpeOracleSql(Model(Seq(Merge("a\u001f", "b", 0)))).isEmpty)
+    // prepareBpeOracle exposes the entry under the query's name
+    TextAnalysis.prepareBpeOracle(spark, sf("sf0.001"))
+    val entry = TextAnalysis.bpeOracleSqlEntry
+    assert(entry.keySet === Set("q_bpe_tokens"))
+    assert(entry("q_bpe_tokens").contains("WITH RECURSIVE"))
+  }
 }
