@@ -39,15 +39,21 @@ object TuneValve {
     val n = base.count()
     val dim = base.select(size($"vec")).head().getInt(0)
 
+    // replica id offset derived from the real id range — base ids need
+    // not be dense from 0 or bounded, and replica ids can never collide
+    val offset = base.agg(max($"id").cast("long")).head().getLong(0) + 1L
+
     def corpusAt(d: Double) = {
       val full = math.floor(d - 1.0 + 1e-9).toInt
-      val frac = ((d - 1.0 - full) * n).toLong
+      val frac = ((d - 1.0 - full) * n).toInt
       var c = base
       for (k <- 1 to full)
-        c = c.unionByName(base.select(($"id" + k * 10000000L).as("id"), $"vec"))
+        c = c.unionByName(base.select(($"id" + k * offset).as("id"), $"vec"))
       if (frac > 0)
-        c = c.unionByName(base.filter($"id" < frac)
-          .select(($"id" + (full + 1) * 10000000L).as("id"), $"vec"))
+        // deterministic fractional replica: the first `frac` ids in order,
+        // independent of how dense or where the id range starts
+        c = c.unionByName(base.orderBy($"id").limit(frac)
+          .select(($"id" + (full + 1) * offset).as("id"), $"vec"))
       c
     }
 

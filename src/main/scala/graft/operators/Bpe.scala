@@ -50,9 +50,20 @@ object Bpe {
       merges.map(m => (m.left, m.right) -> m.rank).toMap
   }
 
-  /** Split a word into initial symbols: one per codepoint, plus `</w>`. */
-  def initialSymbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** Split a word into initial symbols: one per codepoint, plus `</w>`.
+    * Iterates CODEPOINTS, not UTF-16 chars, so a supplementary character
+    * (surrogate pair) is one symbol — matching DuckDB's per-codepoint
+    * `w[i:i]` in the q_bpe_tokens replay oracle. */
+  def initialSymbols(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (b += EndOfWord).result()
+  }
 
   /** Apply learned merges to one word (greedy lowest-rank-first — the
     * standard BPE encode): repeatedly fuse the adjacent pair with the

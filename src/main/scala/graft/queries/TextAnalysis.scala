@@ -1535,9 +1535,12 @@ object TextAnalysis {
         sum($"n_words").as("total_words"),
         sum($"n_cp").as("total_codepoints"),
         sum($"n_tokens").as("total_tokens"))
-      // tokens per 100 codepoints, integer so reruns bit-match
+      // tokens per 100 codepoints, integer so reruns bit-match; the
+      // nullif keeps an all-whitespace source NULL on both sides
+      // instead of a div-by-zero (Spark) vs NaN-cast error (DuckDB)
       .withColumn("tokens_per_100cp",
-        (lit(100) * $"total_tokens" / $"total_codepoints").cast("long"))
+        (lit(100) * $"total_tokens" /
+          nullif($"total_codepoints", lit(0L))).cast("long"))
       .orderBy($"source")
   }
 
@@ -1556,6 +1559,11 @@ object TextAnalysis {
     * the corpus, so the ranks Verify embeds are exactly the ranks the
     * q_bpe_tokens run will use (the bpeModels memo shares the instance). */
   def prepareBpeOracle(s: SparkSession, dir: String): Unit = {
+    // Clear first: if learn/build throws below, a previous corpus's
+    // oracle must not survive in this global — Verify catches and
+    // continues, and a stale entry would dump a wrong-corpus oracle
+    // instead of the documented rows-only fallback.
+    bpeOracle = None
     val model = bpeModels.getOrElseUpdate((s, dir),
       graft.operators.Bpe.learn(Tables.documents(s, dir), "text",
         vocabSize = 200))
@@ -1633,7 +1641,8 @@ object TextAnalysis {
         |  CAST(sum(n_cp) AS BIGINT) AS total_codepoints,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(trunc(CAST(100 * CAST(sum(n_tokens) AS BIGINT) AS DOUBLE)
-        |    / CAST(sum(n_cp) AS DOUBLE)) AS BIGINT) AS tokens_per_100cp
+        |    / CAST(NULLIF(sum(n_cp), 0) AS DOUBLE)) AS BIGINT)
+        |    AS tokens_per_100cp
         |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
     }
   }

@@ -121,4 +121,17 @@ class BpeSpec extends SparkSpec {
     assert(entry.keySet === Set("q_bpe_tokens"))
     assert(entry("q_bpe_tokens").contains("WITH RECURSIVE"))
   }
+
+  test("initialSymbols iterates codepoints: one symbol per astral char") {
+    import graft.operators.Bpe
+    // U+1D538 (𝔸) is a surrogate pair in UTF-16; the DuckDB replay
+    // oracle slices per codepoint, so the Spark side must too
+    val astral = new String(Character.toChars(0x1D538))
+    assert(Bpe.initialSymbols(s"a${astral}b") ===
+      Vector("a", astral, "b", Bpe.EndOfWord))
+    // and the encode/decode roundtrip is unharmed by the grouping
+    val m = Bpe.Model(Nil)
+    assert(Bpe.encodeWord(s"a${astral}b", m).mkString("")
+      .stripSuffix(Bpe.EndOfWord) === s"a${astral}b")
+  }
 }
