@@ -173,6 +173,42 @@ class AnnSpec extends SparkSpec {
       run(Ann.lshNearDupPairsDirect(df, 0.2, 24, 4, 42, 10000, dim)))
   }
 
+  test("lshTopK: twin-collapsed form ≡ direct form on a twin-heavy " +
+      "corpus, including queries that are themselves corpus twins") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    // 6 classes of 8 twins (well past k+1 = 4, so the member cap is
+    // load-bearing) + 3 singletons; queries = 4 corpus rows, two of them
+    // members of twin classes (the id ≠ q_id exclusion must surface the
+    // (k+1)-th class member)
+    val base = Seq.tabulate(6)(_ => Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (for {
+      (v, bi) <- base.zipWithIndex
+      c <- 0 until 8
+    } yield ((bi * 100 + c).toLong, v)) ++ Seq.tabulate(3)(i =>
+      (9000L + i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "vec")
+    val q = df.filter($"id".isin(0L, 100L, 9000L, 9001L))
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(p => (p._1, p._4)).toSeq
+    for (k <- Seq(3, 5)) {
+      val direct = run(Ann.lshTopKDirect(df, q, k, 8, 4, 42, dim))
+      val collapsed = run(Ann.lshTopKCollapsed(df, q, k, 8, 4, 42, dim))
+      assert(collapsed === direct, s"k=$k")
+      assert(direct.nonEmpty)
+      // the twin classes actually dominate the top-k (ties broken by id)
+      assert(direct.exists(_._3 > 0.999), s"k=$k twin neighbors present")
+    }
+    // the public API's probe engages the collapse on this corpus
+    assert(DupProbe.dupFactor(df, $"vec") >= DupProbe.CollapseDupFactor)
+    assert(run(Ann.lshTopK(df, q, 5, 8, 4, 42)) ===
+      run(Ann.lshTopKDirect(df, q, 5, 8, 4, 42, dim)))
+  }
+
   test("signature is deterministic and identical for identical vectors") {
     val spark2 = spark
     import spark2.implicits._
