@@ -209,9 +209,11 @@ object SparkEntry {
     "q_mjpeg_stats"       -> ((s, _) => graft.multimodal.Multimodal.mjpegStats(s)),
     // learned-BPE tokenizer (operators/Bpe.scala): roundtrip is the
     // oracle gate (lossless detokenization, DuckDB recomputes the
-    // normalized text independently); token totals are rows-only
+    // normalized text independently); token totals replay the learned
+    // merges in DuckDB (r12 — see TextAnalysis.prepareBpeOracle)
     "q_bpe_roundtrip"     -> (TextAnalysis.bpeRoundtrip(_, _)),
     "q_bpe_tokens"        -> (TextAnalysis.bpeTokens(_, _)),
+    // sign-LSH near-dup: oracle replays the seeded hyperplanes (r13)
     "q_lsh_neardup"       -> ((s, d) => Embeddings.cosineNearDupLsh(s, d)),
     "q_embed_centroids"   -> (Embeddings.centroids(_, _)),
     "q_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
@@ -221,7 +223,9 @@ object SparkEntry {
     "q_json_typed"        -> (Extended.jsonTyped(_, _)),
     "q_event_windows"     -> (Extended.eventWindows(_, _)),
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
-    // wave 2: library operators, rows-only (no SQL oracle by design)
+    // wave 2: library operators, mostly rows-only (sketches/sampling/
+    // MinHash-hash internals have no SQL oracle by design; q_lsh_topk
+    // got its hyperplane-replay oracle in r13)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
@@ -419,15 +423,108 @@ object SparkEntry {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Sign-LSH replay oracle device (r13 — the q_bpe_tokens merge-replay
+    * idea applied to vectors): the hyperplanes are pure functions of
+    * (seed, table, bit), so the ENTIRE sign-LSH pipeline — signatures,
+    * bucket joins, the exact cosine re-rank — is independently
+    * recomputable in DuckDB with the ±1 hyperplanes embedded as literal
+    * arrays and the same strict in-order dot fold as dotSql (the
+    * DotProduct expression's pinned numeric contract). This flips
+    * q_lsh_topk and q_lsh_neardup from rows-only to hash-checked.
+    * `dim` is pinned to the driver corpus's 64 — the Spark side reads
+    * it from the data; a generator dim change fails this oracle loudly
+    * rather than silently weakening the check. */
+  private val LshOracleDim = 64
+
+  /** In-order signed sum `Σ ±embedding[i]` for hyperplane (table, bit). */
+  private def hplaneDotSql(table: Int, bit: Int, col: String): String = {
+    val h = graft.operators.Ann.hyperplane(table, bit, LshOracleDim, 42)
+    val lit = h.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"list_reduce(list_transform(generate_series(1, $LshOracleDim), " +
+      s"i -> CAST($col[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
+  }
+
+  /** One table's nBits-bit bucket id: bit b set iff dot ≥ 0 (the OR of
+    * disjoint power-of-two terms is a plain sum). */
+  private def lshBucketSql(table: Int, nBits: Int, col: String): String =
+    (0 until nBits).map(b =>
+      s"(CASE WHEN ${hplaneDotSql(table, b, col)} >= 0 " +
+        s"THEN ${1L << b} ELSE 0 END)").mkString("(", " + ", ")")
+
+  /** (vec_id, tbl, bucket) over all tables — one UNION ALL arm per
+    * table, mirroring the Spark side's explode over signLshBuckets. */
+  private def lshSigSql(nTables: Int, nBits: Int): String =
+    (0 until nTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, " +
+        s"${lshBucketSql(t, nBits, "embedding")} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+
+  /** q_lsh_topk replay: 16 tables × 6 bits, queries vec_id < 10, k = 5
+    * (Extended.lshTopK's pinned parameters). */
+  private lazy val lshTopKSql: String =
+    s"""WITH sig AS (
+       |  ${lshSigSql(nTables = 16, nBits = 6)}
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS id
+       |  FROM sig c JOIN sig q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+       |), pairs AS (
+       |  SELECT cand.q_id, cand.id,
+       |    ${dotSql("qe.embedding", "ce.embedding")}
+       |      / (sqrt(${dotSql("qe.embedding", "qe.embedding")})
+       |         * sqrt(${dotSql("ce.embedding", "ce.embedding")})) AS cosine
+       |  FROM cand
+       |  JOIN embeddings ce ON ce.vec_id = cand.id
+       |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |), ranked AS (
+       |  SELECT q_id, id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, id, cosine, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** q_lsh_neardup replay: 32 tables × 4 bits, threshold 0.35, the
+    * maxBucket 10000 guard as a windowed per-(tbl, bucket) count filter
+    * (Embeddings.cosineNearDupLsh's pinned parameters). */
+  private lazy val lshNearDupSql: String =
+    s"""WITH sig AS (
+       |  ${lshSigSql(nTables = 32, nBits = 4)}
+       |), kept AS (
+       |  SELECT vec_id, tbl, bucket FROM (
+       |    SELECT vec_id, tbl, bucket,
+       |      count(*) OVER (PARTITION BY tbl, bucket) AS n
+       |    FROM sig)
+       |  WHERE n <= 10000
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM kept a JOIN kept b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |)
+       |SELECT cand.a_id, cand.b_id,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM cand JOIN e a ON a.vec_id = cand.a_id
+       |          JOIN e b ON b.vec_id = cand.b_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * All entries are static literals except q_bpe_tokens, whose oracle
-    * embeds the corpus-learned merge ranks — Verify calls
-    * TextAnalysis.prepareBpeOracle(dir) before dumping, and the entry is
-    * simply absent (rows-only fallback) if that pre-learn didn't run. */
+    * All entries are static literals except q_bpe_tokens (corpus-learned
+    * merge ranks), q_ivf_topk and q_semantic_dedup (fitted quantizer
+    * centroids) — Verify calls TextAnalysis.prepareBpeOracle /
+    * Extended.prepareIvfOracle / Embeddings.prepareSemDedupOracle before
+    * dumping, and each entry is simply absent (rows-only fallback) if
+    * its pre-learn didn't run. */
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry
+    staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry ++
+      Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry
 
   private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full
@@ -1057,6 +1154,12 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // seed-deterministic sign-LSH replayed end-to-end with literal ±1
+    // hyperplanes (see lshTopKSql/lshNearDupSql scaladoc) — previously
+    // rows-only for want of the replay, not by nature
+    "q_lsh_topk" -> lshTopKSql,
+    "q_lsh_neardup" -> lshNearDupSql,
 
     "q_nation_delta" ->
       """SELECT nationkey FROM (

@@ -52,14 +52,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The ONE dynamic oracle: q_bpe_tokens embeds the corpus-learned
-    // merge ranks as a literal table, so they must be learned BEFORE the
-    // dump. One histogram collect + a driver loop (~seconds); guarded so
-    // a failure here costs only that entry (rows-only fallback), never
-    // the dump-first contract below.
+    // The dynamic oracles: q_bpe_tokens embeds the corpus-learned merge
+    // ranks and q_ivf_topk the fitted quantizer centroids, so both must
+    // be learned BEFORE the dump (and the query runs below then reuse
+    // the same session-memoized state — that identity is what makes the
+    // embedded literals exact). Each is guarded so a failure costs only
+    // its entry (rows-only fallback), never the dump-first contract.
     try graft.queries.TextAnalysis.prepareBpeOracle(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] bpe oracle pre-learn failed: " +
+        e.toString.take(200))
+    }
+    try graft.queries.Extended.prepareIvfOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ivf oracle pre-fit failed: " +
+        e.toString.take(200))
+    }
+    try graft.queries.Embeddings.prepareSemDedupOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] semdedup oracle pre-fit failed: " +
         e.toString.take(200))
     }
     val json = SparkEntry.oracleSql

@@ -160,30 +160,36 @@ object Ann {
     // assignment scan below
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
-
     val centroids = ivfFit(cv, nCells, lloydIters, seed)
-    if (centroids.isEmpty) {  // empty corpus: no cells, no neighbors
-      cv.unpersist(blocking = false)
-      return queries.select($"id".as("q_id"), $"id".as("id"),
-        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
-    }
-    def cellScores(vec: Column): Column = this.cellScores(centroids)(vec)
-    def assignExpr(vec: Column): Column = assignCell(centroids)(vec)
     // fit is done (centroids are plan literals now); drop the cache so the
     // lazily-evaluated result below reads the corpus once from source
     // rather than pinning executor memory past the operator's lifetime
     cv.unpersist(blocking = false)
+    ivfTopKWith(centroids, corpus, queries, k, nProbe)
+  }
 
+  /** The post-fit IVF search against ALREADY-FITTED centroids — split
+    * out (r13) so callers can reuse one fit across queries and so the
+    * replay oracle can embed exactly the centroids the query ran with
+    * (Extended.ivfCentroidsFor). */
+  def ivfTopKWith(centroids: Seq[Array[Double]], corpus: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (centroids.isEmpty)  // empty corpus: no cells, no neighbors
+      return queries.select($"id".as("q_id"), $"id".as("id"),
+        lit(0.0).as("cosine"), lit(0).as("rank")).limit(0)
+    val cv = corpus.select($"id", asDouble($"vec").as("v"))
+    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
     // norms computed once per row, not per candidate pair (bruteTopK's
     // shape: a per-pair norm() re-folds O(dim) for every candidate)
     val assigned = cv.select($"id", $"v", norm($"v").as("nrm"),
-      assignExpr($"v").as("cell"))
+      assignCell(centroids)($"v").as("cell"))
     // query probes: top-nProbe cells by centroid similarity (sort the
     // score structs ascending, take the tail, project the cell ids)
     val probes = qv.select($"q_id", $"q_v", norm($"q_v").as("q_nrm"),
         explode(transform(
-          slice(reverse(array_sort(cellScores($"q_v"))), 1, nProbe),
+          slice(reverse(array_sort(cellScores(centroids)($"q_v"))), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"id".asc)
     assigned.join(broadcast(probes), Seq("cell"))

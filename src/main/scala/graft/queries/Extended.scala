@@ -590,17 +590,42 @@ object Extended {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Session-memoized IVF centroids per (session, dir) at the pinned
+    * quantizer parameters (nCells 16, 1 Lloyd pass, seed 42) —
+    * estimator-state reuse: q_ivf_topk, q_ivf_recall, and the replay
+    * oracle all share ONE fit. Beyond saving the refit, this is what
+    * makes the q_ivf_topk oracle sound: the Lloyd mean is a distributed
+    * float aggregate whose ulps can vary between fits, so the oracle
+    * must embed exactly the centroid doubles the query run used — the
+    * bpeModels device applied to the quantizer. */
+  private val ivfCentroids = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Array[Double]]]
+
+  def ivfCentroidsFor(s: SparkSession, dir: String): Seq[Array[Double]] =
+    ivfCentroids.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val cv = Tables.embeddings(s, dir)
+        .select($"vec_id".as("id"),
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.Ann.ivfFit(cv, nCells = 16, lloydIters = 1,
+        seed = 42)
+      finally cv.unpersist(blocking = false)
+    })
+
   /** IVF (inverted-file) approximate top-k over embeddings — the second
     * ANN scale path next to lshTopK (coarse k-means quantizer, nProbe of
     * nCells cells probed; full-probe exactness + recall pinned in
-    * AnnSpec). */
+    * AnnSpec; r13: hash-checked against the centroid-replay oracle). */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)
     val q = e.filter($"id" < 10)
-    graft.operators.Ann.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 8)
+    graft.operators.Ann.ivfTopKWith(ivfCentroidsFor(s, dir), e, q,
+        k = 5, nProbe = 8)
       .orderBy($"q_id", $"rank")
   }
 
@@ -610,16 +635,96 @@ object Extended {
     * SQL, and the bit-compare is the proof (AnnSpec pins the same
     * equality operator-level; this pins it per round on the real
     * corpus). Same cosine expression and (cosine desc, id asc) tie-break
-    * as the brute path, so the doubles and ranks are bit-identical. */
+    * as the brute path, so the doubles and ranks are bit-identical.
+    * Exactness holds for ANY centroid set at full probe, so sharing the
+    * memoized fit is free. */
   def ivfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
       .repartition(s.sparkContext.defaultParallelism)
     val q = e.filter($"id" < 10)
-    graft.operators.Ann.ivfTopK(e, q, k = 5, nCells = 16, nProbe = 16)
+    graft.operators.Ann.ivfTopKWith(ivfCentroidsFor(s, dir), e, q,
+        k = 5, nProbe = 16)
       .select($"q_id", $"id".as("vec_id"), $"cosine", $"rank")
       .orderBy($"q_id", $"rank")
+  }
+
+  /** The q_ivf_topk oracle SQL, set by Verify via prepareIvfOracle
+    * before the dump; None (rows-only fallback) until then. */
+  @volatile private var ivfOracle: Option[String] = None
+
+  def ivfOracleSqlEntry: Map[String, String] =
+    ivfOracle.map("q_ivf_topk" -> _).toMap
+
+  /** Build the q_ivf_topk replay oracle from the session-memoized
+    * centroids — the fitted quantizer state is driver-known doubles, so
+    * DuckDB independently replays assignment (argmax (s, cell) — the
+    * array_max struct order), the nProbe probe list (the
+    * reverse(array_sort) slice order), and the exact cosine re-rank.
+    * Centroid doubles embed via Double.toString (shortest round-trip
+    * repr; DuckDB's parse is correctly rounded, so the bits survive). */
+  def prepareIvfOracle(s: SparkSession, dir: String): Unit = {
+    ivfOracle = None  // a failed prepare must fall back to rows-only
+    val cs = ivfCentroidsFor(s, dir)
+    ivfOracle = if (cs.isEmpty) None else Some(buildIvfOracleSql(cs))
+  }
+
+  private[graft] def buildIvfOracleSql(
+      centroids: Seq[Array[Double]]): String = {
+    // strict in-order left-fold dot against a literal centroid — the
+    // DotProduct expression's pinned numeric contract (SparkEntry.dotSql)
+    def cdot(c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
+        s"i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
+    }
+    def selfDot(a: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a.embedding)), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)), " +
+        s"(x, y) -> x + y)"
+    def pairDot(a: String, b: String) =
+      s"list_reduce(list_transform(generate_series(1, len($a.embedding)), " +
+        s"i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)), " +
+        s"(x, y) -> x + y)"
+    val scoredArms = centroids.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, ${cdot(c)} AS s FROM embeddings"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH scored AS (
+       |  $scoredArms
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn
+       |    FROM scored WHERE vec_id < 10)
+       |  WHERE rn <= 8
+       |), e AS (
+       |  SELECT vec_id, embedding, sqrt(${selfDot("embeddings")}) AS nrm
+       |  FROM embeddings
+       |), cand AS (
+       |  SELECT p.q_id, a.vec_id AS id
+       |  FROM assigned a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id
+       |), pairs AS (
+       |  SELECT cand.q_id, cand.id,
+       |    ${pairDot("qe", "ce")} / (qe.nrm * ce.nrm) AS cosine
+       |  FROM cand
+       |  JOIN e ce ON ce.vec_id = cand.id
+       |  JOIN e qe ON qe.vec_id = cand.q_id
+       |), ranked AS (
+       |  SELECT q_id, id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT q_id, id, cosine, rank FROM ranked
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   /** p1 end-to-end (reference Predictor.scala:350-380) on a node table
