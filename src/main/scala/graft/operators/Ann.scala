@@ -148,6 +148,46 @@ object Ann {
     centroids
   }
 
+  /** Weighted ivfFit over exact-twin class representatives: each rep
+    * carries its class size `w`, Lloyd means are Σ w·v / Σ w (same
+    * mass the unweighted fit sees on the full corpus, at distinct-
+    * vector cost), seeding and the cell-keep rule mirror ivfFit.
+    * `cvw` must expose (id, v: array<double>, w: numeric); callers
+    * persist it around the fit. The two fits are NOT bit-identical (a
+    * weighted mean accumulates differently) — callers that need a
+    * replay oracle must embed whichever centroids they actually used
+    * (Embeddings.semCentroidsFor). */
+  def ivfFitWeighted(cvw: DataFrame, nCells: Int, lloydIters: Int,
+      seed: Int): Seq[Array[Double]] = {
+    val spark = cvw.sparkSession
+    import spark.implicits._
+    def unit(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    var centroids: Seq[Array[Double]] = cvw
+      .orderBy(xxhash64($"id", lit(seed)), $"id").limit(nCells)
+      .select($"v").collect().map(r => unit(r.getSeq[Double](0).toArray)).toSeq
+    if (centroids.isEmpty) return centroids
+    for (_ <- 0 until lloydIters) {
+      // same exchange barrier as ivfFit: the cell is computed once per
+      // row, never inlined into the Generate (the r8 16-minute hazard)
+      val means = cvw
+        .select(assignCell(centroids)($"v").as("cell"), $"v", $"w")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select($"cell", $"w", posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg((sum($"x" * $"w") / sum($"w")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      val dim = centroids.head.length
+      centroids = centroids.indices.map { c =>
+        val updated = Array.tabulate(dim)(p => means.getOrElse((c, p), 0.0))
+        if (updated.forall(_ == 0.0)) centroids(c) else unit(updated)
+      }
+    }
+    centroids
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 1,
       seed: Int = 42): DataFrame = {

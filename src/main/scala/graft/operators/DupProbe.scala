@@ -34,13 +34,17 @@ import org.apache.spark.sql.functions._
 object DupProbe {
 
   /** Duplication factor above which the pairwise valves switch from the
-    * direct plan to exact-twin collapse. Below it the direct plan's
-    * probe mass (∝ dup²) is within ~2× of unique-content scale and the
-    * collapse's extra wide shuffle + expansion joins cost more than
-    * they save; above it the quadratic term dominates. Measured
-    * sensitivity sweep: SCALE_r12.md §valve-constant (the crossover on
-    * this corpus sits between dup 1.3 and 1.7; 1.4 keeps replica-free
-    * corpora — the common case — on the direct plan with margin). */
+    * direct plan to exact-twin collapse. Measured sensitivity sweep
+    * (graft.TuneValve on the real sf0.1 embeddings corpus, SCALE_r13.md
+    * §3): the crossover sits between dup 1.1 and 1.2; the constant is
+    * deliberately above it because the mistakes are asymmetric —
+    * holding the direct plan slightly too long costs ≤ ~40% once (6.2
+    * vs 4.4 s at dup 1.4), while collapsing a replica-free corpus (the
+    * common case) would pay the extra wide shuffle + expansion joins
+    * (~6–18%) on every query forever. Above the constant the direct
+    * plan degrades as dup² exactly as modeled (2.5× at dup 2, 6× at
+    * dup 3) while the collapsed branch stays flat (~4.2 s at every
+    * factor — its work is a function of distinct vectors only). */
   val CollapseDupFactor = 1.4
 
   private val cache = TrieMap.empty[(SparkSession, Int), Double]

@@ -94,6 +94,45 @@ class SemanticDedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("twin-collapsed search ≡ direct search given the same centroids " +
+      "on a twin-heavy corpus; the public valve engages and agrees") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(13)
+    val dim = 16
+    // 9 classes of 6 twins + 5 singletons (dup factor 59/14 ≈ 4.2 — well
+    // past the 1.4 valve). No zero vectors (ANSI 0/0 in both forms).
+    val base = Seq.tabulate(9)(_ =>
+      Array.fill(dim)(rng.nextGaussian().toFloat))
+    val rows = (for {
+      (v, bi) <- base.zipWithIndex
+      c <- 0 until 6
+    } yield ((bi * 100 + c).toLong, bi, v)) ++ Seq.tabulate(5)(i =>
+      (9000L + i, 90 + i, Array.fill(dim)(rng.nextGaussian().toFloat)))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("semdedup_twin").toString
+    rows.toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+
+    val cents = Embeddings.semCentroidsFor(spark, tmp)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val direct = run(Embeddings.semanticDedupDirectWith(
+      cents, spark, tmp, threshold, nAssign))
+    val collapsed = run(Embeddings.semanticDedupCollapsedWith(
+      cents, spark, tmp, threshold, nAssign))
+    assert(collapsed === direct)
+    assert(direct.length === rows.length)
+    // non-vacuous: twins were dropped and reps survive
+    assert(direct.count(_._3 == 0L) >= 9 * 5, "each class drops 5 twins")
+    assert(direct.count(_._3 == 1L) >= 1)
+    // the public API's probe engages the collapse here and agrees
+    assert(graft.operators.DupProbe.dupFactor(
+      graft.sources.Tables.embeddings(spark, tmp),
+      $"embedding") >= graft.operators.DupProbe.CollapseDupFactor)
+    assert(run(Embeddings.semanticDedup(spark, tmp)) === direct)
+  }
+
   test("multi-probe cluster recall vs brute-force pairs is pinned") {
     val vs = vectors
     val cents = fittedCentroids
