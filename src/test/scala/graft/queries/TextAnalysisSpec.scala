@@ -687,4 +687,56 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept > 0, "no doc kept — threshold vacuously strict")
     assert(kept < rows.length, "every doc kept — threshold vacuously loose")
   }
+
+  test("lmFluency: scores match a local bigram-LM recompute bit-exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a fluent doc (repeats the corpus's dominant bigrams), a disfluent
+    // doc (each bigram unique), and a two-token doc; one single-token
+    // doc must be excluded entirely
+    val docs = Seq(
+      (1L, "src0", "the cat sat on the cat sat on the cat"),
+      (2L, "srcX", "cat the on sat zebra quark lemon vivid"),
+      (3L, "srcY", "the cat"),
+      (4L, "srcZ", "lonely"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmflu-").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.lmFluency(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "single-token doc excluded")
+    // local recompute: Laplace-smoothed p(w2|w1) with history counts
+    // and the corpus vocabulary, folded in sorted-bigram order
+    val toksAll = docs.map { case (id, _, t) => id -> t.split(" ").toSeq }
+    val vocabN = toksAll.flatMap(_._2).distinct.size
+    val bgs = toksAll.filter(_._2.size >= 2).map { case (id, ts) =>
+      id -> ts.sliding(2).map(p => p.head + " " + p(1)).toSeq }
+    val cBg = bgs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val cHist = bgs.flatMap(_._2).map(_.split(" ").head)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    bgs.foreach { case (id, bs) =>
+      val sorted = bs.sorted
+      val psum = sorted.foldLeft(0.0)((acc, bg) => acc +
+        (cBg(bg) + 1).toDouble / (cHist(bg.split(" ").head) + vocabN).toDouble)
+      val score = psum / bs.size.toDouble
+      val (n, gotScore, keep) = got(id)
+      assert(n === bs.size.toLong, s"doc $id n_bigrams")
+      assert(gotScore === score, s"doc $id score bit-exact")
+      assert(keep === (score >= 34.0 / 1024.0), s"doc $id keep")
+    }
+    // the repeated-bigram doc outscores the all-unique-bigram doc
+    assert(got(1L)._2 > got(2L)._2, "fluent doc must outscore disfluent")
+  }
+
+  test("lmFluency: both keep verdicts occur on the real sf0.01 corpus") {
+    val rows = TextAnalysis.lmFluency(spark, sf("sf0.01")).collect()
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0, "no doc kept — threshold vacuously strict")
+    assert(kept < rows.length, "every doc kept — threshold vacuously loose")
+  }
 }
