@@ -158,12 +158,31 @@ object GraphQueries {
     * multiples of 10⁻⁹ and every divide truncates, so 6 power iterations
     * are bit-reproducible in any 64-bit-integer engine — this is the
     * oracle-checked face of the pair (the float query keeps the
-    * real-world output; GraphSpec pins the two to the same ranking). */
+    * real-world output; GraphSpec pins the two to the same ranking).
+    *
+    * Computed on the TWIN QUOTIENT (r13 — the pairTriangles device
+    * applied to the power iteration): twins hold identical ranks at
+    * every iteration (integer update, identical inputs), so the six
+    * join+agg rounds run on quotient-sized frames and class ranks
+    * expand join-wise to members at the end. Integer arithmetic makes
+    * the collapse EXACT — the unchanged member-level DuckDB replay
+    * oracle bit-matches, which proves it per round (GraphSpec pins
+    * quotient ≡ member-level brute force on twin blow-ups besides).
+    * Like pairTriangles, deliberately NOT dup-probe-gated: the
+    * quotient runs on the driver SFs too, so the oracle exercises it
+    * every round. */
   def pairPagerankFixed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.operators.Graph.pageRankFixedPoint(pairGraph(s, dir),
-        iterations = 6)
-      .select($"id".as("doc_id"), $"rank_fp".as("pagerank_fp"))
+    val cls = TextAnalysis.twinClasses(s, dir)
+    val reps = cls.select($"rep")
+    val eq = pairGraph(s, dir)
+      .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
+      .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
+    graft.operators.Graph.pageRankFixedPointQuotient(
+        eq, cls.select($"rep", $"csize", $"survived"), iterations = 6)
+      .withColumnRenamed("id", "rep")
+      .join(TextAnalysis.twinMembers(s, dir), "rep")
+      .select($"doc_id", $"rank_fp".as("pagerank_fp"))
       .orderBy($"doc_id")
   }
 

@@ -679,6 +679,9 @@ object TextAnalysis {
     twinClassCache.keys.filter(_._1 eq s).foreach { k =>
       twinClassCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    twinMemberCache.keys.filter(_._1 eq s).foreach { k =>
+      twinMemberCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Token arrays for the shingle path, materialized BEHIND an exchange.
@@ -881,6 +884,24 @@ object TextAnalysis {
 
   private val twinClassCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val twinMemberCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Class membership (rep, doc_id) of the twinClasses quotient — the
+    * expansion side, for quotient-form graph analytics that emit
+    * PER-DOCUMENT rows (GraphQueries.pairPagerankFixed). Same keying
+    * pass as twinClasses, session-cached. */
+  def twinMembers(s: SparkSession, dir: String): DataFrame =
+    twinMemberCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val d = shingleFrame(shingleTokens(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"key")
+      d.withColumn("key", array_sort($"sh"))
+        .withColumn("rep", min($"doc_id").over(w))
+        .select($"rep", $"doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Twin classes of the near-dup pair universe: one row per class of
     * documents with IDENTICAL (lang, distinct-shingle-set) content —

@@ -138,6 +138,48 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankFixedPoint(edgesDf(Seq.empty)).count() === 0L)
   }
 
+  test("quotient fixed-point pageRank ≡ member-level brute force on a " +
+      "twin blow-up (incl. intra-only, unsurvived, and isolated classes)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // quotient: c0 (m=4, survived) — c100 (m=3, survived) — c200 (m=1,
+    // survived, cross-edge only); c300 (m=2, NOT survived: no edges at
+    // all); c400 (m=1, survived but isolated); c500 (m=5, survived,
+    // intra-only clique)
+    val classes = Seq(
+      (0L, 4L, true), (100L, 3L, true), (200L, 1L, true),
+      (300L, 2L, false), (400L, 1L, true), (500L, 5L, true))
+      .toDF("rep", "csize", "survived")
+    val eq = Seq((0L, 100L), (100L, 200L)).toDF("a_id", "b_id")
+    val members = Map[Long, Seq[Long]](
+      0L -> Seq(0L, 1L, 2L, 3L), 100L -> Seq(100L, 101L, 102L),
+      200L -> Seq(200L), 300L -> Seq(300L, 301L), 400L -> Seq(400L),
+      500L -> Seq(500L, 501L, 502L, 503L, 504L))
+    // blown-up member edges: intra cliques for survived m ≥ 2 classes,
+    // complete bipartite expansion of each quotient cross edge
+    val intra = Seq(0L, 100L, 500L).flatMap { c =>
+      val ms = members(c)
+      for (i <- ms.indices; j <- i + 1 until ms.size) yield (ms(i), ms(j))
+    }
+    val cross = Seq((0L, 100L), (100L, 200L)).flatMap { case (c, d) =>
+      for (x <- members(c); y <- members(d)) yield (x, y)
+    }
+    val direct = Graph.pageRankFixedPoint(edgesDf(intra ++ cross))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memb = members.toSeq.flatMap { case (rep, ms) => ms.map(rep -> _) }
+      .toDF("rep", "doc_id")
+    val quotient = Graph.pageRankFixedPointQuotient(eq, classes)
+      .withColumnRenamed("id", "rep")
+      .join(memb, "rep")
+      .select($"doc_id", $"rank_fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quotient === direct)
+    // the edgeless classes are in NEITHER output
+    assert(!direct.contains(300L) && !direct.contains(400L))
+    // non-vacuous: ranks differentiate (the bridge class outranks leaves)
+    assert(direct.values.toSet.size > 1)
+  }
+
   test("connectedComponents agrees with union-find on a random graph") {
     // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
     val es = (1 to 90).map { i =>
