@@ -99,13 +99,38 @@ object GraphQueries {
   /** Session-scoped materialized components of the pair graph — the
     * iterative large-star/small-star run is the dominant cost of BOTH
     * q_dedup_clusters and q_dedup_corpus, so it is computed once and
-    * persisted (same pattern as TextAnalysis.scoredNearDupPairs). */
+    * persisted (same pattern as TextAnalysis.scoredNearDupPairs).
+    *
+    * Computed on the TWIN QUOTIENT (r13, after quotient triangles and
+    * PageRank): the iterative rounds run on the quotient's cross edges
+    * instead of the blown-up member edges, purely structural so the
+    * collapse is trivially exact — a member's reachable set is the
+    * union of the member sets of its class's quotient component, whose
+    * minimum id IS the quotient label (rep = class min, component =
+    * quotient min rep). Intra-clique-only classes (survived, m ≥ 2, no
+    * cross edge) label themselves; edgeless classes are absent, as in
+    * the direct form. The unchanged q_dedup_clusters member-level
+    * oracle bit-matches — the per-round proof. */
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def components(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate((s, dir),
-      graft.operators.Graph.connectedComponents(pairGraph(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    ccCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val cls = TextAnalysis.twinClasses(s, dir)
+      val reps = cls.select($"rep")
+      val eq = pairGraph(s, dir)
+        .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
+        .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
+      val ccQ = graft.operators.Graph.connectedComponents(eq)
+      val nodeCls = cls.select($"rep", $"csize", $"survived")
+        .join(ccQ.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
+        .filter($"component".isNotNull || ($"survived" && $"csize" >= 2))
+        .select($"rep", coalesce($"component", $"rep").as("component"))
+      TextAnalysis.twinMembers(s, dir)
+        .join(nodeCls, "rep")
+        .select($"doc_id".as("id"), $"component")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Drop this session's materialized components — same contract as
     * TextAnalysis.invalidateCache (stale-on-rewrite, long-lived JVMs). */

@@ -180,6 +180,35 @@ class GraphSpec extends SparkSpec {
     assert(direct.values.toSet.size > 1)
   }
 
+  test("quotient components ≡ direct member-level connected components " +
+      "on a twin-replica corpus (dedupClusters path)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.max
+    // dup-factor-3 corpus: sf0.001 documents plus two re-id'd replicas —
+    // every doc gets a 3-twin class (intra cliques), real near-dup pairs
+    // become complete cross joins between classes
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val off = base.agg(max($"doc_id")).head().getLong(0) + 1L
+    def re(k: Int) = base.withColumn("doc_id", $"doc_id" + k * off)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-ccq-").toString
+    base.unionByName(re(1)).unionByName(re(2))
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val direct = Graph.connectedComponents(
+        graft.queries.TextAnalysis.scoredNearDupPairs(spark, tmp)
+          .select($"a_id", $"b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.queries.GraphQueries.dedupClusters(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === direct)
+    // non-vacuous: intra-only twin classes AND multi-class components
+    assert(got.nonEmpty && got.values.toSet.size > 1)
+    val sizes = got.groupBy(_._2).view.mapValues(_.size).values.toSet
+    assert(sizes.contains(3), "an intra-only 3-twin class exists")
+    assert(sizes.exists(_ > 3), "a multi-class component exists")
+  }
+
   test("connectedComponents agrees with union-find on a random graph") {
     // deterministic scatter: 120 nodes, 90 edges over 3 clumps of ids
     val es = (1 to 90).map { i =>
