@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Relational graph analytics over canonical edge lists — the capability
@@ -166,8 +166,18 @@ object Graph {
     *
     * @return (id = class rep, rank_fp) for every class with ≥ 1
     *         member-level edge (cross edge, or internal clique). */
+  /** Quotient sizes up to this many symmetrized edges run the power
+    * iteration DRIVER-side (exact same long arithmetic — the loop over
+    * a collected edge array is microseconds, while 12 tiny distributed
+    * shuffle stages cost ~19 s of pure scheduling at local[32]; the
+    * estimator-state-collect precedent, bounded like the BPE histogram).
+    * Larger quotients — a 100 TB crawl's distinct-content graph can be
+    * billions of edges — take the distributed loop. */
+  val QuotientDriverEdgeBound = 2000000L
+
   def pageRankFixedPointQuotient(classEdges: DataFrame, classes: DataFrame,
-      iterations: Int = 6, scale: Long = 1000000000L): DataFrame = {
+      iterations: Int = 6, scale: Long = 1000000000L,
+      driverEdgeBound: Long = QuotientDriverEdgeBound): DataFrame = {
     val spark = classEdges.sparkSession
     import spark.implicits._
     def materialize(df: DataFrame): DataFrame =
@@ -211,17 +221,47 @@ object Graph {
         .select($"id".as("src"), $"id".as("dst"),
           $"intra_deg".as("w"), $"deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.select($"id").withColumn("rank_fp", lit(scale / n))
-    for (i <- 1 to iterations) {
-      val contribs = wEdges.join(ranks, $"src" === $"id")
-        .select($"dst", ($"w" * expr("rank_fp div deg")).as("c"))
-      ranks = contribs.groupBy($"dst".as("id"))
-        .agg(expr(s"${base}L + (85 * sum(c)) div 100").as("rank_fp"))
-      if (i == iterations) ranks = materialize(ranks)
-    }
+    val edgeRows = wEdges.count()
+    val out =
+      if (edgeRows <= driverEdgeBound) {
+        // driver-exact path: identical long arithmetic over the
+        // collected weighted edge array — sum ORDER is irrelevant
+        // (integer addition is associative/commutative), so this is
+        // bit-equal to the distributed fold
+        val es = wEdges.select($"src", $"dst", $"w", $"deg").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val ids = nodes.select($"id").collect().map(_.getLong(0))
+        var r = ids.map(_ -> scale / n).toMap
+        for (_ <- 1 to iterations) {
+          val acc = scala.collection.mutable.Map.empty[Long, Long]
+          es.foreach { case (src, dst, w, deg) =>
+            acc(dst) = acc.getOrElse(dst, 0L) + w * (r(src) / deg)
+          }
+          r = acc.iterator
+            .map { case (id, s) => id -> (base + (85L * s) / 100L) }.toMap
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(r.toSeq.map(p => Row(p._1, p._2))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("rank_fp",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+      } else {
+        var ranks = nodes.select($"id")
+          .withColumn("rank_fp", lit(scale / n))
+        for (i <- 1 to iterations) {
+          val contribs = wEdges.join(ranks, $"src" === $"id")
+            .select($"dst", ($"w" * expr("rank_fp div deg")).as("c"))
+          ranks = contribs.groupBy($"dst".as("id"))
+            .agg(expr(s"${base}L + (85 * sum(c)) div 100").as("rank_fp"))
+          if (i == iterations) ranks = materialize(ranks)
+        }
+        ranks
+      }
     wEdges.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    ranks
+    out
   }
 
   /** Connected components by alternating large-star / small-star

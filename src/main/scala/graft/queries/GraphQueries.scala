@@ -24,6 +24,28 @@ object GraphQueries {
     TextAnalysis.scoredNearDupPairs(s, dir)
       .select(col("a_id"), col("b_id"))
 
+  /** Session-scoped materialized QUOTIENT edges — the pair graph
+    * restricted to class representatives (the twin quotient's cross
+    * edges). All three quotient-form analytics (triangles, components,
+    * fixed-point PageRank) consume this same frame; deriving it is two
+    * semi-joins over the member-level pair frame (27.5M rows at the
+    * 30× corpus, ~8 s), so computing it once per session instead of
+    * 2-3× per query is what makes the quotient devices NET wins
+    * in-bench (measured: quotient PageRank 35.7 s with per-query
+    * derivation vs the direct form's 26.6 s — the loop savings were
+    * eaten by re-derivation). */
+  private val eqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def quotientEdges(s: SparkSession, dir: String): DataFrame =
+    eqCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val reps = TextAnalysis.twinClasses(s, dir).select($"rep")
+      pairGraph(s, dir)
+        .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
+        .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Degree of each document in the near-dup pair graph. */
   def pairDegrees(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -62,11 +84,7 @@ object GraphQueries {
   def pairTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cls = TextAnalysis.twinClasses(s, dir)
-    val pg = pairGraph(s, dir)
-    val reps = cls.select($"rep")
-    val eq = pg
-      .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
-      .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
+    val eq = quotientEdges(s, dir)
     val m = cls.select($"rep", $"csize")
     // Σ m(m−1)(m−2) over survived classes; divisible by 6 term-wise
     val t1x6 = cls.filter($"survived" && $"csize" >= 3)
@@ -117,11 +135,8 @@ object GraphQueries {
     ccCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val cls = TextAnalysis.twinClasses(s, dir)
-      val reps = cls.select($"rep")
-      val eq = pairGraph(s, dir)
-        .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
-        .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
-      val ccQ = graft.operators.Graph.connectedComponents(eq)
+      val ccQ = graft.operators.Graph.connectedComponents(
+        quotientEdges(s, dir))
       val nodeCls = cls.select($"rep", $"csize", $"survived")
         .join(ccQ.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
         .filter($"component".isNotNull || ($"survived" && $"csize" >= 2))
@@ -134,10 +149,14 @@ object GraphQueries {
 
   /** Drop this session's materialized components — same contract as
     * TextAnalysis.invalidateCache (stale-on-rewrite, long-lived JVMs). */
-  def invalidateCache(s: SparkSession): Unit =
+  def invalidateCache(s: SparkSession): Unit = {
     ccCache.keys.filter(_._1 eq s).foreach { k =>
       ccCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    eqCache.keys.filter(_._1 eq s).foreach { k =>
+      eqCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
 
   /** Near-dup clusters: (doc_id, component) with component = min doc_id
     * reachable through near-dup pairs. */
@@ -199,12 +218,9 @@ object GraphQueries {
   def pairPagerankFixed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cls = TextAnalysis.twinClasses(s, dir)
-    val reps = cls.select($"rep")
-    val eq = pairGraph(s, dir)
-      .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
-      .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
     graft.operators.Graph.pageRankFixedPointQuotient(
-        eq, cls.select($"rep", $"csize", $"survived"), iterations = 6)
+        quotientEdges(s, dir),
+        cls.select($"rep", $"csize", $"survived"), iterations = 6)
       .withColumnRenamed("id", "rep")
       .join(TextAnalysis.twinMembers(s, dir), "rep")
       .select($"doc_id", $"rank_fp".as("pagerank_fp"))

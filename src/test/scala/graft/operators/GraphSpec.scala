@@ -168,12 +168,22 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val memb = members.toSeq.flatMap { case (rep, ms) => ms.map(rep -> _) }
       .toDF("rep", "doc_id")
+    // BOTH loop paths must equal the brute force: the driver-exact path
+    // (default bound) and the distributed path (bound forced to 0)
+    for (bound <- Seq(Graph.QuotientDriverEdgeBound, 0L)) {
+      val quotient = Graph.pageRankFixedPointQuotient(eq, classes,
+          driverEdgeBound = bound)
+        .withColumnRenamed("id", "rep")
+        .join(memb, "rep")
+        .select($"doc_id", $"rank_fp")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(quotient === direct, s"driverEdgeBound=$bound")
+    }
     val quotient = Graph.pageRankFixedPointQuotient(eq, classes)
       .withColumnRenamed("id", "rep")
       .join(memb, "rep")
       .select($"doc_id", $"rank_fp")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(quotient === direct)
     // the edgeless classes are in NEITHER output
     assert(!direct.contains(300L) && !direct.contains(400L))
     // non-vacuous: ranks differentiate (the bridge class outranks leaves)
