@@ -329,6 +329,114 @@ object Graph {
       .groupBy($"id").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** k-core peeling on the exact-twin QUOTIENT of a blow-up graph (r13 —
+    * completing the quotient family: triangles, components, PageRank,
+    * and now the peel). Twins share every degree at every round, so
+    * classes peel as UNITS and the member-level rounds collapse exactly:
+    * a member's current degree is intra (m − 1 when the class is an
+    * internal clique) + Σ m_d over surviving adjacent classes, identical
+    * for every member; the surviving graph stays a blow-up of the
+    * surviving quotient by induction. Same inputs as
+    * pageRankFixedPointQuotient; output (id = class rep, core_degree),
+    * the caller expands to members (who all share the class value). The
+    * member-level unrolled-peeling DuckDB oracle stays unchanged — the
+    * bit-match is the proof. Below `driverEdgeBound` symmetrized edges
+    * the peel runs driver-side (peeling is pure integer set arithmetic);
+    * above it, a distributed weighted-degree round loop mirroring kCore. */
+  def kCoreQuotient(classEdges: DataFrame, classes: DataFrame, k: Int,
+      driverEdgeBound: Long = QuotientDriverEdgeBound,
+      maxRounds: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val spark = classEdges.sparkSession
+    import spark.implicits._
+    def materialize(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint(true)
+    val cls = classes
+      .select($"rep".as("id"), $"csize".cast("long").as("m"),
+        when($"survived" && $"csize" >= 2, ($"csize" - 1).cast("long"))
+          .otherwise(0L).as("intra_deg"))
+    val eqd = classEdges.select($"a_id".as("a"), $"b_id".as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgeRows = eqd.count()
+    if (2 * edgeRows <= driverEdgeBound) {
+      // driver-exact peel over the collected quotient
+      val es = eqd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val info = cls.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val adj = scala.collection.mutable.Map
+        .empty[Long, List[Long]].withDefaultValue(Nil)
+      es.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+      var alive = info.collect {
+        case (id, (_, intra)) if intra >= 1L || adj(id).nonEmpty => id
+      }.toSet
+      var done = false
+      var round = 0
+      def degOf(id: Long): Long =
+        info(id)._2 + adj(id).iterator.filter(alive).map(info(_)._1).sum
+      while (!done && round < maxRounds) {
+        val drop = alive.filter(degOf(_) < k)
+        if (drop.isEmpty) done = true
+        else { alive = alive -- drop; round += 1 }
+      }
+      require(done, s"kCoreQuotient did not converge in $maxRounds rounds")
+      eqd.unpersist(blocking = false)
+      val rows = alive.toSeq.map(id => Row(id, degOf(id)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("core_degree",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
+      // distributed weighted peel: per round, class degree = intra +
+      // Σ m_d over surviving neighbors; drop < k; anti-join the edges
+      val clsP = cls
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var e = materialize(eqd)
+      eqd.unpersist(blocking = false)
+      def degrees(edges: DataFrame): DataFrame = {
+        val sym = edges.select($"a".as("id"), $"b".as("nb"))
+          .unionAll(edges.select($"b".as("id"), $"a".as("nb")))
+        val crossDeg = sym
+          .join(clsP.select($"id".as("nb"), $"m".as("nm")), "nb")
+          .groupBy($"id").agg(sum($"nm").as("cross_deg"))
+        clsP.join(crossDeg, Seq("id"), "left_outer")
+          .select($"id", $"m", ($"intra_deg" +
+            coalesce($"cross_deg", lit(0L))).as("degree"))
+      }
+      // node set: intra cliques count as alive even with no cross edges
+      var alive = materialize(degrees(e).filter($"degree" >= 1L)
+        .select($"id"))
+      var done = false
+      var round = 0
+      while (!done && round < maxRounds) {
+        val deg = degrees(e.join(alive.withColumnRenamed("id", "a"),
+            Seq("a"), "left_semi")
+          .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+          .join(alive, Seq("id"), "left_semi")
+        val drop = deg.filter($"degree" < k).select($"id")
+        if (drop.isEmpty) done = true
+        else {
+          alive = materialize(
+            alive.join(drop, Seq("id"), "left_anti"))
+          round += 1
+        }
+      }
+      require(done, s"kCoreQuotient did not converge in $maxRounds rounds")
+      val eAlive = e
+        .join(alive.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+      val out = degrees(eAlive)
+        .join(alive, Seq("id"), "left_semi")
+        .select($"id", $"degree".as("core_degree"))
+      clsP.unpersist(blocking = false)
+      out
+    }
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxRounds: Int = 25): DataFrame = {
     val spark = edges.sparkSession

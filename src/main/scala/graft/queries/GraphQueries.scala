@@ -270,8 +270,16 @@ object GraphQueries {
     * on both synthetic and the real sf0.001 pair graph. */
   def pairKcore(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
     import s.implicits._
-    graft.operators.Graph.kCore(pairGraph(s, dir), k)
-      .select($"id".as("doc_id"), $"core_degree")
+    // TWIN QUOTIENT (r13): twins share every per-round degree, so
+    // classes peel as units and the rounds run at quotient size; every
+    // member inherits its class's core degree. The unchanged
+    // member-level unrolled-peeling oracle bit-matches — the proof.
+    val cls = TextAnalysis.twinClasses(s, dir)
+    graft.operators.Graph.kCoreQuotient(quotientEdges(s, dir),
+        cls.select($"rep", $"csize", $"survived"), k)
+      .withColumnRenamed("id", "rep")
+      .join(TextAnalysis.twinMembers(s, dir), "rep")
+      .select($"doc_id", $"core_degree")
       .orderBy($"doc_id")
   }
 }

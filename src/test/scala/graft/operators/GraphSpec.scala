@@ -190,6 +190,52 @@ class GraphSpec extends SparkSpec {
     assert(direct.values.toSet.size > 1)
   }
 
+  test("quotient k-core ≡ member-level peeling on a twin blow-up, " +
+      "both loop paths, k ∈ {2, 3, 7}") {
+    val spark2 = spark
+    import spark2.implicits._
+    // same blow-up family as the quotient-PageRank fixture: intra
+    // cliques, a 2-class bridge, an isolated intra-only clique, an
+    // unsurvived class, and a singleton — k=7 peels the small classes
+    // but keeps the K8-ish mass, k=2 keeps almost everything
+    val classes = Seq(
+      (0L, 4L, true), (100L, 3L, true), (200L, 1L, true),
+      (300L, 2L, false), (400L, 1L, true), (500L, 5L, true))
+      .toDF("rep", "csize", "survived")
+    val eq = Seq((0L, 100L), (100L, 200L)).toDF("a_id", "b_id")
+    val members = Map[Long, Seq[Long]](
+      0L -> Seq(0L, 1L, 2L, 3L), 100L -> Seq(100L, 101L, 102L),
+      200L -> Seq(200L), 300L -> Seq(300L, 301L), 400L -> Seq(400L),
+      500L -> Seq(500L, 501L, 502L, 503L, 504L))
+    val intra = Seq(0L, 100L, 500L).flatMap { c =>
+      val ms = members(c)
+      for (i <- ms.indices; j <- i + 1 until ms.size) yield (ms(i), ms(j))
+    }
+    val cross = Seq((0L, 100L), (100L, 200L)).flatMap { case (c, d) =>
+      for (x <- members(c); y <- members(d)) yield (x, y)
+    }
+    val memb = members.toSeq.flatMap { case (rep, ms) => ms.map(rep -> _) }
+      .toDF("rep", "doc_id")
+    for (k <- Seq(2, 4, 7); bound <- Seq(Graph.QuotientDriverEdgeBound, 0L)) {
+      val direct = Graph.kCore(edgesDf(intra ++ cross), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val quotient = Graph.kCoreQuotient(eq, classes, k,
+          driverEdgeBound = bound)
+        .withColumnRenamed("id", "rep")
+        .join(memb, "rep")
+        .select($"doc_id", $"core_degree")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(quotient === direct, s"k=$k bound=$bound")
+      if (k == 2) assert(direct.nonEmpty)
+      // k=4: the 200-singleton peels, cascading nothing — the bridge
+      // classes and the K5 survive (12 of 13 edged members)
+      if (k == 4) assert(direct.nonEmpty && direct.size < 13,
+        "k=4 must peel something and keep something")
+      // k=7: everything cascades away — both forms agree on empty
+      if (k == 7) assert(direct.isEmpty)
+    }
+  }
+
   test("quotient components ≡ direct member-level connected components " +
       "on a twin-replica corpus (dedupClusters path)") {
     val spark2 = spark
