@@ -45,7 +45,12 @@ object TuneValve {
 
     def corpusAt(d: Double) = {
       val full = math.floor(d - 1.0 + 1e-9).toInt
-      val frac = ((d - 1.0 - full) * n).toInt
+      val fracL = ((d - 1.0 - full) * n).toLong
+      // DataFrame.limit takes an Int; a silent saturation would mis-size
+      // the sweep corpus for base corpora beyond ~2.1B rows (ADVICE r13)
+      require(fracL <= Int.MaxValue,
+        s"fractional replica $fracL exceeds Int.MaxValue — limit() cannot express it")
+      val frac = fracL.toInt
       var c = base
       for (k <- 1 to full)
         c = c.unionByName(base.select(($"id" + k * offset).as("id"), $"vec"))

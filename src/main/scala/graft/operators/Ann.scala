@@ -479,11 +479,18 @@ object Ann {
       dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val wTwin = Window.partitionBy($"vec")
-    val keyed = corpus
+    // Twin window keyed by (xxhash64(vec), vec) rather than the raw
+    // 64-dim array alone (VERDICT r13 #5, the twinClasses discipline):
+    // the 8-byte hash leads the exchange/sort key, so the shuffle sort
+    // compares longs and only falls through to the full array compare on
+    // equal hashes — i.e. on actual twins (or a 2⁻⁶⁴ collision, which
+    // the trailing exact-vec key keeps in separate classes, preserving
+    // bit-exactness unconditionally).
+    val hashed = corpus.withColumn("vh", xxhash64($"vec"))
+    val wTwin = Window.partitionBy($"vh", $"vec")
+    val keyed = hashed
       .withColumn("rep", min($"id").over(wTwin))
-      .withColumn("mrank", row_number().over(
-        Window.partitionBy($"vec").orderBy($"id".asc)))
+      .withColumn("mrank", row_number().over(wTwin.orderBy($"id".asc)))
     // k+1 smallest ids per class — the only members that can ever rank
     val membK = keyed.filter($"mrank" <= k + 1).select($"rep", $"id")
     val reps = keyed.filter($"id" === $"rep")

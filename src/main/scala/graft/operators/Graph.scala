@@ -143,6 +143,15 @@ object Graph {
     ranks
   }
 
+  /** Quotient sizes up to this many symmetrized edges run the power
+    * iteration DRIVER-side (exact same long arithmetic — the loop over
+    * a collected edge array is microseconds, while 12 tiny distributed
+    * shuffle stages cost ~19 s of pure scheduling at local[32]; the
+    * estimator-state-collect precedent, bounded like the BPE histogram).
+    * Larger quotients — a 100 TB crawl's distinct-content graph can be
+    * billions of edges — take the distributed loop. */
+  val QuotientDriverEdgeBound = 2000000L
+
   /** Fixed-point PageRank on the exact-twin QUOTIENT of a blow-up graph
     * (r13 — the pairTriangles decomposition device applied to the power
     * iteration). Inputs: `classEdges` = the quotient's cross edges as
@@ -166,15 +175,6 @@ object Graph {
     *
     * @return (id = class rep, rank_fp) for every class with ≥ 1
     *         member-level edge (cross edge, or internal clique). */
-  /** Quotient sizes up to this many symmetrized edges run the power
-    * iteration DRIVER-side (exact same long arithmetic — the loop over
-    * a collected edge array is microseconds, while 12 tiny distributed
-    * shuffle stages cost ~19 s of pure scheduling at local[32]; the
-    * estimator-state-collect precedent, bounded like the BPE histogram).
-    * Larger quotients — a 100 TB crawl's distinct-content graph can be
-    * billions of edges — take the distributed loop. */
-  val QuotientDriverEdgeBound = 2000000L
-
   def pageRankFixedPointQuotient(classEdges: DataFrame, classes: DataFrame,
       iterations: Int = 6, scale: Long = 1000000000L,
       driverEdgeBound: Long = QuotientDriverEdgeBound): DataFrame = {

@@ -100,10 +100,15 @@ object Embeddings {
     * in place or session teardown in a multi-session JVM (the harness
     * mains are one-session-per-JVM). Sibling: TextAnalysis
     * .invalidateCache. */
-  def invalidateCache(s: SparkSession): Unit =
+  def invalidateCache(s: SparkSession): Unit = {
     exactPairCache.keys.filter(_._1 eq s).foreach { k =>
       exactPairCache.remove(k).foreach(_.unpersist(blocking = false))
     }
+    // the memoized quantizer fit is corpus state exactly like the pair
+    // frame: centroids fitted on a rewritten dir would silently feed
+    // q_semantic_dedup (ADVICE r13)
+    semCentroids.keys.filter(_._1 eq s).foreach(semCentroids.remove)
+  }
 
   /** The direct (uncached) exact pair plan; see cosineNearDup. Adaptive
     * exact-twin collapse (r11): on a duplicated corpus the label blocks

@@ -614,6 +614,13 @@ object Extended {
       finally cv.unpersist(blocking = false)
     })
 
+  /** Drop this session's memoized quantizer fits — same stale-on-rewrite
+    * contract as TextAnalysis/Embeddings/GraphQueries.invalidateCache
+    * (ADVICE r13): after a dir rewrite, q_ivf_topk must refit rather
+    * than silently reuse centroids from the old corpus. */
+  def invalidateCache(s: SparkSession): Unit =
+    ivfCentroids.keys.filter(_._1 eq s).foreach(ivfCentroids.remove)
+
   /** IVF (inverted-file) approximate top-k over embeddings — the second
     * ANN scale path next to lshTopK (coarse k-means quantizer, nProbe of
     * nCells cells probed; full-probe exactness + recall pinned in

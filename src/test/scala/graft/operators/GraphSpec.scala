@@ -191,7 +191,7 @@ class GraphSpec extends SparkSpec {
   }
 
   test("quotient k-core ≡ member-level peeling on a twin blow-up, " +
-      "both loop paths, k ∈ {2, 3, 7}") {
+      "both loop paths, k ∈ {2, 4, 7}") {
     val spark2 = spark
     import spark2.implicits._
     // same blow-up family as the quotient-PageRank fixture: intra
