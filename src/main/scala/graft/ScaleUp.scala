@@ -23,7 +23,32 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val dst = args(1)
-    val r = if (args.length > 2) args(2).toInt else 10
+    val flags = args.drop(2).filter(_.startsWith("--")).toSet
+    val r = args.drop(2).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(10)
+    // --perturb (r14, VERDICT r13 #1): make each copy's PAYLOAD distinct,
+    // not just its keys, so the decade measures the axis the exact-twin
+    // collapse valves cannot absorb — genuinely new content.
+    //  - documents: every token of copy k ≥ 1 is prefixed "c<k>x", so
+    //    copies share ZERO shingles/tokens with each other or the base:
+    //    intra-copy pair structure (jaccard, containment, winnowing,
+    //    minhash/simhash signatures' collision structure) is preserved
+    //    exactly, cross-copy text similarity is exactly 0, and the
+    //    distinct shingle vocabulary grows r× — the real "more crawl"
+    //    shape. n_chars is recomputed to keep the n_chars = length(text)
+    //    generator invariant.
+    //  - embeddings: copy k's vectors are circularly dim-rotated by
+    //    k mod 64. A coordinate permutation preserves every intra-copy
+    //    inner product and norm BIT-FOR-BIT (the same multiplicands sum
+    //    in a different order is avoided: rotation permutes components
+    //    identically for both vectors of a pair, so the elementwise
+    //    products are equal numbers — only their fold order changes,
+    //    which the operators fix by dim order... hence intra-copy
+    //    cosines are equal up to the usual in-order fold on permuted
+    //    terms — NOT bit-pinned, but the pair SET at any threshold far
+    //    from a boundary is unchanged), while cross-copy cosines are
+    //    ~N(0, 1/√64) pseudo-random — distinct content, dup factor ≈ 1.
+    val perturb = flags.contains("--perturb")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -69,8 +94,54 @@ object ScaleUp {
       "l_partkey" -> kPart, "l_suppkey" -> kSupp), "lineitem")
     write(scaled(read("events"),
       "event_id" -> kEvt, "user_id" -> kUser), "events")
-    write(scaled(read("documents"), "doc_id" -> kDoc), "documents")
-    write(scaled(read("embeddings"), "vec_id" -> kVec), "embeddings")
+
+    /** Like scaled(), but keeps __copy visible for payload perturbation. */
+    def scaledKeep(df: DataFrame, shifts: (String, Long)*): DataFrame = {
+      val withCopy = df.withColumn("__copy",
+        explode(sequence(lit(0L), lit(r - 1L))))
+      shifts.foldLeft(withCopy) { case (d, (c, k)) =>
+        d.withColumn(c, col(c) + $"__copy" * k)
+      }
+    }
+
+    val docs =
+      if (!perturb) scaled(read("documents"), "doc_id" -> kDoc)
+      else scaledKeep(read("documents"), "doc_id" -> kDoc)
+        .withColumn("text",
+          when($"__copy" === 0L, $"text").otherwise(
+            array_join(transform(split($"text", " "),
+              t => concat(lit("c"), $"__copy", lit("x"), t)), " ")))
+        .withColumn("n_chars", length($"text"))
+        .drop("__copy")
+    write(docs, "documents")
+
+    val embs =
+      if (!perturb) scaled(read("embeddings"), "vec_id" -> kVec)
+      else {
+        val dim = read("embeddings").select(size($"embedding")).head().getInt(0)
+        scaledKeep(read("embeddings"), "vec_id" -> kVec)
+          .withColumn("__s", ($"__copy" % dim).cast("int"))
+          .withColumn("embedding",
+            when($"__s" === 0, $"embedding").otherwise(concat(
+              slice($"embedding", $"__s" + 1, lit(dim) - $"__s"),
+              slice($"embedding", lit(1), $"__s"))))
+          .drop("__copy", "__s")
+      }
+    write(embs, "embeddings")
+
+    if (perturb) {
+      // valve-disengagement evidence for the SCALE artifact: the probes
+      // the collapse valves actually consult, on the frames they consult
+      val e = spark.read.parquet(s"$dst/embeddings.parquet")
+      val d = spark.read.parquet(s"$dst/documents.parquet")
+      val dupVec = graft.operators.DupProbe.dupFactor(
+        e.select($"embedding".as("vec")), $"vec")
+      val dupText = graft.operators.DupProbe.dupFactor(
+        d.select($"lang", $"text"), $"lang", $"text")
+      println(f"[scaleup] perturb probes: embeddings dup=$dupVec%.4f " +
+        f"documents(lang,text) dup=$dupText%.4f " +
+        s"(collapse threshold ${graft.operators.DupProbe.CollapseDupFactor})")
+    }
     spark.stop()
   }
 }

@@ -61,7 +61,7 @@ object SparkEntry {
     "q_cm_words",
     "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_mmr_rerank",
     "q_embed_stats",
-    "q_png_stats", "q_jpeg_stats",
+    "q_png_stats", "q_jpeg_stats", "q_jpeg_meta",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
     "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
@@ -199,6 +199,9 @@ object SparkEntry {
     // decode PNG — exact sums for one id are pinned in PngSpec instead)
     "q_png_stats"         -> ((s, _) => graft.multimodal.Multimodal.pngStats(s)),
     "q_jpeg_stats"        -> ((s, _) => graft.multimodal.Multimodal.jpegStats(s)),
+    // the lossless half of the JPEG evidence: container structure parsed
+    // without entropy decode, oracle-replayed from the generator formulas
+    "q_jpeg_meta"         -> ((s, _) => graft.multimodal.Multimodal.jpegMeta(s)),
     // same pattern for the real WAV + Y4M kernels: seeded generated
     // clips round-trip through the codec seams, integer features
     "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
@@ -224,9 +227,10 @@ object SparkEntry {
     "q_json_typed"        -> (Extended.jsonTyped(_, _)),
     "q_event_windows"     -> (Extended.eventWindows(_, _)),
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
-    // wave 2: library operators, mostly rows-only (sketches/sampling/
-    // MinHash-hash internals have no SQL oracle by design; q_lsh_topk
-    // got its hyperplane-replay oracle in r13)
+    // wave 2: library operators — sketches/sampling stay rows-only by
+    // design; q_lsh_topk got its hyperplane-replay oracle in r13, and
+    // q_minhash_neardup/q_simhash_neardup their full xxhash64-replay
+    // oracles in r14 (XxhReplaySql)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
@@ -1123,6 +1127,51 @@ object SparkEntry {
 
     "q_cosine_topk" -> exactTopKSql,
 
+    // JPEG container replay (r14): every field is a pure function of the
+    // seeded generator's (w, h, subsample, restart-interval) formulas —
+    // the MCU grid gives the restart-marker count, the encoder's T.81
+    // layout gives the table counts. The lossy pixel path stays in
+    // rows-only q_jpeg_stats.
+    "q_jpeg_meta" ->
+      """WITH g AS (
+        |  SELECT id, 8 + id % 11 AS w, 8 + id % 5 AS h,
+        |    CASE WHEN id % 2 = 1 THEN 2 ELSE 1 END AS f,
+        |    id % 4 AS ri
+        |  FROM range(64) t(id)
+        |), m AS (
+        |  SELECT *,
+        |    ((w + 8*f - 1) // (8*f)) * ((h + 8*f - 1) // (8*f)) AS nmcu
+        |  FROM g
+        |)
+        |SELECT id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(3 AS INT) AS n_components, CAST(8 AS INT) AS "precision",
+        |  CAST(f AS INT) AS luma_h, CAST(f AS INT) AS luma_v,
+        |  CAST(ri AS INT) AS restart_interval,
+        |  CAST(1 AS INT) AS n_dqt, CAST(2 AS INT) AS n_dht,
+        |  CAST(CASE WHEN ri > 0 THEN (nmcu - 1) // ri ELSE 0 END AS INT) AS n_rst,
+        |  true AS eoi
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // exact fixed-point centroid mean (r14): components scaled by 2^63
+    // are integers, summed exactly (order-independent), one rounding at
+    // the end — so DuckDB's replay is bit-identical by construction (see
+    // Embeddings.centroids scaladoc). Division order pinned: (double)sum
+    // / n / 2^63.
+    "q_embed_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+        |  FROM embeddings
+        |), ex2 AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim,
+        |    CAST(CAST(embedding[i] AS DOUBLE) * 9223372036854775808.0 AS HUGEINT) AS xs
+        |  FROM ex
+        |)
+        |SELECT label, dim,
+        |  CAST(sum(xs) AS DOUBLE) / count(*) / 9223372036854775808.0 AS m,
+        |  count(*) AS n_vecs
+        |FROM ex2 GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
+
     // IVF at full probe (nProbe = nCells) is exactly brute force — same
     // oracle as q_cosine_topk, so the bit-compare proves the quantizer/
     // probe/re-rank machinery loses nothing when probing everything.
@@ -1161,6 +1210,14 @@ object SparkEntry {
     // rows-only for want of the replay, not by nature
     "q_lsh_topk" -> lshTopKSql,
     "q_lsh_neardup" -> lshNearDupSql,
+
+    // r14 (VERDICT r13 #2): the remaining two hash-seeded near-dup tiers,
+    // replayed from raw text — DuckDB recomputes Spark's xxhash64 itself
+    // (staged HUGEINT XXH64 over the UTF8 bytes; see XxhReplaySql) and
+    // re-derives signatures, band buckets, the guarded candidate join,
+    // and the exact jaccard/hamming verify
+    "q_minhash_neardup" -> XxhReplaySql.minhashNearDupSql,
+    "q_simhash_neardup" -> XxhReplaySql.simhashNearDupSql,
 
     "q_nation_delta" ->
       """SELECT nationkey FROM (

@@ -271,6 +271,83 @@ object Jpeg {
     None // ran out of segments without a scan
   }
 
+  /** Lossless container facts of a baseline JPEG — everything the
+    * bitstream states OUTSIDE the lossy transform: frame geometry and
+    * sampling from SOF0, table counts from DQT/DHT, the DRI interval,
+    * and the restart-marker count found in the entropy stream. */
+  final case class MetaInfo(width: Int, height: Int, nComponents: Int,
+    precision: Int, lumaH: Int, lumaV: Int, restartInterval: Int,
+    nDqt: Int, nDht: Int, nRst: Int, hasEoi: Boolean)
+
+  /** Parse container metadata WITHOUT entropy-decoding (q_jpeg_meta,
+    * r14 — VERDICT r13 #6): the lossy pixel path keeps q_jpeg_stats
+    * rows-only, but these fields are pure T.81 container structure the
+    * seeded generator fixes, so a DuckDB oracle can pin them from the
+    * generator formulas alone. The scan walk counts RST0-7 markers
+    * (0xFF00 stuffing skipped) up to EOI. None for malformed payloads. */
+  def meta(bytes: Array[Byte]): Option[MetaInfo] = {
+    if (bytes == null || bytes.length < 4) return None
+    if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    var width, height, nc, precision = -1
+    var lumaH, lumaV = 1
+    var restartInterval = 0
+    var nDqt, nDht = 0
+    def u16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return None
+      val marker = bytes(pos + 1) & 0xff
+      val len = u16(pos + 2)
+      if (len < 2 || pos + 2 + len > bytes.length) return None
+      val seg = pos + 4
+      val segLen = len - 2
+      marker match {
+        case 0xdb =>
+          var p = seg
+          while (p < seg + segLen) { nDqt += 1; p += 65 }
+        case 0xc4 =>
+          var p = seg
+          while (p < seg + segLen) {
+            if (p + 17 > seg + segLen) return None
+            nDht += 1
+            p += 17 + (0 until 16).map(i => bytes(p + 1 + i) & 0xff).sum
+          }
+        case 0xc0 =>
+          if (segLen < 6) return None
+          precision = bytes(seg) & 0xff
+          height = u16(seg + 1)
+          width = u16(seg + 3)
+          nc = bytes(seg + 5) & 0xff
+          if (segLen < 6 + 3 * nc) return None
+          lumaH = (bytes(seg + 7) & 0xff) >> 4
+          lumaV = bytes(seg + 7) & 0x0f
+        case 0xdd =>
+          if (segLen < 2) return None
+          restartInterval = u16(seg)
+        case 0xda =>
+          if (nc < 0) return None
+          // entropy stream: count restart markers up to EOI
+          var p = pos + 2 + len
+          var nRst = 0
+          while (p + 1 < bytes.length) {
+            if ((bytes(p) & 0xff) == 0xff) {
+              val m = bytes(p + 1) & 0xff
+              if (m == 0xd9)
+                return Some(MetaInfo(width, height, nc, precision, lumaH,
+                  lumaV, restartInterval, nDqt, nDht, nRst, hasEoi = true))
+              if (m >= 0xd0 && m <= 0xd7) nRst += 1
+              else if (m != 0x00) return None // unexpected in-scan marker
+              p += 2
+            } else p += 1
+          }
+          return None // scan ran out without EOI
+        case _ => () // APPn / COM / anything else: length-skipped
+      }
+      pos += 2 + len
+    }
+    None
+  }
+
   /** Entropy-decode the scan: MCU loop → per-component blocks → dequant →
     * IDCT into component planes → color-convert with per-axis replication
     * upsampling. */

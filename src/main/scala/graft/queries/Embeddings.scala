@@ -292,15 +292,44 @@ object Embeddings {
     * ROW per (label, dim) — scalar columns only, so the driver's pandas
     * comparer can sort/hash it (an assembled array<double> cell crashes
     * it); callers wanting the vector shape re-assemble with
-    * collect_list over dim order. Float mean is order-dependent in the
-    * last ulp, so this is spec-checked (EmbeddingsSpec), not
-    * oracle-checked. */
+    * collect_list over dim order.
+    *
+    * The mean accumulates EXACTLY, in fixed point (r14, flipping this
+    * from rows-only to hash-checked): each float32 component scaled by
+    * 2^63 is an integer (float32 values with exponent ≥ −40 are integer
+    * multiples of 2^−63; the ×2^63 double multiply is an exact exponent
+    * shift, and a per-row guard raises loudly if a sub-2^−63-granular
+    * value ever appears), summed as DECIMAL(38,0) — integer addition is
+    * order-independent, so the result is bit-identical across
+    * partitionings, AQE re-plans, and engines, where `avg(double)`'s
+    * last ulp changes with the reduction tree. One rounding happens at
+    * the end (exact sum → double → ÷n ÷2^63, each deterministic IEEE),
+    * so the emitted mean is also ≤1 ulp from the infinitely-precise
+    * value — tighter than the float avg it replaces. At 100 TB the
+    * decimal partial-aggregates exactly like the double did; headroom is
+    * ~10^18 per element vs DECIMAL(38)'s 10^38 range. */
   def centroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val scale = lit(9223372036854775808.0) // 2^63, exact as a double
     Tables.embeddings(s, dir)
       .select($"label", posexplode(asDouble($"embedding")).as(Seq("dim", "x")))
+      // double → LONG → decimal: the long cast truncates the EXACT double
+      // value (integral by the guard, in-range since |x| < 1 ⇒ |x·2^63| <
+      // 2^63; an out-of-range component overflows the ANSI cast loudly).
+      // A direct double → decimal cast is LOSSY here: Spark routes it
+      // through Double.toString's shortest round-trip form (~17 sig
+      // digits), which drops the low digits of these 19-digit integers —
+      // measured as a 44-unit sum drift at sf0.01.
+      .withColumn("xs",
+        when(($"x" * scale) % 1.0 === 0.0,
+          ($"x" * scale).cast("long").cast("decimal(38,0)"))
+          .otherwise(raise_error(concat(
+            lit("centroids: component not 2^-63-granular: "),
+            $"x".cast("string")))
+            .cast("decimal(38,0)")))
       .groupBy($"label", $"dim")
-      .agg(avg($"x").as("m"), count(lit(1)).as("n_vecs"))
+      .agg((sum($"xs").cast("double") / count(lit(1)) / scale).as("m"),
+        count(lit(1)).as("n_vecs"))
       .orderBy($"label", $"dim")
   }
 

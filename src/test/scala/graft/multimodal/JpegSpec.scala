@@ -155,6 +155,49 @@ class JpegSpec extends SparkSpec {
         r.getInt(2) == 8 + (r.getLong(0) % 5).toInt))
   }
 
+  test("meta parses container structure without entropy decode") {
+    // plain 4:4:4, no restarts
+    val m1 = Jpeg.meta(Jpeg.encode(gradient(17, 11))).get
+    assert((m1.width, m1.height, m1.nComponents, m1.precision) === (17, 11, 3, 8))
+    assert((m1.lumaH, m1.lumaV, m1.restartInterval, m1.nRst) === (1, 1, 0, 0))
+    assert((m1.nDqt, m1.nDht, m1.hasEoi) === (1, 2, true))
+    // 4:2:0 + restart interval: nMCU = ceil(33/16)*ceil(21/16) = 3*2 = 6,
+    // RST before every mcu>0 with mcu%2==0 → floor((6-1)/2) = 2
+    val m2 = Jpeg.meta(Jpeg.encode420(gradient(33, 21), restartInterval = 2)).get
+    assert((m2.lumaH, m2.lumaV) === (2, 2))
+    assert(m2.restartInterval === 2)
+    assert(m2.nRst === 2)
+    // grayscale: 1 component
+    val m3 = Jpeg.meta(Jpeg.encodeGray(gradient(9, 9))).get
+    assert((m3.nComponents, m3.lumaH, m3.lumaV) === (1, 1, 1))
+    // malformed payloads are rejected, not thrown
+    assert(Jpeg.meta(Array[Byte](1, 2, 3, 4)).isEmpty)
+    assert(Jpeg.meta(Jpeg.encode(gradient(8, 8)).dropRight(2)).isEmpty) // no EOI
+  }
+
+  test("jpegMeta fields follow the generator formulas for every row") {
+    val out = Multimodal.jpegMeta(spark, n = 16).collect()
+    assert(out.length === 16)
+    for (r <- out) {
+      val id = r.getLong(0)
+      val f = if (id % 2 == 1) 2 else 1
+      val w = 8 + (id % 11).toInt
+      val h = 8 + (id % 5).toInt
+      val ri = (id % 4).toInt
+      val nmcu = ((w + 8 * f - 1) / (8 * f)) * ((h + 8 * f - 1) / (8 * f))
+      assert(r.getInt(1) === w)
+      assert(r.getInt(2) === h)
+      assert(r.getInt(3) === 3)
+      assert(r.getInt(4) === 8)
+      assert(r.getInt(5) === f)
+      assert(r.getInt(6) === f)
+      assert(r.getInt(7) === ri)
+      assert((r.getInt(8), r.getInt(9)) === ((1, 2)))
+      assert(r.getInt(10) === (if (ri > 0) (nmcu - 1) / ri else 0), s"id=$id")
+      assert(r.getBoolean(11))
+    }
+  }
+
   test("featureKernel computes real features for JPEG payloads") {
     val img = gradient(8, 6)
     val feats = Ppm.featureKernel()(Seq(Jpeg.encode(img)))

@@ -1,0 +1,30 @@
+package graft
+
+/** The xxhash64-replay oracle device (r14): the only Scala-EVALUATED
+  * piece of the replay is the per-index XXH64 seed chain constant
+  * (everything else is SQL text DuckDB executes, gated by the driver's
+  * bit-compare at sf0.01) — pin those constants against Spark's own
+  * xxhash64 so a primes/rotation typo can never ship a structurally
+  * plausible but wrong oracle. */
+class XxhReplaySqlSpec extends SparkSpec {
+
+  test("Scala-evaluated XXH64 int-mix constants match Spark's xxhash64") {
+    val exprs = (0 until 32).map(j => s"xxhash64($j) AS h$j").mkString(", ")
+    val row = spark.sql(s"SELECT $exprs").head()
+    for (j <- 0 until 32)
+      assert(row.getLong(j) === XxhReplaySql.hashIntConst(j), s"j=$j")
+  }
+
+  test("replay SQL embeds the pinned pipeline parameters") {
+    val mh = XxhReplaySql.minhashNearDupSql
+    // 32 signature mins, 8 band buckets, the 0.5 cutoff and 1000 guard
+    assert(mh.contains("min(v.m31)") && !mh.contains("min(v.m32)"))
+    assert(mh.contains("7 AS band") && !mh.contains("8 AS band"))
+    assert(mh.contains(">= 0.5") && mh.contains("BETWEEN 2 AND 1000"))
+    val sh = XxhReplaySql.simhashNearDupSql
+    // 64 fingerprint bits, 4 bands, hamming <= 6
+    assert(sh.contains("AS c63") && !sh.contains("AS c64"))
+    assert(sh.contains("3 AS band") && !sh.contains("4 AS band"))
+    assert(sh.contains("<= 6"))
+  }
+}
