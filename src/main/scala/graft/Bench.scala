@@ -93,6 +93,7 @@ object Bench {
 
     // One timed execution; returns (outcome, seconds). Shared by both
     // passes so pass-2 minimums are measured identically to pass 1.
+    var lastRows = -1L // result size of the last ok run (stderr diagnostics)
     def runOnce(name: String, recordOutcome: Boolean): (String, Double) = {
       val fn = all(name)
       val fut = pool.submit(new Callable[Long] {
@@ -104,7 +105,7 @@ object Bench {
       })
       val t0 = System.nanoTime()
       val outcome =
-        try { fut.get(capSec, TimeUnit.SECONDS); "ok" }
+        try { lastRows = fut.get(capSec, TimeUnit.SECONDS); "ok" }
         catch {
           case _: TimeoutException =>
             spark.sparkContext.cancelJobGroup(name); fut.cancel(true)
@@ -139,7 +140,8 @@ object Bench {
         times(name) = if (outcome == "failed") -1.0 else sec
         firstRun(name) = times(name)
         reps(name) = 1
-        System.err.println(f"[bench] $name%-28s $sec%8.2f s  [$outcome]")
+        val rows = if (outcome == "ok") s"  rows=$lastRows" else ""
+        System.err.println(f"[bench] $name%-28s $sec%8.2f s  [$outcome]$rows")
       }
     }
     // Pass 2 (budget permitting): re-run ok queries and keep the per-query

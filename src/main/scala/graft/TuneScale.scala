@@ -28,11 +28,18 @@ object TuneScale {
     val cells = math.max(8, (n / 250L).toInt)
     println(s"n=$n cells=$cells")
     val cents = t("ivfFit")(Ann.ivfFit(cv, cells, 3, 42))
-    val assigned = cv.select($"id", $"v",
-      graft.queries.Embeddings.norm($"v").as("nrm"),
-      Ann.assignCell(cents)($"v").as("cell"),
-      transform(slice(reverse(array_sort(Ann.cellScores(cents)($"v"))), 1, 3),
-        sc => sc.getField("cell")).as("probe_cells"))
+    // same branch as the shipped query (Embeddings.semanticDedupDirectWith)
+    val assigned = (
+      if (cents.size <= Ann.LiteralCentroidBound)
+        cv.select($"id", $"v",
+          graft.queries.Embeddings.norm($"v").as("nrm"),
+          Ann.assignCell(cents)($"v").as("cell"),
+          transform(slice(reverse(array_sort(Ann.cellScores(cents)($"v"))), 1, 3),
+            sc => sc.getField("cell")).as("probe_cells"))
+      else
+        Ann.assignProbesJoined(cv, cents, 3).join(cv, "id")
+          .select($"id", $"v", graft.queries.Embeddings.norm($"v").as("nrm"),
+            $"cell", $"probe_cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     t("assign")(assigned.count())
     val ex = assigned.select($"id", explode($"probe_cells").as("pc"))

@@ -99,6 +99,59 @@ object Ann {
   def assignCell(centroids: Seq[Array[Double]])(vec: Column): Column =
     array_max(cellScores(centroids)(vec)).getField("cell")
 
+  /** Plan-literal centroid chains stay codegen-friendly up to this many
+    * cells; beyond it the nCells-term expression tree outgrows whole-
+    * stage codegen and evaluation degrades, so large quantizers take the
+    * broadcast-join assignment instead. Measured at the r14 perturbed
+    * 30× decade (60k DISTINCT vectors, 240 cells by the ~250/cell law):
+    * ivfFit's three Lloyd passes cost 229.6 s on the literal chain vs
+    * ~10 s joined — the fit was 80 % of q_semantic_dedup's 287 s. Every
+    * driver SF fits ≤ 16 cells, so the shipped sf0.001–0.1 plans (and
+    * their centroid-embed oracles) are byte-identical either way. */
+  val LiteralCentroidBound = 32
+
+  /** The large-quantizer assignment: centroids broadcast as a tiny table,
+    * each row scored against every cell through ONE constant-size codegen
+    * dot product (explode a literal cell-id array → broadcast hash join —
+    * an equi-join, not a cartesian), then a single map-combinable
+    * hash-aggregate picks the argmax cell and the top-`nProbe` probe
+    * list. Decision-identical to the literal path: the same DotProduct
+    * expression produces the same IEEE score, and max/array_sort over
+    * (s, cell) structs break ties toward the greater cell exactly like
+    * array_max over cellScores. Output: (id, cell, probe_cells). */
+  def assignProbesJoined(cv: DataFrame, centroids: Seq[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val spark = cv.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("c_cell", "c_v")
+    val scored = cv
+      .withColumn("c_cell", explode(typedlit(centroids.indices.toArray)))
+      .join(broadcast(cents), "c_cell")
+      .select($"id", $"c_cell", dotProduct($"v", $"c_v").as("s"))
+    scored.groupBy($"id").agg(
+      max(struct($"s", $"c_cell")).getField("c_cell").as("cell"),
+      transform(
+        slice(reverse(array_sort(collect_list(struct($"s", $"c_cell")))),
+          1, nProbe),
+        sc => sc.getField("c_cell")).as("probe_cells"))
+  }
+
+  /** Slim argmax-only form of assignProbesJoined for the Lloyd loop:
+    * (id, cell), no probe list, no collect_list buffer. */
+  private[operators] def assignCellsJoined(cv: DataFrame,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val spark = cv.sparkSession
+    import spark.implicits._
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("c_cell", "c_v")
+    cv.withColumn("c_cell", explode(typedlit(centroids.indices.toArray)))
+      .join(broadcast(cents), "c_cell")
+      .select($"id", $"c_cell", dotProduct($"v", $"c_v").as("s"))
+      .groupBy($"id")
+      .agg(max(struct($"s", $"c_cell")).getField("c_cell").as("cell"))
+  }
+
   /** The IVF coarse-quantizer fit shared by ivfTopK and
     * Embeddings.semanticDedup: deterministic seeding (the nCells corpus
     * vectors with the smallest seeded id-hash — stable under
@@ -132,9 +185,17 @@ object Ann {
       // Lloyd pass at 80 cells into ~16 min of CPU in the r8 10×
       // experiment (jstack: every worker in generate_doConsume).
       // Behind the barrier the cell is computed once per row and the
-      // shuffle is a slim (cell, v) pair, nCells-independent.
-      val means = cv
-        .select(assignCell(centroids)($"v").as("cell"), $"v")
+      // shuffle is a slim (cell, v) pair, nCells-independent. Beyond
+      // LiteralCentroidBound cells the literal chain itself is the
+      // bottleneck (229.6 s/fit at the 240-cell 30× decade) — the
+      // broadcast-join assignment replaces it, decision-identically.
+      val assigned =
+        if (centroids.size <= LiteralCentroidBound)
+          cv.select(assignCell(centroids)($"v").as("cell"), $"v")
+        else
+          assignCellsJoined(cv, centroids).join(cv, "id")
+            .select($"cell", $"v")
+      val means = assigned
         .repartition(spark.sparkContext.defaultParallelism)
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos").agg(avg($"x").as("m"))
@@ -171,9 +232,15 @@ object Ann {
     if (centroids.isEmpty) return centroids
     for (_ <- 0 until lloydIters) {
       // same exchange barrier as ivfFit: the cell is computed once per
-      // row, never inlined into the Generate (the r8 16-minute hazard)
-      val means = cvw
-        .select(assignCell(centroids)($"v").as("cell"), $"v", $"w")
+      // row, never inlined into the Generate (the r8 16-minute hazard);
+      // same large-quantizer join path past LiteralCentroidBound
+      val assigned =
+        if (centroids.size <= LiteralCentroidBound)
+          cvw.select(assignCell(centroids)($"v").as("cell"), $"v", $"w")
+        else
+          assignCellsJoined(cvw, centroids).join(cvw, "id")
+            .select($"cell", $"v", $"w")
+      val means = assigned
         .repartition(spark.sparkContext.defaultParallelism)
         .select($"cell", $"w", posexplode($"v").as(Seq("pos", "x")))
         .groupBy($"cell", $"pos")
@@ -222,9 +289,16 @@ object Ann {
     val cv = corpus.select($"id", asDouble($"vec").as("v"))
     val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
     // norms computed once per row, not per candidate pair (bruteTopK's
-    // shape: a per-pair norm() re-folds O(dim) for every candidate)
-    val assigned = cv.select($"id", $"v", norm($"v").as("nrm"),
-      assignCell(centroids)($"v").as("cell"))
+    // shape: a per-pair norm() re-folds O(dim) for every candidate);
+    // corpus assignment takes the join path past LiteralCentroidBound
+    // (query probes stay literal — the query side is a handful of rows)
+    val assigned =
+      if (centroids.size <= LiteralCentroidBound)
+        cv.select($"id", $"v", norm($"v").as("nrm"),
+          assignCell(centroids)($"v").as("cell"))
+      else
+        assignCellsJoined(cv, centroids).join(cv, "id")
+          .select($"id", $"v", norm($"v").as("nrm"), $"cell")
     // query probes: top-nProbe cells by centroid similarity (sort the
     // score structs ascending, take the tail, project the cell ids)
     val probes = qv.select($"q_id", $"q_v", norm($"q_v").as("q_nrm"),
@@ -263,6 +337,30 @@ object Ann {
     * runs on the join key's own partitioning. Pairs lost to the guard
     * are the pathological self-similar mass exact dedup removes more
     * cheaply first. */
+  /** The log₂(corpus) signature-width law the scaladoc above prescribes,
+    * as a callable: the smallest nBits ≥ `floorBits` holding expected
+    * per-table bucket occupancy at or below `targetOcc` — i.e. the
+    * smallest b with n ≤ targetOcc · 2^b. Integer arithmetic (no float
+    * log whose last ulp could flip a boundary corpus). Per-table
+    * candidate volume is Σ bucket² ≈ n · occupancy, so fixing occupancy
+    * makes the candidate join LINEAR in corpus size where a fixed nBits
+    * is quadratic. The default targetOcc 125 is the sf0.1 (n = 2000,
+    * b = 4) operating point, so every driver SF keeps nBits 4 and the
+    * law only engages beyond the pinned-calibration regime. Recall
+    * falls with bits (1 − (1 − p^b)^T): fine at production near-dup
+    * thresholds (cosine ≥ 0.9 ⇒ p ≈ 0.86; b = 9, T = 24 still gives
+    * 0.999 — measured in TuneLshBits), but NOT at this corpus's loose
+    * 0.35 exploratory threshold (p ≈ 0.61; the r12 5-bit retune was
+    * measured losing real borderline pairs) — which is why
+    * q_lsh_neardup keeps its pinned 4 bits and the law ships as the
+    * explicit knob for high-threshold production use. */
+  def nBitsForCorpus(n: Long, targetOcc: Long = 125L,
+      floorBits: Int = 4): Int = {
+    var b = floorBits
+    while ((targetOcc << b) < n && b < 16) b += 1
+    b
+  }
+
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       nTables: Int = 24, nBits: Int = 4, seed: Int = 42,
       maxBucket: Int = 10000): DataFrame = {

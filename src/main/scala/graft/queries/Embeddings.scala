@@ -550,12 +550,21 @@ object Embeddings {
     // a sort) must evaluate once per row, never inlined into the
     // explode below or re-derived per consumer — the same
     // generate-inlining hazard ivfFit's Lloyd pass guards against.
-    val assigned = cv.select($"id", $"v", norm($"v").as("nrm"),
-      Ann.assignCell(centroids)($"v").as("cell"),
-      transform(
-        slice(reverse(array_sort(Ann.cellScores(centroids)($"v"))),
-          1, nAssign),
-        sc => sc.getField("cell")).as("probe_cells"))
+    val assigned = (
+      if (centroids.size <= Ann.LiteralCentroidBound)
+        cv.select($"id", $"v", norm($"v").as("nrm"),
+          Ann.assignCell(centroids)($"v").as("cell"),
+          transform(
+            slice(reverse(array_sort(Ann.cellScores(centroids)($"v"))),
+              1, nAssign),
+            sc => sc.getField("cell")).as("probe_cells"))
+      else
+        // large quantizer: broadcast-join scoring, decision-identical
+        // (see Ann.assignProbesJoined; the 30× decade measured the
+        // literal chain at 229.6 s of this query's 287 s)
+        Ann.assignProbesJoined(cv, centroids, nAssign).join(cv, "id")
+          .select($"id", $"v", norm($"v").as("nrm"), $"cell",
+            $"probe_cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     // candidate pairs: share ≥1 probe cell; slim (id, cell) rows only,
@@ -627,13 +636,21 @@ object Embeddings {
     val memb = keyed.select($"rep", $"vec_id")
     val reps = keyed.filter($"vec_id" === $"rep")
       .select($"rep".as("id"), asDouble($"embedding").as("v"), $"csize")
-    // same persist + eager-materialize discipline as the direct form
-    val assigned = reps.select($"id", $"v", norm($"v").as("nrm"), $"csize",
-      Ann.assignCell(centroids)($"v").as("cell"),
-      transform(
-        slice(reverse(array_sort(Ann.cellScores(centroids)($"v"))),
-          1, nAssign),
-        sc => sc.getField("cell")).as("probe_cells"))
+    // same persist + eager-materialize discipline as the direct form,
+    // same large-quantizer join branch
+    val assigned = (
+      if (centroids.size <= Ann.LiteralCentroidBound)
+        reps.select($"id", $"v", norm($"v").as("nrm"), $"csize",
+          Ann.assignCell(centroids)($"v").as("cell"),
+          transform(
+            slice(reverse(array_sort(Ann.cellScores(centroids)($"v"))),
+              1, nAssign),
+            sc => sc.getField("cell")).as("probe_cells"))
+      else
+        Ann.assignProbesJoined(reps.select($"id", $"v"), centroids, nAssign)
+          .join(reps, "id")
+          .select($"id", $"v", norm($"v").as("nrm"), $"csize", $"cell",
+            $"probe_cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
     val ex = assigned.select($"id", explode($"probe_cells").as("pc"))

@@ -127,6 +127,50 @@ class AnnSpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("joined assignment ≡ literal assignment: same cell, same probe " +
+      "list, same order, on a random corpus at a past-the-bound quantizer") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+    val cents: Seq[Array[Double]] = Seq.fill(40) { // > LiteralCentroidBound
+      val v = vec(); val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cv = (0L until 300L).map(i => (i, vec())).toDF("id", "v")
+    val lit40 = cv.select($"id",
+        Ann.assignCell(cents)($"v").as("cell"),
+        transform(slice(reverse(array_sort(Ann.cellScores(cents)($"v"))), 1, 3),
+          sc => sc.getField("cell")).as("probes"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2).toList))).toMap
+    val joined = Ann.assignProbesJoined(cv, cents, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2).toList))).toMap
+    assert(joined.keySet === lit40.keySet)
+    for ((id, lv) <- lit40) assert(joined(id) === lv, s"id=$id")
+  }
+
+  test("nBitsForCorpus holds occupancy: 4 bits through every driver SF, " +
+      "then one bit per doubling") {
+    // every driver corpus (≤ 2000 vectors at sf0.1) stays in the pinned
+    // 4-bit calibration regime — the law must not move the shipped plans
+    for (n <- Seq(20L, 200L, 2000L))
+      assert(Ann.nBitsForCorpus(n) === 4, s"n=$n")
+    // exact boundary: 125·2^4 = 2000 is the last 4-bit corpus
+    assert(Ann.nBitsForCorpus(2001L) === 5)
+    // the perturbed-decade sizes: 10×/30× sf0.1 distinct content
+    assert(Ann.nBitsForCorpus(20000L) === 8)  // 125·2^7 = 16000 < 20000
+    assert(Ann.nBitsForCorpus(60000L) === 9)  // 125·2^9 = 64000 ≥ 60000
+    // occupancy n/2^b never exceeds 2·targetOcc (one-bit granularity)
+    for (n <- Seq(5000L, 123456L, 10000000L)) {
+      val b = Ann.nBitsForCorpus(n)
+      assert(n.toDouble / (1L << b) <= 250.0, s"n=$n b=$b")
+    }
+    assert(Ann.nBitsForCorpus(Long.MaxValue) === 16) // clamp
+  }
+
   test("empty corpus yields empty results, not a driver crash") {
     val spark2 = spark
     import spark2.implicits._

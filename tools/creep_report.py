@@ -20,9 +20,22 @@ common-query set:
 
 Writes BENCH_QUIET_r13.json and prints a markdown summary.
 
-Usage: python3 tools/creep_report.py /tmp/bench_quiet_r13_run*.json
+Usage: python3 tools/creep_report.py [--out BENCH_QUIET_rN.json] run*.json
+
+Since r14 this is the STANDING per-round artifact (VERDICT r13 #4):
+run the full suite quietly 3x at the round's HEAD and ship the report
+next to the driver bench, so a contended driver number never needs
+post-hoc adjudication. --out names the round's artifact (default
+BENCH_QUIET_r13.json, the original experiment).
 """
 import json, re, sys, statistics
+
+args = sys.argv[1:]
+OUT = "BENCH_QUIET_r13.json"
+if args and args[0] == "--out":
+    OUT = args[1]
+    args = args[2:]
+sys.argv = [sys.argv[0]] + args
 
 def tail_times(path):
     """Per-query seconds from a driver artifact's (truncated) tail."""
@@ -82,7 +95,7 @@ out = {
     "queries": {n: round(v, 3) for n, v in qmin.items()},
     "first_runs": {n: [round(c, 3) for c in cold[n]] for n in names},
 }
-json.dump(out, open("BENCH_QUIET_r13.json", "w"), indent=1)
+json.dump(out, open(OUT, "w"), indent=1)
 
 print(f"runs: {len(runs)}  totals {out['totals_per_run']}  "
       f"sum-of-mins {out['total_of_mins']} s")
@@ -103,4 +116,4 @@ verdict = ("ENVIRONMENT: quiet runs sit at r10 levels; the +32% was not in the c
            "STRUCTURAL: quiet runs keep the inflation; bisect the code delta")
 print("verdict:", verdict)
 out["verdict"] = verdict
-json.dump(out, open("BENCH_QUIET_r13.json", "w"), indent=1)
+json.dump(out, open(OUT, "w"), indent=1)
