@@ -37,7 +37,7 @@ object TuneLshBits {
       (rows, (System.nanoTime() - t0) / 1e9)
     }
 
-    println("| corpus | n | nBits | pairs | t_fixed4 (s) | t_law (s) |")
+    println("| corpus | n | law nBits | pairs fixed4/law | t_fixed4 (s) | t_law (s) |")
     println("|---|---|---|---|---|---|")
     for (dir <- dirs) {
       val c = graft.sources.Tables.embeddings(spark, dir)
@@ -54,10 +54,15 @@ object TuneLshBits {
           c, 0.9, 24, bits, 42, 10000, dim).count())
         (r1, math.min(t1, t2))
       }
-      val (p4, t4) = run(4)
-      val (pl, tl) = if (law == 4) (p4, t4) else run(law)
-      require(pl <= p4 || law == 4) // law form can only lose recall
-      println(f"| ${new java.io.File(dir).getName} | $n%d | $law%d | $p4%d | $t4%.2f | $tl%.2f |")
+      // same analytic estimate as the shipped gate: don't run an arm the
+      // gate would (correctly) refuse — record it as gated instead
+      val est4 = 24.0 * n * n / 16.0
+      val (p4s, t4s) =
+        if (est4 > Ann.MaxLshCandidateEstimate) ("gated", "gated")
+        else { val (p, t) = run(4); (p.toString, f"$t%.2f") }
+      val (pl, tl) = run(law)
+      println(f"| ${new java.io.File(dir).getName} | $n%d | $law%d | " +
+        f"$p4s/$pl%d | $t4s | $tl%.2f |")
       c.unpersist(blocking = true)
       System.gc()
     }

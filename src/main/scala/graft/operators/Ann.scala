@@ -363,7 +363,8 @@ object Ann {
 
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       nTables: Int = 24, nBits: Int = 4, seed: Int = 42,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      maxCandidateEstimate: Long = MaxLshCandidateEstimate): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dims = corpus.select(size($"vec")).take(1)
@@ -381,6 +382,29 @@ object Ann {
     // Probe memoized per session (DupProbe, r12): q_lsh_neardup and
     // q_lsh_recall share one pass over the same corpus frame.
     val dupFactor = DupProbe.dupFactor(corpus, $"vec")
+    // CANDIDATE-VOLUME GATE (r14, the q_linkpred_e2e posture applied to
+    // the one remaining fixed-width plan): with nBits fixed, expected
+    // pre-dedup candidates ≈ nTables · nEff² / 2^nBits, where nEff is
+    // the DISTINCT-vector count the chosen branch actually buckets
+    // (n / dupFactor — the collapse valve absorbs the twin axis, this
+    // gate covers the distinct axis the r14 perturbed decade measured:
+    // 30× sf0.1 ⇒ ~7.2e9 candidates, OOM at 8 g heap and disk-full at
+    // 48 g after 709 s). The estimate is analytic — a row count, no
+    // signature pass — and fails FAST with the remedy named, instead of
+    // crashing the cluster minutes in. Every driver SF is ≤ 8e6; the
+    // measured-feasible 10× decade point (8e8) passes.
+    val nEff = (corpus.count() / math.max(dupFactor, 1.0)).toLong
+    val estCandidates =
+      nTables.toDouble * nEff.toDouble * nEff.toDouble / (1L << nBits)
+    require(estCandidates <= maxCandidateEstimate,
+      f"lshNearDupPairs: ~$estCandidates%.2g expected bucket-join candidates " +
+        f"at $nTables tables × $nBits bits over $nEff%d distinct vectors " +
+        f"exceeds the ${maxCandidateEstimate}%d budget. At high " +
+        f"thresholds raise nBits toward nBitsForCorpus($nEff%d) = " +
+        f"${nBitsForCorpus(nEff)}%d (and nTables for recall — see the " +
+        "nBitsForCorpus scaladoc); at loose thresholds the ≥-threshold " +
+        "pair set itself is quadratic and should be range-partitioned " +
+        "or threshold-tightened upstream.")
     if (dupFactor < CollapseDupFactor)
       lshNearDupPairsDirect(corpus, threshold, nTables, nBits, seed,
         maxBucket, dim)
@@ -388,6 +412,12 @@ object Ann {
       lshNearDupPairsCollapsed(corpus, threshold, nTables, nBits, seed,
         maxBucket, dim)
   }
+
+  /** Fail-fast budget for lshNearDupPairs' expected pre-dedup candidate
+    * volume — calibrated between the measured-feasible 10× distinct
+    * decade (8e8 candidates, 139.8 s) and the measured-infeasible 30×
+    * (7.2e9: 8 g OOM / 48 g disk-full). */
+  val MaxLshCandidateEstimate = 2000000000L
 
   /** Duplication factor above which lshNearDupPairs collapses exact
     * vector twins before bucketing — the family-wide constant

@@ -127,6 +127,21 @@ class AnnSpec extends SparkSpec {
     assert(out === Set((1L, 2L)))
   }
 
+  test("candidate-volume gate fails fast with the width law named, and " +
+      "stays silent at the shipped budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    val distinct = (0L until 200L)
+      .map(i => (i, Array(i.toFloat, 1f, 0f, 0f))).toDF("id", "vec")
+    // 24·200²/16 = 60k estimated candidates: trips a 50k budget…
+    val e = intercept[IllegalArgumentException] {
+      Ann.lshNearDupPairs(distinct, 0.9, maxCandidateEstimate = 50000L)
+    }
+    assert(e.getMessage.contains("nBitsForCorpus"))
+    // …and passes untouched at the shipped default budget
+    Ann.lshNearDupPairs(distinct, 0.9).count()
+  }
+
   test("joined assignment ≡ literal assignment: same cell, same probe " +
       "list, same order, on a random corpus at a past-the-bound quantizer") {
     val spark2 = spark
