@@ -3,9 +3,11 @@ package graft.queries
 import graft.SparkSpec
 import graft.sources.Tables
 
-/** Embedding aggregation: centroids against a driver-side recomputation
-  * (float means are order-dependent in the last ulp, hence spec + tolerance
-  * rather than a SQL oracle). */
+/** Embedding aggregation: centroids against a driver-side recomputation.
+  * Since r14 the query accumulates EXACTLY in fixed point (2^63-scaled
+  * integer sum, one terminal rounding) and is hash-checked by a DuckDB
+  * oracle; this spec keeps the independent check that the exact mean
+  * stays within float tolerance of a naive driver-side float mean. */
 class EmbeddingsSpec extends SparkSpec {
 
   test("centroids match a local elementwise mean at sf0.001") {
