@@ -1219,6 +1219,13 @@ object SparkEntry {
     "q_minhash_neardup" -> XxhReplaySql.minhashNearDupSql,
     "q_simhash_neardup" -> XxhReplaySql.simhashNearDupSql,
 
+    // …and the splitmix64-seeded sketches (r14): Count-Min counters are
+    // exact sums and bottom-k is a rank over a seeded hash of the value
+    // set, so DuckDB rebuilds both sketches from the raw tables
+    // (SplitmixReplaySql scaladoc)
+    "q_cm_words" -> SplitmixReplaySql.cmWordsSql,
+    "q_bottomk_sample" -> SplitmixReplaySql.bottomkSampleSql,
+
     "q_nation_delta" ->
       """SELECT nationkey FROM (
         |  SELECT DISTINCT c_nationkey AS nationkey FROM customer

@@ -17,12 +17,25 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SketchAggs {
 
-  /** splitmix64 finalizer — a full-avalanche 64-bit mixer. */
-  private[functions] def mix(z0: Long): Long = {
+  /** splitmix64 finalizer — a full-avalanche 64-bit mixer. private[graft]
+    * so the replay oracles (oracle/XxhReplaySql.SplitmixReplaySql) can
+    * evaluate probe/seed constants from THIS implementation rather than
+    * a drift-prone copy. */
+  private[graft] def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
+  }
+
+  /** The chained per-byte splitmix hash CountMinEstimate keys on —
+    * shared with the replay oracle for the same no-drift reason. */
+  private[graft] def chainHash(s: String, seed: Long): Long = {
+    val b = s.getBytes("UTF-8")
+    var h = seed
+    var i = 0
+    while (i < b.length) { h = mix(h ^ (b(i) & 0xffL)); i += 1 }
+    h
   }
 
   /** Deterministic uniform k-sample of a long column's DISTINCT values —
@@ -347,13 +360,7 @@ case class CountMinEstimate(child: Expression, items: Seq[String],
 
   /** Full-avalanche chained hash of UTF-8 bytes, then one derived value
     * per depth row. */
-  private def baseHash(s: String): Long = {
-    val b = s.getBytes("UTF-8")
-    var h = seed
-    var i = 0
-    while (i < b.length) { h = SketchAggs.mix(h ^ (b(i) & 0xffL)); i += 1 }
-    h
-  }
+  private def baseHash(s: String): Long = SketchAggs.chainHash(s, seed)
   private def bucket(base: Long, d: Int): Int =
     (SketchAggs.mix(base + d) & mask).toInt
 

@@ -42,25 +42,25 @@ object XxhReplaySql {
   /** Unsigned-decimal literal of a Long's 64-bit pattern. */
   private def u(x: Long): String = java.lang.Long.toUnsignedString(x)
 
-  private def mod64(x: String) = s"(($x) % $M64)"
+  private[graft] def mod64(x: String) = s"(($x) % $M64)"
 
   /** (a*b) mod 2^64 via 32-bit halves; intermediates < 2^66 fit int128. */
-  private def mul64(a: String, b: String): String = mod64(
+  private[graft] def mul64(a: String, b: String): String = mod64(
     s"(($a) % 4294967296) * (($b) % 4294967296)" +
       s" + (((($a) % 4294967296) * (($b) // 4294967296)" +
       s" + (($a) // 4294967296) * (($b) % 4294967296)) % 4294967296)" +
       s" * 4294967296")
 
-  private def mul64(a: String, b: Long): String = mul64(a, u(b))
+  private[graft] def mul64(a: String, b: Long): String = mul64(a, u(b))
 
   private def rotl(x: String, r: Int): String = {
     val lo = java.math.BigInteger.ONE.shiftLeft(64 - r)
     s"((($x) % $lo) * ${java.math.BigInteger.ONE.shiftLeft(r)} + ($x) // $lo)"
   }
 
-  private def xorS(a: String, b: String) = s"xor($a, $b)"
+  private[graft] def xorS(a: String, b: String) = s"xor($a, $b)"
 
-  private def shr(x: String, r: Int) =
+  private[graft] def shr(x: String, r: Int) =
     s"(($x) // ${java.math.BigInteger.ONE.shiftLeft(r)})"
 
   /** round(0, w) = rotl31(w·P2)·P1 — the XXH64 lane round with acc 0. */
@@ -83,12 +83,12 @@ object XxhReplaySql {
   }
 
   /** Unsigned [0,2^64) → signed BIGINT (Spark LongType's value). */
-  private def toSigned(x: String): String =
+  private[graft] def toSigned(x: String): String =
     s"(CASE WHEN ($x) >= 9223372036854775808 THEN CAST(($x) - $M64 AS BIGINT)" +
       s" ELSE CAST($x AS BIGINT) END)"
 
   /** Signed BIGINT column → unsigned [0,2^64) HUGEINT. */
-  private def toUnsigned(c: String): String =
+  private[graft] def toUnsigned(c: String): String =
     s"(CAST($c AS HUGEINT) + (CASE WHEN $c < 0 THEN $M64 ELSE 0 END))"
 
   /** 8-byte little-endian word of byte-list `bs` at 0-based offset expr. */
@@ -97,18 +97,25 @@ object XxhReplaySql {
       s"($bs[($off) + ${j + 1}]::HUGEINT) * ${java.math.BigInteger.ONE.shiftLeft(8 * j)}")
       .mkString("(", " + ", ")")
 
+  /** The UTF8-byte extraction prologue shared by every string replay:
+    * `{out}_hx` (hex), `{out}_bl` (byte length), `{out}_bs` (1-indexed
+    * HUGEINT byte list). */
+  private[graft] def byteStages(strCol: String,
+      out: String): Seq[(String, String)] = Seq(
+    s"${out}_hx" -> s"hex(encode($strCol))",
+    s"${out}_bl" -> s"octet_length(encode($strCol))",
+    s"${out}_bs" ->
+      (s"list_transform(generate_series(1, ${out}_bl), i -> " +
+        s"CAST((strpos('0123456789ABCDEF', substr(${out}_hx, 2*i-1, 1)) - 1) * 16" +
+        s" + strpos('0123456789ABCDEF', substr(${out}_hx, 2*i, 1)) - 1 AS HUGEINT))"))
+
   /** Stage list computing XXH64(utf8($strCol), seed) into `{out}_u`:
     * hex-decode the UTF8 bytes, 4-lane 32-byte stripes, 8/4/1-byte
     * tails, avalanche — the full variable-length algorithm. */
   private def strHashStages(strCol: String, out: String,
       seed: Long = 42L): Seq[(String, String)] = {
     val st = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    st += s"${out}_hx" -> s"hex(encode($strCol))"
-    st += s"${out}_bl" -> s"octet_length(encode($strCol))"
-    st += s"${out}_bs" ->
-      (s"list_transform(generate_series(1, ${out}_bl), i -> " +
-        s"CAST((strpos('0123456789ABCDEF', substr(${out}_hx, 2*i-1, 1)) - 1) * 16" +
-        s" + strpos('0123456789ABCDEF', substr(${out}_hx, 2*i, 1)) - 1 AS HUGEINT))")
+    st ++= byteStages(strCol, out)
     st += s"${out}_ns" -> s"(${out}_bl // 32)"
     val inits = Seq(seed + P1 + P2, seed + P2, seed, seed - P1)
     for (lane <- 0 until 4) {
@@ -159,7 +166,7 @@ object XxhReplaySql {
 
   /** Chain layers of independent columns into a CTE pipeline; returns
     * (cteText, lastName). */
-  private def layeredCte(base: String, layers: Seq[Seq[(String, String)]],
+  private[graft] def layeredCte(base: String, layers: Seq[Seq[(String, String)]],
       first: String): (String, String) = {
     val sb = new StringBuilder(s"$first AS ($base)")
     var prev = first
@@ -323,5 +330,121 @@ object XxhReplaySql {
        |FROM cand
        |WHERE bit_count(xor(a_fp, b_fp)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
+  }
+}
+
+/** DuckDB replay SQL for the splitmix64-seeded sketch aggregates
+  * (functions/SketchAggs.scala) — the r14 follow-on to the xxhash64
+  * replay above, flipping q_cm_words and q_bottomk_sample from rows-only
+  * to hash-checked. Both sketches are pure functions of the row multiset
+  * (Count-Min counters are exact sums; bottom-k is a rank over a seeded
+  * hash of the value set), so DuckDB can rebuild them from the raw
+  * tables: the splitmix64 mixer is three mul-xor-shift stages in the
+  * same HUGEINT mod-2^64 formulation, and the per-byte chain hash is a
+  * list_reduce fold over the UTF8 byte list. The probe items' buckets
+  * and the bottom-k seed mix are constants of the QUERY (not the data),
+  * evaluated through the very SketchAggs.mix/chainHash implementation
+  * the aggregates run — the Ann.hyperplane embedding precedent, with
+  * zero copy-drift risk.
+  *
+  * Both SQLs were validated against the Spark verify dumps at sf0.01
+  * before landing (18 cm rows, 3 bottom-k groups, bit-exact). */
+object SplitmixReplaySql {
+  import XxhReplaySql.{mod64, mul64, xorS, shr, toSigned, byteStages, layeredCte}
+  import graft.functions.SketchAggs
+
+  /** splitmix64 over an unsigned-HUGEINT expression (SketchAggs.mix). */
+  private def mixSql(z: String): String = {
+    val s1 = mod64(s"($z) + 11400714819323198485")
+    val s2 = mul64(xorS(s1, shr(s1, 30)), 0xbf58476d1ce4e5b9L)
+    val s3 = mul64(xorS(s2, shr(s2, 27)), 0x94d049bb133111ebL)
+    xorS(s3, shr(s3, 31))
+  }
+
+  /** Stages computing SketchAggs.chainHash(strCol, seed) into {out}_u. */
+  private def chainHashStages(strCol: String, out: String,
+      seed: Long): Seq[(String, String)] =
+    byteStages(strCol, out) :+ (s"${out}_u" ->
+      (s"list_reduce(list_concat([CAST($seed AS HUGEINT)], ${out}_bs), " +
+        s"(a, b) -> ${mixSql(xorS("a", "b"))})"))
+
+  /** q_cm_words replay — TextAnalysis.cmWords' pinned shape (probe set,
+    * widthLog2 = 10, depth = 4, seed = 42): DuckDB chain-hashes the
+    * distinct token vocabulary, derives the 4 per-depth buckets, builds
+    * the per-(lang, depth, bucket) counters from the FULL token stream
+    * (multiplicity included — the Count-Min merge is an exact sum, so
+    * the counters are partition-order-free by construction), and takes
+    * each probe's min counter. Probe buckets are query constants
+    * evaluated via SketchAggs.chainHash/mix. */
+  lazy val cmWordsSql: String = {
+    val probes = Seq("the", "table", "data", "spark", "query", "zzz_absent")
+    val depth = 4; val mask = (1 << 10) - 1
+    val (ctes, last) = layeredCte("SELECT DISTINCT w FROM posts",
+      chainHashStages("w", "bh", 42L).map(Seq(_)), "v0")
+    val arms = (0 until depth).map(d =>
+      s"SELECT w, $d AS d, (${mixSql(mod64(s"bh_u + $d"))}) % 1024 AS bucket " +
+        s"FROM $last").mkString("\n  UNION ALL\n  ")
+    val probeRows = (for (it <- probes; d <- 0 until depth) yield {
+      val b = SketchAggs.mix(SketchAggs.chainHash(it, 42L) + d) & mask
+      s"('$it', $d, $b)"
+    }).mkString(",\n    ")
+    s"""WITH posts AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+       |),
+       |$ctes,
+       |vb AS (
+       |  $arms
+       |), cnt AS (
+       |  SELECT p.lang, b.d, b.bucket, count(*) AS c
+       |  FROM posts p JOIN vb b USING (w)
+       |  GROUP BY 1, 2, 3
+       |), pb(item, d, bucket) AS (
+       |  VALUES $probeRows
+       |), langs AS (
+       |  SELECT DISTINCT lang FROM documents
+       |), est AS (
+       |  SELECT l.lang, p.item, min(coalesce(c.c, 0)) AS est
+       |  FROM langs l CROSS JOIN pb p
+       |  LEFT JOIN cnt c ON c.lang = l.lang AND c.d = p.d AND c.bucket = p.bucket
+       |  GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT lang, w AS item, count(*) AS tc FROM posts
+       |  WHERE w IN (${probes.map(p => s"'$p'").mkString(", ")})
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.lang, e.item, e.est,
+       |  coalesce(x.tc, 0) AS true_count,
+       |  e.est - coalesce(x.tc, 0) AS overcount
+       |FROM est e LEFT JOIN exact x ON x.lang = e.lang AND x.item = e.item
+       |ORDER BY e.lang, e.item""".stripMargin
+  }
+
+  /** q_bottomk_sample replay — Extended.bottomkSample's pinned shape
+    * (k = 5, seed = 42 over lineitem's l_orderkey per l_returnflag):
+    * h = mix(v ⊕ mix(seed)) ranked ascending as SIGNED longs (the
+    * aggregate's TreeMap ordering) over the DISTINCT value set, k
+    * smallest kept, values emitted ascending. The 2⁻⁶⁴-probability hash
+    * collision between distinct values (where the aggregate keeps the
+    * first ARRIVAL) is the one non-replayable branch — it would fail
+    * the gate loudly, the documented sketch-determinism argument. */
+  lazy val bottomkSampleSql: String = {
+    val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
+    val h = mixSql(xorS("CAST(v AS HUGEINT)", mixSeed))
+    s"""WITH dv AS (
+       |  SELECT DISTINCT l_returnflag, l_orderkey AS v FROM lineitem
+       |), h AS (
+       |  SELECT l_returnflag, v, ${toSigned(h)} AS hs FROM dv
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY hs ASC) AS rn
+       |  FROM h
+       |), s AS (
+       |  SELECT l_returnflag, array_to_string(list(v ORDER BY v), ',') AS sample_keys
+       |  FROM r WHERE rn <= 5 GROUP BY 1
+       |), n AS (
+       |  SELECT l_returnflag, count(*) AS n_rows FROM lineitem GROUP BY 1
+       |)
+       |SELECT s.l_returnflag, s.sample_keys, n.n_rows
+       |FROM s JOIN n USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
   }
 }

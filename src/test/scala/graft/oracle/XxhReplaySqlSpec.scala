@@ -27,4 +27,19 @@ class XxhReplaySqlSpec extends SparkSpec {
     assert(sh.contains("3 AS band") && !sh.contains("4 AS band"))
     assert(sh.contains("<= 6"))
   }
+
+  test("splitmix replay SQLs embed the pinned sketch parameters and the " +
+      "constants of the SHARED SketchAggs implementation") {
+    import graft.functions.SketchAggs
+    val cm = SplitmixReplaySql.cmWordsSql
+    // the query's probe set, 4 depth rows, width 1024
+    assert(cm.contains("'zzz_absent'") && cm.contains("% 1024"))
+    assert(cm.contains("3 AS d") && !cm.contains("4 AS d"))
+    // a probe bucket constant evaluated through the real chainHash/mix
+    val b0 = SketchAggs.mix(SketchAggs.chainHash("the", 42L) + 0) & 1023
+    assert(cm.contains(s"('the', 0, $b0)"))
+    val bk = SplitmixReplaySql.bottomkSampleSql
+    assert(bk.contains("rn <= 5"))
+    assert(bk.contains(java.lang.Long.toUnsignedString(SketchAggs.mix(42L))))
+  }
 }
