@@ -148,8 +148,13 @@ object Embeddings {
 
     if (dupFactor < graft.operators.DupProbe.CollapseDupFactor) pairsOf(raw)
     else {
-      val wTwin = Window.partitionBy($"label", $"embedding")
+      // hash-prefixed twin key (the r14 lshTopKCollapsed discipline):
+      // the 8-byte xxhash64 leads the sort key so shuffle-sort compares
+      // longs and falls through to the exact array compare only on true
+      // twins; exactness is unconditional — the payload stays in the key
+      val wTwin = Window.partitionBy($"__vh", $"label", $"embedding")
       val keyed = raw
+        .withColumn("__vh", xxhash64($"label", $"embedding"))
         .withColumn("rep", min($"vec_id").over(wTwin))
         .withColumn("csize", count(lit(1)).over(wTwin))
       val memb = keyed.select($"rep", $"vec_id")
@@ -391,8 +396,10 @@ object Embeddings {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
       if (graft.operators.DupProbe.shouldCollapse(e, $"embedding")) {
-        val wTwin = Window.partitionBy($"embedding")
+        // hash-prefixed twin key (the r14 lshTopKCollapsed discipline)
+        val wTwin = Window.partitionBy($"__vh", $"embedding")
         val reps = e
+          .withColumn("__vh", xxhash64($"embedding"))
           .withColumn("rep", min($"vec_id").over(wTwin))
           .withColumn("w", count(lit(1)).over(wTwin))
           .filter($"vec_id" === $"rep")
@@ -629,8 +636,10 @@ object Embeddings {
       threshold: Double, nAssign: Int): DataFrame = {
     import s.implicits._
     val Ann = graft.operators.Ann
-    val wTwin = Window.partitionBy($"embedding")
+    // hash-prefixed twin key (the r14 lshTopKCollapsed discipline)
+    val wTwin = Window.partitionBy($"__vh", $"embedding")
     val keyed = Tables.embeddings(s, dir)
+      .withColumn("__vh", xxhash64($"embedding"))
       .withColumn("rep", min($"vec_id").over(wTwin))
       .withColumn("csize", count(lit(1)).over(wTwin))
     val memb = keyed.select($"rep", $"vec_id")

@@ -449,8 +449,10 @@ object Extended {
       if (dupFactor < graft.operators.DupProbe.CollapseDupFactor)
         selfJoinOf(d)
     else {
-      val wTwin = Window.partitionBy($"sh")
+      // hash-prefixed twin key (the r14 lshTopKCollapsed discipline)
+      val wTwin = Window.partitionBy($"__vh", $"sh")
       val keyed = d
+        .withColumn("__vh", xxhash64($"sh"))
         .withColumn("rep", min($"doc_id").over(wTwin))
         .withColumn("csize", count(lit(1)).over(wTwin))
       val memb = keyed.select($"rep", $"doc_id")
