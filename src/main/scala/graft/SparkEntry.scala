@@ -228,9 +228,12 @@ object SparkEntry {
     "q_event_windows"     -> (Extended.eventWindows(_, _)),
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
     // wave 2: library operators — sketches/sampling stay rows-only by
-    // design; q_lsh_topk got its hyperplane-replay oracle in r13, and
+    // design; q_lsh_topk got its hyperplane-replay oracle in r13,
     // q_minhash_neardup/q_simhash_neardup their full xxhash64-replay
-    // oracles in r14 (XxhReplaySql)
+    // oracles in r14 (XxhReplaySql), and q_similarity_join_p2 its
+    // Murmur3/coefficient-replay oracle in r14 (Murmur3ReplaySql, a
+    // dynamic entry — the sampled ids + reflected MinHash coefficients
+    // embed per-session via Extended.prepareP2Oracle)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
@@ -529,7 +532,8 @@ object SparkEntry {
     * its pre-learn didn't run. */
   def oracleSql: Map[String, String] =
     staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry ++
-      Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry
+      Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry ++
+      Extended.p2OracleSqlEntry
 
   private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full

@@ -33,6 +33,15 @@ object SimilarityJoin {
       .setSeed(seed)
       .fit(df)
 
+  /** The fitted model's MinHash coefficient pairs, via the
+    * bytecode-public accessor of the private[ml] val — read off a REAL
+    * fitted model (the very fitMinHash the join runs) so the replay
+    * oracle embeds exactly the coefficients the join used, with no
+    * reimplemented RNG to drift. */
+  def randCoefficientsOf(model: MinHashLSHModel): Array[(Int, Int)] =
+    model.getClass.getMethod("randCoefficients").invoke(model)
+      .asInstanceOf[Array[(Int, Int)]]
+
   /** Self-join: (a_id, b_id, similarity) with a_id < b_id, each pair once.
     * @param idCol unique orderable id column in `df`
     * @param threshold minimum Jaccard *similarity* (not distance) */

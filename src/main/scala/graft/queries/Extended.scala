@@ -659,6 +659,41 @@ object Extended {
       .orderBy($"q_id", $"rank")
   }
 
+  /** The q_similarity_join_p2 oracle SQL, set by Verify via
+    * prepareP2Oracle before the dump; None (rows-only fallback) until
+    * then. */
+  @volatile private var p2Oracle: Option[String] = None
+
+  def p2OracleSqlEntry: Map[String, String] =
+    p2Oracle.map("q_similarity_join_p2" -> _).toMap
+
+  /** Build the q_similarity_join_p2 replay oracle (r14): everything
+    * downstream of the Bernoulli sample is a pure function of (text,
+    * MinHash coefficients), so DuckDB replays shingling, HashingTF's
+    * Murmur3, the 3-table signature mins, the OR-construction candidate
+    * join, and the exact index-set Jaccard (Murmur3ReplaySql). The two
+    * session facts embed as literals, the centroid-embed discipline:
+    * the sampled doc_id set, collected from the SAME plan prefix the
+    * query evaluates (S5's sampler is deterministic per (seed, split)
+    * given identical input files), and the coefficient pairs read via
+    * reflection off a model fitted by the query's own fitMinHash.
+    * Bounded: the collect is half of documents, ~250 ids at the verify
+    * SF; anything past the cap falls back to rows-only. */
+  def prepareP2Oracle(s: SparkSession, dir: String): Unit = {
+    p2Oracle = None
+    import s.implicits._
+    val ids = Tables.documents(s, dir).sample(0.5, 12345L)
+      .select($"doc_id").as[Long].collect()
+    if (ids.isEmpty || ids.length > 100000) return
+    val one = Seq(Tuple1(org.apache.spark.ml.linalg.Vectors.sparse(
+      4096, Array(0), Array(1.0)))).toDF("tf")
+    val coefs = graft.operators.SimilarityJoin.randCoefficientsOf(
+      graft.operators.SimilarityJoin.fitMinHash(one, "tf",
+        numHashTables = 3, seed = 42L))
+    p2Oracle = Some(graft.Murmur3ReplaySql.similarityJoinP2Sql(
+      ids.toIndexedSeq, coefs.toIndexedSeq))
+  }
+
   /** The q_ivf_topk oracle SQL, set by Verify via prepareIvfOracle
     * before the dump; None (rows-only fallback) until then. */
   @volatile private var ivfOracle: Option[String] = None
