@@ -34,7 +34,8 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
-    "q_stratified_sample", "q_bottomk_sample", "q_hash_split",
+    "q_stratified_sample", "q_bottomk_sample", "q_priority_sample",
+    "q_hash_split",
     "q_source_mix", "q_mix_temperature", "q_epoch_shuffle", "q_skew_join",
     "q_price_bands", "q_bloom_prune", "q_argmin_join", "q_late_orders",
     "q_string_agg", "q_custdist", "q_range_window", "q_grouping_sets",
@@ -66,6 +67,7 @@ object SparkEntry {
     "q_mjpeg_stats",
     "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
+    "q_editdist_pairs",
     "q_linkpred_pairs", "q_ngram_jaccard", "q_containment_pairs",
     "q_ingest_neardup",
     "q_pair_degrees",
@@ -238,6 +240,11 @@ object SparkEntry {
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
+    // key-hash priority sampling and the deletion-neighborhood edit-
+    // distance join (r14) are deterministic pure functions of the rows,
+    // so both carry full oracles — the first rows-exact SAMPLING query
+    "q_priority_sample"   -> (Extended.prioritySample(_, _)),
+    "q_editdist_pairs"    -> (Extended.editdistPairs(_, _)),
     "q_hash_split"        -> (Extended.hashSplit(_, _)),
     "q_epoch_shuffle"     -> ((s, d) => Extended.epochShuffle(s, d)),
     "q_profile"           -> (Extended.profileDocuments(_, _)),
@@ -1220,6 +1227,22 @@ object SparkEntry {
     // (staged HUGEINT XXH64 over the UTF8 bytes; see XxhReplaySql) and
     // re-derives signatures, band buckets, the guarded candidate join,
     // and the exact jaccard/hamming verify
+    // r14 continuation: key-hash priority sampling replayed through the
+    // same XXH64 machinery (hashLong fast path) + bit-identical float
+    // affine/division; and the deletion-neighborhood edit-distance join,
+    // whose completeness theorem lets the oracle be the FULL brute-force
+    // levenshtein self-join (length band |Δl| <= 1 is implied by ed <= 1)
+    "q_priority_sample" -> XxhReplaySql.prioritySampleSql,
+    "q_editdist_pairs" ->
+      """SELECT CAST(a.c_custkey AS BIGINT) AS a_id,
+        |  CAST(b.c_custkey AS BIGINT) AS b_id,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_minhash_neardup" -> XxhReplaySql.minhashNearDupSql,
     "q_simhash_neardup" -> XxhReplaySql.simhashNearDupSql,
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact edit-distance (Levenshtein) similarity self-join — the string
+  * twin of the embedding/shingle near-dup family: entity resolution on
+  * names/titles/ids, spell-variant collapse, OCR noise clustering.
+  * Spark has the `levenshtein` scalar but no sub-quadratic JOIN on it;
+  * this is the deletion-neighborhood (FastSS / SymSpell) scheme:
+  *
+  *   ed(s, t) <= d  ==>  Del_<=d(s) ∩ Del_<=d(t) != ∅
+  *
+  * where Del_<=d(x) is every string obtainable by deleting at most d
+  * characters from x. (Take an optimal alignment: delete from s the
+  * positions it substitutes or deletes, from t the positions it
+  * substitutes or inserts — both reach the common matched subsequence
+  * with <= d deletions each.) So generating each string's deletion
+  * variants, equi-joining on the variant, and exact-verifying the
+  * distinct candidate pairs with `levenshtein` is COMPLETE — no banding
+  * miss to argue about, which is why the driver query carries a full
+  * brute-force DuckDB oracle rather than a recall gate.
+  *
+  * Scale posture: the join key is the variant STRING — cardinality
+  * scales with the corpus (no low-cardinality block key), and a bucket
+  * holds only strings within mutual distance ~2d, so bucket size is
+  * data-inherent (a million identical names is a million-member true
+  * near-dup class — the output itself is quadratic there, like the
+  * valve-collapsed pair family). The variant fan-out is Σ_{k<=d} C(l,k)
+  * per string (19 rows at l=18, d=1; 172 at d=2) — the scheme is for
+  * SHORT strings (names, titles, tokens; the SymSpell regime). For long
+  * documents, near-dup at small RELATIVE distance is the shingle tier
+  * (minhash/winnow); char-level ed on documents is not a useful metric.
+  *
+  * Unicode: variants are built over UTF-16 code units (Spark's
+  * substring/length), and `levenshtein` verifies the same way — exact
+  * for BMP text; supplementary-plane chars count as 2 units both in
+  * blocking and verify, consistently.
+  */
+object EditDistanceJoin {
+
+  /** Array of all distinct strings obtainable from `c` by deleting at
+    * most `d` characters (the string itself included). Built by d
+    * rounds of single-deletion expansion + distinct — each round is a
+    * pure higher-order-function expression (no UDF), so the whole
+    * neighborhood stays inside codegen. */
+  private[graft] def deletionVariants(c: Column, d: Int): Column = {
+    def singleDeletes(x: Column): Column =
+      transform(sequence(lit(1), length(x)),
+        i => concat(x.substr(lit(1), i - 1), x.substr(i + 1, length(x))))
+    var acc = array(c)
+    for (_ <- 1 to d)
+      acc = array_distinct(concat(acc,
+        flatten(transform(acc, x => singleDeletes(x)))))
+    acc
+  }
+
+  /** Self-join: (a_id, b_id, dist) with a_id < b_id, each qualifying
+    * pair exactly once, dist = levenshtein <= maxDist. `idCol` must be
+    * unique and orderable; rows with null strings are dropped. */
+  def selfJoin(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull)
+    val posts = base.select(col("__id"), col("__s"), length(col("__s")).as("__l"),
+        explode(deletionVariants(col("__s"), maxDist)).as("__v"))
+    // |len(a) - len(b)| <= d is implied by ed <= d; filtering it inside
+    // the variant join prunes cross-length bucket members before the
+    // pair-level distinct.
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.__v") === col("b.__v") &&
+          col("a.__id") < col("b.__id") &&
+          abs(col("a.__l") - col("b.__l")) <= maxDist)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__s").as("__sa"), col("b.__s").as("__sb"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+}

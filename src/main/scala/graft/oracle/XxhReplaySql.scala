@@ -164,6 +164,50 @@ object XxhReplaySql {
     st.toSeq
   }
 
+  /** XXH64.hashLong evaluated in Scala, the long twin of hashIntConst;
+    * private[graft] so the spec can pin it against Spark's xxhash64. */
+  private[graft] def hashLongConst(v: Long, seed: Long = 42L): Long = {
+    var h = seed + P5 + 8
+    h ^= java.lang.Long.rotateLeft(v * P2, 31) * P1
+    h = java.lang.Long.rotateLeft(h, 27) * P1 + P4
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  /** Stage list computing XXH64 of a signed BIGINT column's 8-byte
+    * pattern (Spark's `xxhash64` on a LongType child) into `{out}_u`:
+    * one 8-byte block round + avalanche, the hashLong fast path. */
+  private[graft] def longHashStages(col: String, out: String,
+      seed: Long = 42L): Seq[(String, String)] = Seq(
+    s"${out}_k" -> mul64(rotl(mul64(toUnsigned(col), P2), 31), P1),
+    s"${out}_p" -> mod64(
+      s"${mul64(rotl(xorS(u(seed + P5 + 8), s"${out}_k"), 27), P1)} + ${u(P4)}")
+  ) ++ fmixStages(out, s"${out}_p")
+
+  /** q_priority_sample replay — Extended.prioritySample's pinned shape
+    * (weight = n_chars, k = 5 per lang, seed-42 xxhash64 of doc_id):
+    * u = h·2⁻⁶⁵ + 0.5 maps the signed hash into [0.25, 0.75) with an
+    * exactly-representable scale, priority = w/u is one long→double
+    * conversion and one IEEE division — every step correctly rounded
+    * and engine-identical, so the doubles (and hence the rank) match
+    * bit-for-bit. */
+  lazy val prioritySampleSql: String = {
+    val scale = math.pow(2, -65).toString
+    val layers = longHashStages("doc_id", "dh").map(Seq(_)) :+
+      Seq("priority" -> ("CAST(n_chars AS DOUBLE) / " +
+        s"(CAST(${toSigned("dh_u")} AS DOUBLE) * $scale + 0.5)"))
+    val (ctes, last) = layeredCte(
+      "SELECT lang, doc_id, n_chars FROM documents", layers, "p0")
+    s"""WITH $ctes
+       |SELECT lang, doc_id, n_chars, priority, rk FROM (
+       |  SELECT lang, doc_id, n_chars, priority,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang ORDER BY priority DESC, doc_id ASC) AS INT) AS rk
+       |  FROM $last)
+       |WHERE rk <= 5
+       |ORDER BY lang, rk""".stripMargin
+  }
+
   /** Chain layers of independent columns into a CTE pipeline; returns
     * (cteText, lastName). */
   private[graft] def layeredCte(base: String, layers: Seq[Seq[(String, String)]],

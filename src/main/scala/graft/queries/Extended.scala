@@ -328,6 +328,50 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic weighted sample — priority sampling (Duffield,
+    * Lund & Thorup): each row gets priority w/u with u a seeded uniform,
+    * and the k highest-priority rows per group are kept, so inclusion
+    * probability scales with weight. Unlike rand()-based samplers the
+    * draw is a pure function of the ROW KEY (xxhash64), not of
+    * partitioning — stable under re-runs, repartitions and backfills
+    * (the hashSplit argument), and therefore fully oracle-checkable:
+    * DuckDB replays the hash (XxhReplaySql.longHashStages) and the
+    * float math bit-for-bit. Float discipline: u = h·2⁻⁶⁵ + 0.5 maps
+    * the signed hash into [0.25, 0.75) — an affine map with an
+    * exactly-representable scale, never zero — and priority is one
+    * long→double conversion + one division, both correctly rounded and
+    * engine-identical. Map-only + one top-k window: no shuffle beyond
+    * the per-group rank at any scale. */
+  def prioritySample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = xxhash64($"doc_id").cast("double") *
+      lit(math.pow(2, -65)) + lit(0.5)
+    val w = Window.partitionBy($"lang")
+      .orderBy($"priority".desc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars",
+        ($"n_chars".cast("double") / u).as("priority"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"lang", $"rk")
+  }
+
+  /** Exact edit-distance near-dup pairs over customer names — the
+    * deletion-neighborhood (FastSS/SymSpell) join, operators/
+    * EditDistanceJoin. Complete by the pigeonhole on deletion variants,
+    * so the DuckDB oracle is the full brute-force levenshtein join (a
+    * correctness statement no banding tier can make). c_name is the
+    * classic entity-resolution shape: a constant prefix (which defeats
+    * segment/q-gram blocking — every string shares it) plus a dense key
+    * space where single-substitution neighbors genuinely exist. */
+  def editdistPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey".cast("long").as("id"), $"c_name".as("name"))
+    graft.operators.EditDistanceJoin.selfJoin(c, "id", "name", maxDist = 1)
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** The reference's multiset common-word count (F3/Q5, a Scala UDF) over
     * blocked candidate pairs — the one operator kept as a UDF for
     * fidelity; its set-semantics twin is oracle-checked in linkpredPairs. */

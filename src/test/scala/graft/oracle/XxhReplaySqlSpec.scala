@@ -15,6 +15,26 @@ class XxhReplaySqlSpec extends SparkSpec {
       assert(row.getLong(j) === XxhReplaySql.hashIntConst(j), s"j=$j")
   }
 
+  test("Scala-evaluated XXH64 long fast path matches Spark's xxhash64 " +
+      "on LongType (the q_priority_sample hash)") {
+    val vals = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      123456789L, -987654321L)
+    val exprs = vals.zipWithIndex
+      .map { case (v, i) => s"xxhash64(CAST($v AS BIGINT)) AS h$i" }
+      .mkString(", ")
+    val row = spark.sql(s"SELECT $exprs").head()
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(row.getLong(i) === XxhReplaySql.hashLongConst(v), s"v=$v")
+    }
+  }
+
+  test("priority-sample replay SQL embeds the pinned shape") {
+    val sql = XxhReplaySql.prioritySampleSql
+    assert(sql.contains("rk <= 5") && sql.contains("PARTITION BY lang"))
+    assert(sql.contains(math.pow(2, -65).toString))
+    assert(sql.contains("priority DESC, doc_id ASC"))
+  }
+
   test("replay SQL embeds the pinned pipeline parameters") {
     val mh = XxhReplaySql.minhashNearDupSql
     // 32 signature mins, 8 band buckets, the 0.5 cutoff and 1000 guard
