@@ -85,7 +85,17 @@ object ScaleUp {
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(scaled(read("customer"), "c_custkey" -> kCust), "customer")
+    // --perturb regenerates c_name from the SHIFTED key (the TPC-H
+    // generator formula), so copies carry genuinely distinct names —
+    // the distinct-content axis for the edit-distance join, where the
+    // twin valve cannot collapse anything. Twin mode keeps payloads
+    // byte-identical (names duplicate r-fold), the valve axis.
+    val cust =
+      if (!perturb) scaled(read("customer"), "c_custkey" -> kCust)
+      else scaled(read("customer"), "c_custkey" -> kCust)
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad($"c_custkey".cast("string"), 9, "0")))
+    write(cust, "customer")
     write(scaled(read("supplier"), "s_suppkey" -> kSupp), "supplier")
     write(scaled(read("part"), "p_partkey" -> kPart), "part")
     write(scaled(read("orders"),

@@ -57,12 +57,54 @@ object EditDistanceJoin {
 
   /** Self-join: (a_id, b_id, dist) with a_id < b_id, each qualifying
     * pair exactly once, dist = levenshtein <= maxDist. `idCol` must be
-    * unique and orderable; rows with null strings are dropped. */
+    * unique and orderable; rows with null strings are dropped.
+    *
+    * EXACT-TWIN COLLAPSE VALVE (the family discipline — DupProbe +
+    * rep-level direct join + join-wise expansion): identical strings
+    * have identical deletion neighborhoods, so on a dup-heavy corpus
+    * every variant bucket's membership (and the candidate verify work)
+    * multiplies by dup². Above the measured crossover the direct join
+    * runs once per distinct string; member pairs inherit the class-pair
+    * distance (levenshtein is a function of the strings), and
+    * intra-class pairs are dist 0 — exactly what the direct join
+    * returns for them. Output is still quadratic in a true duplicate
+    * class (that IS the answer); the valve removes the redundant
+    * blocking/verify work, not the rows. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
+    val dupFactor = DupProbe.dupFactor(base, col("__s"))
+    if (dupFactor < DupProbe.CollapseDupFactor) directJoin(base, maxDist)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      // hash-prefixed twin key (the r14 lshTopKCollapsed discipline:
+      // the shuffle key is 8 bytes, the string only tiebreaks in-part)
+      val wTwin = Window.partitionBy(col("__vh"), col("__s"))
+      val keyed = base.withColumn("__vh", xxhash64(col("__s")))
+        .withColumn("rep", min(col("__id")).over(wTwin))
+        .withColumn("csize", count(lit(1)).over(wTwin))
+      val memb = keyed.select(col("rep"), col("__id"))
+      val reps = keyed.filter(col("__id") === col("rep"))
+        .select(col("__id"), col("__s"))
+      val cross = directJoin(reps, maxDist)
+        .join(memb.select(col("rep").as("a_id"), col("__id").as("x")), "a_id")
+        .join(memb.select(col("rep").as("b_id"), col("__id").as("y")), "b_id")
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("dist"))
+      val intra = keyed.filter(col("__id") === col("rep") && col("csize") >= 2)
+        .select(col("rep"))
+        .join(memb.select(col("rep"), col("__id").as("x")), "rep")
+        .join(memb.select(col("rep"), col("__id").as("y")), "rep")
+        .filter(col("x") < col("y"))
+        .select(col("x").as("a_id"), col("y").as("b_id"),
+          lit(0).as("dist"))
+      cross.unionByName(intra)
+    }
+  }
+
+  private def directJoin(base: DataFrame, maxDist: Int): DataFrame = {
     val posts = base.select(col("__id"), col("__s"), length(col("__s")).as("__l"),
         explode(deletionVariants(col("__s"), maxDist)).as("__v"))
     // |len(a) - len(b)| <= d is implied by ed <= d; filtering it inside

@@ -76,6 +76,25 @@ class EditDistanceJoinSpec extends SparkSpec {
       assert(run(rows, d) === brute(rows, d), s"d=$d")
   }
 
+  test("twin-collapse valve engages on a duplicated corpus and is " +
+      "bit-identical to brute force (cross, intra and boundary pairs)") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    val seeds = (0 until 12).map(_ =>
+      (0 until 4 + rnd.nextInt(5)).map(_ => alpha(rnd.nextInt(4))).mkString)
+    // every string 4x: dup factor 4 >= the 1.4 crossover, valve forced
+    val corpus = (0 until 4).flatMap(k => seeds).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    assert(graft.operators.DupProbe
+      .dupFactor(corpus.toDF("id", "s"), col("s")) >=
+      graft.operators.DupProbe.CollapseDupFactor)
+    for (d <- Seq(1, 2)) {
+      val expect = brute(corpus, d)
+      assert(run(corpus, d) === expect, s"d=$d")
+      assert(expect.exists(_._3 == 0), "fixture has no intra-twin pairs")
+    }
+  }
+
   test("deletionVariants counts: 1 + l singles at d=1, distinct-deduped") {
     val df = Seq("abcd", "aaaa").toDF("s")
       .select(size(EditDistanceJoin.deletionVariants(col("s"), 1)).as("n"))
