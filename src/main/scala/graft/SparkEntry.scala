@@ -80,7 +80,8 @@ object SparkEntry {
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup", "q_simhash_recall",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
-    "q_ivf_recall", "q_similarity_join_p2", "q_quality_classifier",
+    "q_ivf_recall", "q_pq_topk", "q_pq_recall",
+    "q_similarity_join_p2", "q_quality_classifier",
     "q_linkpred_ann_e2e", "q_linkpred_e2e")
 
   /** queries keys in runOrder order (stragglers appended, sorted). */
@@ -259,6 +260,8 @@ object SparkEntry {
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
     "q_ivf_topk"          -> (Extended.ivfTopK(_, _)),
     "q_ivf_recall"        -> (Extended.ivfRecall(_, _)),
+    "q_pq_topk"           -> (Extended.pqTopK(_, _)),
+    "q_pq_recall"         -> (Extended.pqRecall(_, _)),
     "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
     "q_linkpred_ann_e2e"  -> (Extended.linkpredAnnE2e(_, _)),
     // storage / streaming table-maintenance evidence (r8): the CDC MERGE
@@ -319,9 +322,23 @@ object SparkEntry {
       |  WHERE CAST(inter AS DOUBLE) / CAST(sz - inter AS DOUBLE) >= 0.08
       |)""".stripMargin
 
-  private val dotSql =
+  /** A double literal that LEXES as DOUBLE in DuckDB. Bare decimals
+    * (`0.25`) parse as DECIMAL and, inside a VALUES list whose rows
+    * infer a common DECIMAL scale, can be ROUNDED to that scale before
+    * any cast — a 1-ulp drift measured on q_pq_topk's codebook table
+    * (r14). Exponent-form literals (`0.25e0`, `1.0E-5`) lex as DOUBLE
+    * with the standard correctly-rounded parse, bit-identical to the
+    * JVM's. */
+  private[graft] def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  private[graft] val dotSql =
     // strict in-order left-fold dot product, elementwise double cast —
-    // mirrors graft.queries.Embeddings.dot exactly.
+    // mirrors graft.queries.Embeddings.dot exactly. private[graft]: the
+    // PQ replay builder (Extended.pqReplayCtes) reuses the same pinned
+    // fold so the two oracles can never drift apart.
     (a: String, b: String) =>
       s"list_reduce(list_transform(generate_series(1, len($a)), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -540,7 +557,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry ++
       Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry ++
-      Extended.p2OracleSqlEntry
+      Extended.p2OracleSqlEntry ++ Extended.pqOracleSqlEntry
 
   private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full

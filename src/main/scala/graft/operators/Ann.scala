@@ -644,4 +644,211 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (PQ-ADC) — the third classic ANN scale path
+  // next to sign-LSH and IVF-Flat (Jégou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011, §II-III;
+  // the flat-ADC variant). Vectors are unit-normalized (cosine regime),
+  // each split into `mSub` subvectors of `dSub` dims; every subvector is
+  // quantized to its nearest of `kSub` per-subspace centroids, so a
+  // 64-dim float vector compresses to mSub code bytes — 8 bytes vs 256,
+  // a 32× scan-width reduction, which is why PQ (usually composed with
+  // an IVF coarse quantizer) is the standard billion-vector search
+  // layout. Search is asymmetric distance computation: the query stays
+  // exact and each corpus vector is scored against its RECONSTRUCTION
+  // (the concatenation of its code centroids), so approx-cosine =
+  // one dot product against an 8-bytes-of-state row.
+  //
+  // Determinism discipline = the IVF quantizer's: seeding is the kSub
+  // corpus vectors with the smallest seeded id-hash (partition-stable),
+  // Lloyd means are distributed float aggregates whose ulps can vary
+  // between fits, so callers memoize ONE fit per (session, corpus) and
+  // the replay oracle embeds exactly those codebook doubles
+  // (Extended.pqCodebooksFor).
+
+  /** Per-subspace encode score against one literal centroid:
+    * dot(sub, c) − ½|c|² — argmax of this over the codebook IS argmin
+    * L2² (the ½|x|² term is constant per row) in real arithmetic; in
+    * floats it is simply the DEFINED encode rule, replayed bit-for-bit
+    * by the oracle (the fold and the driver-computed ½|c|² literal are
+    * identical on both engines). Ties → larger cell via the array_max
+    * struct order, the assignCell convention. */
+  private def pqCellOf(codebook: Seq[Array[Double]], sub: Column): Column =
+    array_max(array(codebook.zipWithIndex.map { case (c, i) =>
+      val halfCC = 0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((dotProduct(sub, typedlit(c.toSeq)) - lit(halfCC)).as("s"),
+        lit(i).as("cell"))
+    }: _*)).getField("cell")
+
+  /** mSub-element code array for a unit-normalized vector column —
+    * literal codegen dot chains (mSub·kSub small dots), no join, no
+    * broadcast state. Only sound below PqLiteralEntriesBound: the
+    * generated encode method is mSub·kSub inlined dot products and
+    * janino refuses methods past 64 KB (measured: 8×64 = 512 chains
+    * fail to compile and the whole stage silently degrades to
+    * interpreted eval — the IVF LiteralCentroidBound failure shape). */
+  def pqCodes(cb: Seq[Seq[Array[Double]]], dSub: Int)(vh: Column): Column =
+    array(cb.indices.map { m =>
+      pqCellOf(cb(m), slice(vh, m * dSub + 1, dSub))
+    }: _*)
+
+  /** Literal-chain encode stays whole-stage-codegen-compilable up to
+    * this many TOTAL codebook entries (mSub·kSub); past it the encode
+    * takes the broadcast-join path (pqCodesJoined), decision-
+    * identically. 8×32 = 256 compiles; 8×64 = 512 measured failing
+    * with "Code grows beyond 64 KB" (r14). */
+  val PqLiteralEntriesBound = 256
+
+  /** The large-codebook encode — the IVF assignProbesJoined lesson
+    * applied to PQ (and the shape a 100 TB corpus needs anyway, where
+    * kSub is 256 and the codebook is estimator state, not code):
+    * explode the mSub subspace ids, broadcast-join the flattened
+    * (m, cell, centroid, ½|c|²) table — an equi-join on m, not a
+    * cartesian — score each (row, subspace, cell) through ONE
+    * constant-size codegen dot product, then a single map-combinable
+    * hash-aggregate takes the per-subspace argmax. Decision-identical
+    * to the literal chains: same DotProduct IEEE score minus the same
+    * driver-computed ½|c|² double, and max over (s, cell) structs
+    * breaks ties toward the larger cell exactly like array_max over
+    * pqCellOf's struct array (AnnSpec pins joined ≡ literal row-by-row
+    * past the bound). Output: (id, codes: array<int>). */
+  def pqCodesJoined(nv: DataFrame, cb: Seq[Seq[Array[Double]]],
+      dSub: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val cents = cb.indices.flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, i) =>
+        (m, i, c.toSeq, 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }.toDF("m", "cell", "cv", "halfcc")
+    nv.withColumn("m", explode(typedlit(cb.indices.toArray)))
+      .join(broadcast(cents), "m")
+      .select($"id", $"m", $"cell",
+        (dotProduct(slice($"vh", $"m" * dSub + 1, lit(dSub)), $"cv") -
+          $"halfcc").as("s"))
+      .groupBy($"id")
+      .agg(array(cb.indices.map { m =>
+        max(when($"m" === m, struct($"s", $"cell"))).getField("cell")
+      }: _*).as("codes"))
+  }
+
+  /** Encode dispatch: literal chains while they compile, broadcast
+    * join past the bound. `nv` must expose (id, vh). */
+  def pqEncode(nv: DataFrame, cb: Seq[Seq[Array[Double]]],
+      dSub: Int): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    if (cb.map(_.size).sum <= PqLiteralEntriesBound)
+      nv.select($"id", pqCodes(cb, dSub)($"vh").as("codes"))
+    else pqCodesJoined(nv, cb, dSub)
+  }
+
+  /** Decode a materialized code column: mSub literal-DATA lookups
+    * (element_at on a constant 2-D array is a Literal child — bytes in
+    * the plan, not generated code, so it never hits the 64 KB wall). */
+  def pqReconFromCodes(cb: Seq[Seq[Array[Double]]])(codes: Column): Column =
+    concat(cb.indices.map { m =>
+      element_at(typedlit(cb(m).map(_.toSeq)),
+        element_at(codes, m + 1) + 1)
+    }: _*)
+
+  /** Reconstruction (decode) as ONE projection — the small-codebook
+    * path: each subspace's code is computed inline and immediately
+    * looks up its literal codebook row, so every argmax chain is
+    * referenced exactly once (no repeated evaluation under
+    * CollapseProject) and the output is the concatenated centroid
+    * array the ADC dot product consumes. */
+  def pqRecon(cb: Seq[Seq[Array[Double]]], dSub: Int)(vh: Column): Column =
+    concat(cb.indices.map { m =>
+      element_at(typedlit(cb(m).map(_.toSeq)),
+        pqCellOf(cb(m), slice(vh, m * dSub + 1, dSub)) + 1)
+    }: _*)
+
+  /** Fit mSub per-subspace codebooks of kSub centroids each over a
+    * unit-normalized corpus `nv` (id, vh: array<double>) — per-subspace
+    * k-means, all subspaces trained in ONE distributed pass per Lloyd
+    * iteration (assign = the pqCellOf literal chains; update = one slim
+    * map-combinable mean keyed (m, cell, pos), mSub·kSub·dSub rows
+    * collected driver-side like any estimator state). Callers persist
+    * `nv` around the fit (1 + lloydIters actions). Codebooks are NOT
+    * renormalized — PQ centroids are raw subvector means. Empty cells
+    * keep their previous centroid (the ivfFit convention). Returns
+    * fewer than kSub centroids per subspace when the corpus is smaller
+    * than kSub. */
+  def pqFit(nv: DataFrame, mSub: Int, dSub: Int, kSub: Int,
+      lloydIters: Int, seed: Int): Seq[Seq[Array[Double]]] = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val seeds = nv.orderBy(xxhash64($"id", lit(seed)), $"id").limit(kSub)
+      .select($"vh").collect().map(_.getSeq[Double](0).toArray).toSeq
+    if (seeds.isEmpty) return Seq.empty
+    var cb: Seq[Seq[Array[Double]]] = (0 until mSub).map { m =>
+      seeds.map(_.slice(m * dSub, m * dSub + dSub))
+    }
+    for (_ <- 0 until lloydIters) {
+      // same exchange barrier as ivfFit (the r8 hazard): codes are
+      // computed once per row in a projection, never inlined into the
+      // Generate where codegen would re-evaluate the whole mSub·kSub
+      // chain per exploded element; past the literal bound the encode
+      // takes the broadcast-join path like every other consumer
+      val assigned = (
+        if (cb.map(_.size).sum <= PqLiteralEntriesBound)
+          nv.select(pqCodes(cb, dSub)($"vh").as("codes"), $"vh")
+        else pqCodesJoined(nv, cb, dSub).join(nv, "id")
+          .select($"codes", $"vh"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val means = assigned
+        .select(posexplode($"codes").as(Seq("m", "cell")),
+          $"vh")
+        .select($"m", $"cell",
+          posexplode(slice($"vh", $"m" * dSub + 1, lit(dSub)))
+            .as(Seq("pos", "x")))
+        .groupBy($"m", $"cell", $"pos").agg(avg($"x").as("mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+        .toMap
+      cb = cb.indices.map { m =>
+        cb(m).zipWithIndex.map { case (old, c) =>
+          // a cell is empty iff no row chose it — pos 0 present means
+          // posexplode emitted every pos for that (m, cell)
+          if (!means.contains((m, c, 0))) old
+          else Array.tabulate(dSub)(p => means((m, c, p)))
+        }
+      }
+    }
+    cb
+  }
+
+  /** PQ-ADC approximate top-k against ALREADY-FITTED codebooks — split
+    * out like ivfTopKWith so q_pq_topk, q_pq_recall, and the replay
+    * oracle share one fit. Both frames: (id, vec). Output:
+    * (q_id, id, adc, rank ≤ k), adc = dot(q̂, reconstruction(v̂)) ≈
+    * cosine(q, v). Plan shape at 100 TB: the corpus is scanned once
+    * through the literal encode+decode projection (pure codegen, no
+    * shuffle), the query side is broadcast, and the only shuffle is the
+    * final tiny per-query top-k window — bruteTopK's shape with the
+    * corpus side compressed to codes. */
+  def pqTopKWith(cb: Seq[Seq[Array[Double]]], dSub: Int, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normalized(df: DataFrame, idAs: String, vAs: String) = df
+      .select($"id".as(idAs), asDouble($"vec").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .filter($"nrm" > 0)
+      .select(col(idAs), transform($"v", x => x / $"nrm").as(vAs))
+    val nvC = normalized(corpus, "id", "vh")
+    val r =
+      if (cb.map(_.size).sum <= PqLiteralEntriesBound)
+        nvC.select($"id", pqRecon(cb, dSub)($"vh").as("recon"))
+      else pqEncode(nvC, cb, dSub)
+        .select($"id", pqReconFromCodes(cb)($"codes").as("recon"))
+    val q = normalized(queries, "q_id", "qh")
+    val w = Window.partitionBy($"q_id").orderBy($"adc".desc, $"id".asc)
+    r.join(broadcast(q), $"id" =!= $"q_id")
+      .select($"q_id", $"id", dotProduct($"qh", $"recon").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
 }

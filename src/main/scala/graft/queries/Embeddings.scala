@@ -447,7 +447,9 @@ object Embeddings {
     // strict in-order left-fold dots (the DotProduct numeric contract;
     // centroid doubles embed via round-trip Double.toString)
     def cdot(c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
+      // sqlDouble: exponent-form literals lex as DOUBLE (bare decimals
+      // parse as DECIMAL and can round to an inferred common scale)
+      val lit = c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")
       s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
     }

@@ -664,8 +664,10 @@ object Extended {
     * contract as TextAnalysis/Embeddings/GraphQueries.invalidateCache
     * (ADVICE r13): after a dir rewrite, q_ivf_topk must refit rather
     * than silently reuse centroids from the old corpus. */
-  def invalidateCache(s: SparkSession): Unit =
+  def invalidateCache(s: SparkSession): Unit = {
     ivfCentroids.keys.filter(_._1 eq s).foreach(ivfCentroids.remove)
+    pqCodebooks.keys.filter(_._1 eq s).foreach(pqCodebooks.remove)
+  }
 
   /** IVF (inverted-file) approximate top-k over embeddings — the second
     * ANN scale path next to lshTopK (coarse k-means quantizer, nProbe of
@@ -763,7 +765,9 @@ object Extended {
     // strict in-order left-fold dot against a literal centroid — the
     // DotProduct expression's pinned numeric contract (SparkEntry.dotSql)
     def cdot(c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
+      // sqlDouble: exponent-form literals lex as DOUBLE (bare decimals
+      // parse as DECIMAL and can round to an inferred common scale)
+      val lit = c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")
       s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
         s"i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
     }
@@ -814,6 +818,204 @@ object Extended {
        |WHERE rank <= 5
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (q_pq_topk / q_pq_recall)
+
+  /** Session-memoized PQ codebooks — the ivfCentroids discipline: Lloyd
+    * means are distributed float aggregates whose ulps can vary between
+    * fits, so the query runs and the replay oracle must share ONE fit,
+    * with the fitted doubles embedded as oracle literals. 8 subspaces ×
+    * 8 dims × 64 centroids (48 code bits) over unit-normalized
+    * embeddings — 64 was tuned on the real corpora (uniform random
+    * vectors, PQ's structureless worst case): shortlist-recall@50 at
+    * sf0.01 read 0.78 / 0.88 / 0.94 for kSub 32 / 64 / 64+4iters. */
+  private val pqCodebooks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Array[Double]]]]
+
+  val PqMSub = 8
+  val PqDSub = 8
+  val PqKSub = 64
+
+  def pqCodebooksFor(s: SparkSession, dir: String): Seq[Seq[Array[Double]]] =
+    pqCodebooks.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val nv = Tables.embeddings(s, dir)
+        .select($"vec_id".as("id"),
+          transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("nrm", Embeddings.norm($"v"))
+        .filter($"nrm" > 0)
+        .select($"id", transform($"v", x => x / $"nrm").as("vh"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try graft.operators.Ann.pqFit(nv, PqMSub, PqDSub, PqKSub,
+        lloydIters = 4, seed = 42)
+      finally nv.unpersist(blocking = false)
+    })
+
+  /** Product-quantization ADC approximate top-k — the third ANN scale
+    * path (8-byte codes vs 256-byte raw vectors: the 32× scan-width
+    * compression that makes billion-vector search layouts feasible).
+    * Encode/decode are literal codegen chains, the query side is
+    * broadcast, the only shuffle is the final per-query top-k window.
+    * Hash-checked against the codebook-embed replay oracle (r14). */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter($"id" < 10)
+    graft.operators.Ann.pqTopKWith(pqCodebooksFor(s, dir), PqDSub, e, q,
+        k = 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Driver-visible quality gate for the PQ tier: SHORTLIST recall —
+    * how much of the exact cosine top-5 survives in the ADC top-50
+    * shortlist. This is the metric that matters in the production
+    * shape (FAISS-style refine: ADC selects a small shortlist, exact
+    * re-rank on raw vectors finishes the job), and unlike IVF there is
+    * no lossless degenerate to pin (quantization always loses bits),
+    * so the gate measures the loss — hash-checked, because the replay
+    * oracle recomputes BOTH sides (PQ from the embedded codebooks,
+    * exact from the raw parquet). AnnSpec pins the sf0.001 floor; the
+    * driver artifact records the real corpus numbers per round. */
+  val PqShortlist = 50
+
+  def pqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter($"id" < 10)
+    val shortlist = graft.operators.Ann
+      .pqTopKWith(pqCodebooksFor(s, dir), PqDSub, e, q, k = PqShortlist)
+      .select($"q_id", $"id")
+    val exact = graft.operators.Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id")
+    val hits = shortlist.join(exact, Seq("q_id", "id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    q.select($"id".as("q_id")).join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)) / lit(5.0)).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  /** The q_pq_topk / q_pq_recall oracle SQL, set by Verify via
+    * preparePqOracle; empty (rows-only fallback) until then. */
+  @volatile private var pqOracle: Map[String, String] = Map.empty
+
+  def pqOracleSqlEntry: Map[String, String] = pqOracle
+
+  def preparePqOracle(s: SparkSession, dir: String): Unit = {
+    pqOracle = Map.empty
+    val cb = pqCodebooksFor(s, dir)
+    if (cb.nonEmpty && cb.forall(_.nonEmpty))
+      pqOracle = Map(
+        "q_pq_topk" -> buildPqTopKOracleSql(cb),
+        "q_pq_recall" -> buildPqRecallOracleSql(cb))
+  }
+
+  /** Strict in-order left-fold dot of a subvector window against a
+    * literal centroid — SparkEntry.dotSql's pinned convention over
+    * vh[off+1 .. off+dSub]. */
+  private def pqSubDot(off: Int, c: Array[Double]): String = {
+    val clit = c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")
+    s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
+      s"i -> vh[$off + i] * ($clit)[i]), (x, y) -> x + y)"
+  }
+
+  /** Shared replay CTE chain: normalize → encode (argmax of
+    * dot − ½|c|² per subspace, ties → larger cell, the pqCellOf struct
+    * order) → reconstruct (codebook lookup, subspaces concatenated in
+    * order) → ADC dot → per-query rank window. Ends with `pqtop`
+    * (q_id, id, adc, rank ≤ 5). Every double the two engines don't
+    * independently recompute (the codebooks, the ½|c|² constants) is a
+    * driver-evaluated literal embedded in both plans. */
+  private[graft] def pqReplayCtes(cb: Seq[Seq[Array[Double]]]): String = {
+    val dSub = PqDSub
+    val scoredArms = cb.indices.flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, i) =>
+        val halfCC = 0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
+        s"SELECT vec_id, $m AS m, $i AS cell, " +
+          s"${pqSubDot(m * dSub, c)} - $halfCC AS s FROM nv"
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    val cbRows = cb.indices.flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, i) =>
+        s"($m, $i, " +
+          s"${c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")})"
+      }
+    }.mkString(",\n    ")
+    s"""WITH raw AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${graft.SparkEntry.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS vh
+       |  FROM raw WHERE nrm > 0
+       |), scored AS (
+       |  $scoredArms
+       |), codes AS (
+       |  SELECT vec_id, m, cell FROM (
+       |    SELECT vec_id, m, cell,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY s DESC, cell DESC) AS rn
+       |    FROM scored)
+       |  WHERE rn = 1
+       |), cbt AS (
+       |  SELECT * FROM (VALUES
+       |    $cbRows) t(m, cell, cv)
+       |), recon AS (
+       |  SELECT codes.vec_id, flatten(list(cbt.cv ORDER BY codes.m)) AS rv
+       |  FROM codes JOIN cbt ON cbt.m = codes.m AND cbt.cell = codes.cell
+       |  GROUP BY codes.vec_id
+       |), qn AS (
+       |  SELECT vec_id AS q_id, vh AS qh FROM nv WHERE vec_id < 10
+       |), adcpairs AS (
+       |  SELECT qn.q_id, recon.vec_id AS id,
+       |    list_reduce(list_transform(generate_series(1, len(qh)),
+       |      i -> qh[i] * rv[i]), (x, y) -> x + y) AS adc
+       |  FROM recon JOIN qn ON recon.vec_id != qn.q_id
+       |), pqtop AS (
+       |  SELECT q_id, id, adc,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, id ASC) AS rank
+       |  FROM adcpairs
+       |)""".stripMargin
+  }
+
+  private[graft] def buildPqTopKOracleSql(
+      cb: Seq[Seq[Array[Double]]]): String =
+    pqReplayCtes(cb) +
+      "\nSELECT q_id, id, adc, rank FROM pqtop WHERE rank <= 5 " +
+      "ORDER BY q_id, rank"
+
+  private[graft] def buildPqRecallOracleSql(
+      cb: Seq[Seq[Array[Double]]]): String =
+    pqReplayCtes(cb) +
+      s""",
+         |exact AS (
+         |  SELECT q_id, id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${graft.SparkEntry.dotSql("q.embedding", "c.embedding")}
+         |          / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+         |    FROM raw c JOIN raw q ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |  WHERE rn <= 5
+         |), hits AS (
+         |  SELECT pqtop.q_id, count(*) AS hits
+         |  FROM pqtop JOIN exact
+         |    ON exact.q_id = pqtop.q_id AND exact.id = pqtop.id
+         |  WHERE pqtop.rank <= $PqShortlist
+         |  GROUP BY pqtop.q_id
+         |)
+         |SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin
 
   /** p1 end-to-end (reference Predictor.scala:350-380) on a node table
     * derived from documents: train LR on labeled same-source pairs, score

@@ -32,12 +32,17 @@ class QueriesSpec extends SparkSpec {
     // surfaces as an sf0.1 bench cliff. Initial physical plans — AQE can
     // only improve on them, never introduce a cartesian.
     //
-    // q_cosine_topk is the one sanctioned nested-loop: the brute-force
+    // q_cosine_topk is the sanctioned nested-loop: the brute-force
     // exact baseline is DEFINITIONALLY all-pairs — corpus × a small
     // broadcast query set in one scan is its correct plan (the scale
-    // path is q_lsh_topk/q_ivf_topk). Everything else must be an
-    // equi-join.
-    val sanctioned = Set("q_cosine_topk")
+    // path is q_lsh_topk/q_ivf_topk). The PQ pair (r14) shares the
+    // shape for a different reason: ADC is a LINEAR corpus scan scored
+    // against a tiny broadcast query set — the compression (8-byte
+    // codes vs 256-byte vectors) is the scale device, and the
+    // corpus × nQueries product is inherent to "k queries against
+    // everything" until an IVF coarse index prunes cells. Everything
+    // else must be an equi-join.
+    val sanctioned = Set("q_cosine_topk", "q_pq_topk", "q_pq_recall")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => sanctioned.contains(q._1))
       .flatMap { case (name, fn) =>

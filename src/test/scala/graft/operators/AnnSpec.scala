@@ -278,4 +278,131 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(0L) === sigs(5L))
   }
+
+  test("pqCodes: hand-checked encode, ties toward the larger cell") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2 subspaces × 2 dims, unit basis codebooks in both subspaces
+    val cb: Seq[Seq[Array[Double]]] = Seq(
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),  // codes (0, 1)
+      (1L, Seq(0.0, 1.0, 1.0, 0.0)),  // codes (1, 0)
+      // sub (0,0): s = 0 − ½ for BOTH cells — tie → larger cell
+      (2L, Seq(0.0, 0.0, 1.0, 0.0))   // codes (1, 0)
+    ).toDF("id", "vh")
+    val out = df.select($"id", Ann.pqCodes(cb, dSub = 2)($"vh").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) === Seq(0, 1))
+    assert(out(1L) === Seq(1, 0))
+    assert(out(2L) === Seq(1, 0))
+    // recon = concatenated chosen centroids
+    val rec = df.select($"id", Ann.pqRecon(cb, dSub = 2)($"vh").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rec(0L) === Seq(1.0, 0.0, 0.0, 1.0))
+    assert(rec(2L) === Seq(0.0, 1.0, 1.0, 0.0))
+  }
+
+  test("pqCodes is partition-invariant for fixed codebooks") {
+    val spark2 = spark
+    import spark2.implicits._
+    val nv = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id".as("id"),
+        org.apache.spark.sql.functions.transform(
+          $"embedding", _.cast("double")).as("vh"))
+    val cb = Ann.pqFit(nv, mSub = 8, dSub = 8, kSub = 8,
+      lloydIters = 1, seed = 7)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", Ann.pqCodes(cb, 8)($"vh").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesOf(nv) === codesOf(nv.repartition(7)))
+  }
+
+  test("pqTopKWith a lossless codebook (every distinct subvector) " +
+      "degenerates to exact bruteTopK") {
+    val spark2 = spark
+    import spark2.implicits._
+    // normalized corpus subvectors, deduped, as the codebook: encode is
+    // then exact (dot − ½|c|² is uniquely maximal at c = sub), recon ≡ v̂,
+    // ADC ≡ cosine — PQ's IVF-full-probe analogue
+    val vecs = corpus.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    val normed = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      id -> v.map(_ / n)
+    }
+    val cb: Seq[Seq[Array[Double]]] = Seq(0, 1).map { m =>
+      normed.map(_._2.slice(m * 2, m * 2 + 2)).map(_.toSeq)
+        .distinct.map(_.toArray).toSeq
+    }
+    val q = corpus.filter($"id" < 2L)
+    val exact = Ann.bruteTopK(corpus, q, k = 3)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Ann.pqTopKWith(cb, dSub = 2, corpus, q, k = 3)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq === exact)
+  }
+
+  test("pqCodesJoined ≡ literal pqCodes row-by-row on a random corpus " +
+      "at a past-the-bound codebook") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(99)
+    val df = (0L until 200L).map { id =>
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n).toSeq)
+    }.toDF("id", "vh")
+    // 8 × 40 = 320 entries > PqLiteralEntriesBound (256): the shipped
+    // dispatch takes the joined path; this pins it against the literal
+    // chains (which still EVALUATE correctly on a tiny corpus even when
+    // janino refuses to compile them — Spark's interpreted fallback)
+    val cb = Ann.pqFit(df, mSub = 8, dSub = 8, kSub = 40,
+      lloydIters = 1, seed = 3)
+    assert(cb.map(_.size).sum > Ann.PqLiteralEntriesBound)
+    val literal = df.select($"id", Ann.pqCodes(cb, 8)($"vh").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val joined = Ann.pqCodesJoined(df, cb, 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(joined === literal)
+  }
+
+  test("pqFit + pqTopKWith keep decent recall on real embeddings; " +
+      "small corpus caps the codebook") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = sf("sf0.001")
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.filter($"id" < 10)
+    val cb = graft.queries.Extended.pqCodebooksFor(spark, dir)
+    assert(cb.size === 8 &&
+      cb.forall(_.size === graft.queries.Extended.PqKSub))
+    val shortlist = Ann.pqTopKWith(cb, 8, e, q,
+        k = graft.queries.Extended.PqShortlist)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform random embeddings are PQ's worst case (no subspace
+    // structure to quantize); the production-shape metric is SHORTLIST
+    // recall (exact top-5 surviving the ADC top-50 before re-rank)
+    val recall = (exact & shortlist).size.toDouble / exact.size
+    assert(recall >= 0.6, s"shortlist recall=$recall")
+    assert(shortlist.map(_._1) === (0L until 10L).toSet)
+    // kSub larger than the corpus: codebooks cap at n, search still runs
+    val tiny = e.filter($"id" < 6)
+    val nvTiny = tiny.select($"id",
+      org.apache.spark.sql.functions.transform(
+        $"vec", _.cast("double")).as("vh"))
+    val cbTiny = Ann.pqFit(nvTiny, 8, 8, kSub = 16, lloydIters = 1, seed = 1)
+    assert(cbTiny.forall(_.size === 6))
+    assert(Ann.pqTopKWith(cbTiny, 8, tiny, tiny.filter($"id" < 2), k = 3)
+      .count() > 0)
+  }
 }
