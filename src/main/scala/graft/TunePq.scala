@@ -37,7 +37,7 @@ object TunePq {
       val exact = graft.operators.Ann.bruteTopK(e, q, 5)
         .select($"q_id", $"id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for ((kSub, iters) <- Seq((16, 2), (32, 2), (64, 2), (64, 4))) {
+      for ((kSub, iters) <- sys.env.get("TUNEPQ_GRID").map(_.split(";").toSeq.map { s => val p = s.split(","); (p(0).toInt, p(1).toInt) }).getOrElse(Seq((16, 2), (32, 2), (64, 2), (64, 4)))) {
         val t0 = System.nanoTime()
         val cb = graft.operators.Ann.pqFit(nv, 8, 8, kSub, iters, 42)
         val fitS = (System.nanoTime() - t0) / 1e9
