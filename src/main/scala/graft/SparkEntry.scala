@@ -60,7 +60,8 @@ object SparkEntry {
     "q_pipeline_funnel",
     "q_dedup_exact", "q_word_topk", "q_bigram_topk", "q_frequent_words",
     "q_cm_words",
-    "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_mmr_rerank",
+    "q_tfidf_topk", "q_bm25_topk", "q_hybrid_retrieval", "q_rrf_fusion",
+    "q_mmr_rerank",
     "q_embed_stats",
     "q_png_stats", "q_jpeg_stats", "q_jpeg_meta",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_simhash_neardup", "q_simhash_recall",
     "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
     "q_ivf_recall", "q_pq_topk", "q_pq_recall",
+    "q_ivfpq_topk", "q_ivfpq_recall",
     "q_similarity_join_p2", "q_quality_classifier",
     "q_linkpred_ann_e2e", "q_linkpred_e2e")
 
@@ -171,6 +173,7 @@ object SparkEntry {
     "q_bm25_topk"         -> ((s, d) => TextAnalysis.bm25TopK(s, d)),
     // two-stage lexical→semantic rerank over the BM25 candidates
     "q_hybrid_retrieval"  -> ((s, d) => TextAnalysis.hybridRetrieval(s, d)),
+    "q_rrf_fusion"        -> ((s, d) => TextAnalysis.rrfFusion(s, d)),
     "q_mmr_rerank"        -> ((s, d) => TextAnalysis.mmrRerank(s, d)),
     "q_ngram_jaccard"     -> ((s, d) => TextAnalysis.ngramJaccardPairs(s, d)),
     // per-side containment over the same postings: the quote-inclusion
@@ -262,6 +265,8 @@ object SparkEntry {
     "q_ivf_recall"        -> (Extended.ivfRecall(_, _)),
     "q_pq_topk"           -> (Extended.pqTopK(_, _)),
     "q_pq_recall"         -> (Extended.pqRecall(_, _)),
+    "q_ivfpq_topk"        -> (Extended.ivfPqTopK(_, _)),
+    "q_ivfpq_recall"      -> (Extended.ivfPqRecall(_, _)),
     "q_linkpred_e2e"      -> (Extended.linkpredE2e(_, _)),
     "q_linkpred_ann_e2e"  -> (Extended.linkpredAnnE2e(_, _)),
     // storage / streaming table-maintenance evidence (r8): the CDC MERGE
@@ -557,7 +562,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry ++
       Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry ++
-      Extended.p2OracleSqlEntry ++ Extended.pqOracleSqlEntry
+      Extended.p2OracleSqlEntry ++ Extended.pqOracleSqlEntry ++
+      Extended.ivfPqOracleSqlEntry
 
   private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full
@@ -1868,6 +1874,41 @@ object SparkEntry {
          |    AS rerank,
          |  doc_id, bm25_rank, bm25, cosine
          |FROM rr ORDER BY cosine DESC, doc_id ASC LIMIT 10""".stripMargin,
+
+    // Reciprocal rank fusion over (BM25 rank, cosine rank): integer
+    // ranks → rrf is two exact IEEE divisions + one add per row, so the
+    // whole fusion replays bit-for-bit. 1.0e0 literals lex as DOUBLE.
+    "q_rrf_fusion" ->
+      s"""WITH cand AS (
+         |  SELECT rank AS bm25_rank, doc_id
+         |  FROM (${bm25Sql(20)})
+         |), qv AS (
+         |  SELECT embedding AS qe,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_nrm
+         |  FROM embeddings
+         |  WHERE vec_id = (SELECT doc_id FROM cand WHERE bm25_rank = 1)
+         |), sc AS (
+         |  SELECT cand.bm25_rank, cand.doc_id,
+         |    ${dotSql("qv.qe", "e.embedding")}
+         |      / (qv.q_nrm * sqrt(${dotSql("e.embedding", "e.embedding")}))
+         |      AS cosine
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.doc_id
+         |  CROSS JOIN qv
+         |), cr AS (
+         |  SELECT bm25_rank, doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT)
+         |      AS cos_rank
+         |  FROM sc
+         |), f AS (
+         |  SELECT doc_id, bm25_rank, cos_rank,
+         |    1.0e0 / (60 + bm25_rank) + 1.0e0 / (60 + cos_rank) AS rrf
+         |  FROM cr
+         |)
+         |SELECT
+         |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
+         |    AS rrf_rank,
+         |  doc_id, bm25_rank, cos_rank, rrf
+         |FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // MMR diverse rerank: 5 unrolled greedy steps; λ = 1/2 dyadic.
     "q_mmr_rerank" -> mmrSql,

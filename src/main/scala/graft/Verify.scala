@@ -83,6 +83,11 @@ object Verify {
       System.err.println(s"[verify] pq oracle pre-fit failed: " +
         e.toString.take(200))
     }
+    try graft.queries.Extended.prepareIvfPqOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] ivfpq oracle pre-fit failed: " +
+        e.toString.take(200))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -851,4 +851,129 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
   }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ — the composed billion-vector layout (FAISS's IndexIVFPQ
+  // shape): a coarse quantizer prunes the SCAN to nProbe cells while
+  // PQ codes of the RESIDUAL (vector − its coarse centroid) compress
+  // what remains. Residual coding is what makes the composition better
+  // than either tier alone: residuals concentrate near the origin, so
+  // the same code budget quantizes them with far less error than raw
+  // vectors. ADC score = one in-order dot of the query against
+  // coarse(cell) + decode(codes) — the same pinned DotProduct fold as
+  // every other tier, so the replay oracle (which embeds both the
+  // coarse centroids and the residual codebooks as literals) reproduces
+  // every double bit-for-bit.
+
+  /** Coarse cell + residual for each unit-normalized vector — the frame
+    * IVF-PQ's codebooks are trained on and its codes reconstruct
+    * against. Assignment is argmax dot(vh, c) with ties toward the
+    * larger cell (the assignCell convention); literal chains below
+    * LiteralCentroidBound, broadcast-join past it, decision-identically.
+    * `nv` must expose (id, vh); output (id, cell, rv). */
+  def ivfPqResiduals(nv: DataFrame, coarse: Seq[Array[Double]]): DataFrame = {
+    val spark = nv.sparkSession
+    import spark.implicits._
+    val coarseLit = typedlit(coarse.map(_.toSeq))
+    val withCell =
+      if (coarse.size <= LiteralCentroidBound)
+        nv.select($"id", $"vh", assignCell(coarse)($"vh").as("cell"))
+      else
+        assignCellsJoined(nv.select($"id", $"vh".as("v")), coarse)
+          .join(nv, "id").select($"id", $"vh", $"cell")
+    withCell.select($"id", $"cell",
+      zip_with($"vh", element_at(coarseLit, $"cell" + 1),
+        (a, b) => a - b).as("rv"))
+  }
+
+  /** Encode + reconstruct (id, cell, rv) → (id, cell, recon = coarse(cell)
+    * + decode(codes)), carrying `cell` through so the coarse centroid can
+    * be re-added without a second derivation of the residual lineage (the
+    * r13 shared-frame lesson: a rejoin on id would re-run assign+residual
+    * for both sides of the join). Literal chains while they compile,
+    * broadcast-join past PqLiteralEntriesBound — the joined arm is the
+    * pqCodesJoined plan with `cell` riding the groupBy key (id is unique,
+    * so the extra key only keeps cell in scope): same score expression,
+    * same max-struct tie-break (→ larger pcell). `forceJoined` exists so
+    * AnnSpec can pin joined ≡ literal below the bound. */
+  private[operators] def ivfPqReconFrame(res: DataFrame,
+      coarse: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]], dSub: Int,
+      forceJoined: Boolean = false): DataFrame = {
+    val spark = res.sparkSession
+    import spark.implicits._
+    val coarseLit = typedlit(coarse.map(_.toSeq))
+    if (!forceJoined && cb.map(_.size).sum <= PqLiteralEntriesBound)
+      res.select($"id", $"cell",
+        zip_with(element_at(coarseLit, $"cell" + 1),
+          pqReconFromCodes(cb)(pqCodes(cb, dSub)($"rv")),
+          (a, b) => a + b).as("recon"))
+    else {
+      val cents = cb.indices.flatMap { m =>
+        cb(m).zipWithIndex.map { case (c, i) =>
+          (m, i, c.toSeq, 0.5 * c.foldLeft(0.0)((a, x) => a + x * x))
+        }
+      }.toDF("m", "pcell", "cv", "halfcc")
+      res.withColumn("m", explode(typedlit(cb.indices.toArray)))
+        .join(broadcast(cents), "m")
+        .select($"id", $"cell", $"m", $"pcell",
+          (dotProduct(slice($"rv", $"m" * dSub + 1, lit(dSub)), $"cv") -
+            $"halfcc").as("s"))
+        .groupBy($"id", $"cell")
+        .agg(array(cb.indices.map { m =>
+          max(when($"m" === m, struct($"s", $"pcell"))).getField("pcell")
+        }: _*).as("codes"))
+        .select($"id", $"cell",
+          zip_with(element_at(coarseLit, $"cell" + 1),
+            pqReconFromCodes(cb)($"codes"), (a, b) => a + b).as("recon"))
+    }
+  }
+
+  /** IVF-PQ approximate top-k against ALREADY-FITTED state (coarse
+    * centroids + residual codebooks) — split out like ivfTopKWith /
+    * pqTopKWith so q_ivfpq_topk, q_ivfpq_recall, and the replay oracle
+    * share one fit of each stage. Both frames: (id, vec). Output:
+    * (q_id, id, adc, rank ≤ k), adc = dot(q̂, coarse(cell) + decode) ≈
+    * cosine(q, v).
+    *
+    * Plan shape at 100 TB: the corpus is scanned ONCE through assign →
+    * residual → encode (all codegen projections, or one broadcast
+    * equi-join past the literal bounds — never a shuffle of the
+    * vectors); the stored state per row is (cell: int, codes: 8 bytes)
+    * vs the 256-byte raw vector; the query side is a broadcast of
+    * nQueries × nProbe probe rows; the cell equi-join prunes the scan
+    * to nProbe/nCells of the corpus BEFORE the ADC dot runs; the only
+    * shuffle is the final tiny per-query top-k window. This is the
+    * layout a 10⁹-vector search actually deploys — IVF alone still
+    * reads raw vectors, PQ alone still scans every row. */
+  def ivfPqTopKWith(coarse: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]],
+      dSub: Int, corpus: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (coarse.isEmpty || cb.isEmpty || cb.exists(_.isEmpty))
+      return queries.select($"id".as("q_id"), $"id".as("id"),
+        lit(0.0).as("adc"), lit(0).as("rank")).limit(0)
+    def normalized(df: DataFrame, idAs: String, vAs: String) = df
+      .select($"id".as(idAs), asDouble($"vec").as("v"))
+      .withColumn("nrm", norm($"v"))
+      .filter($"nrm" > 0)
+      .select(col(idAs), transform($"v", x => x / $"nrm").as(vAs))
+    val res = ivfPqResiduals(normalized(corpus, "id", "vh"), coarse)
+    val recon = ivfPqReconFrame(res, coarse, cb, dSub)
+    // query probes: top-nProbe cells by centroid dot — literal chains
+    // (the query side is a handful of rows), the ivfTopKWith order
+    // (array_sort ascending on (s, cell) structs, reversed → s desc,
+    // cell desc)
+    val q = normalized(queries, "q_id", "qh")
+    val probes = q.select($"q_id", $"qh",
+      explode(transform(
+        slice(reverse(array_sort(cellScores(coarse)($"qh"))), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val w = Window.partitionBy($"q_id").orderBy($"adc".desc, $"id".asc)
+    recon.join(broadcast(probes), Seq("cell"))
+      .filter($"id" =!= $"q_id")
+      .select($"q_id", $"id", dotProduct($"qh", $"recon").as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+  }
 }

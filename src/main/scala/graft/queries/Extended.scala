@@ -667,6 +667,7 @@ object Extended {
   def invalidateCache(s: SparkSession): Unit = {
     ivfCentroids.keys.filter(_._1 eq s).foreach(ivfCentroids.remove)
     pqCodebooks.keys.filter(_._1 eq s).foreach(pqCodebooks.remove)
+    ivfPqCodebooks.keys.filter(_._1 eq s).foreach(ivfPqCodebooks.remove)
   }
 
   /** IVF (inverted-file) approximate top-k over embeddings — the second
@@ -1010,6 +1011,248 @@ object Extended {
          |    ON exact.q_id = pqtop.q_id AND exact.id = pqtop.id
          |  WHERE pqtop.rank <= $PqShortlist
          |  GROUP BY pqtop.q_id
+         |)
+         |SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 10) q
+         |LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // IVF-PQ (q_ivfpq_topk / q_ivfpq_recall) — the composed tier
+
+  /** Session-memoized RESIDUAL codebooks for the IVF-PQ tier, trained
+    * on vh − coarse(cell) against the SAME memoized coarse quantizer
+    * q_ivf_topk uses (ivfCentroidsFor — one coarse fit serves three
+    * queries and two oracles). Same (8 × 8 × 64) geometry as the plain
+    * PQ tier so the two ADC scans differ ONLY in residual coding +
+    * cell pruning — which is exactly the comparison q_ivfpq_recall vs
+    * q_pq_recall measures. */
+  private val ivfPqCodebooks = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Seq[Array[Double]]]]
+
+  def ivfPqCodebooksFor(s: SparkSession,
+      dir: String): Seq[Seq[Array[Double]]] =
+    ivfPqCodebooks.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val coarse = ivfCentroidsFor(s, dir)
+      if (coarse.isEmpty) Seq.empty
+      else {
+        val nv = Tables.embeddings(s, dir)
+          .select($"vec_id".as("id"),
+            transform($"embedding", x => x.cast("double")).as("v"))
+          .withColumn("nrm", Embeddings.norm($"v"))
+          .filter($"nrm" > 0)
+          .select($"id", transform($"v", x => x / $"nrm").as("vh"))
+        val res = graft.operators.Ann.ivfPqResiduals(nv, coarse)
+          .select($"id", $"rv".as("vh"))
+          .repartition(s.sparkContext.defaultParallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try graft.operators.Ann.pqFit(res, PqMSub, PqDSub, PqKSub,
+          lloydIters = 4, seed = 42)
+        finally res.unpersist(blocking = false)
+      }
+    })
+
+  /** IVF-PQ ADC approximate top-k — the tier that composes the coarse
+    * quantizer's scan pruning (only nProbe of nCells cells touched)
+    * with PQ's 32× scan-width compression, on RESIDUALS (which
+    * concentrate near the origin, so the same 48 code bits carry far
+    * less quantization error than on raw vectors). Hash-checked against
+    * the two-stage replay oracle (coarse centroids + residual codebooks
+    * both embedded as literals). */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter($"id" < 10)
+    graft.operators.Ann.ivfPqTopKWith(ivfCentroidsFor(s, dir),
+        ivfPqCodebooksFor(s, dir), PqDSub, e, q, k = 5, nProbe = 8)
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Shortlist-recall gate for the IVF-PQ tier (the q_pq_recall metric
+    * with cell pruning in the loop): how much of the exact cosine top-5
+    * survives the probed ADC top-50. Losses decompose into probe misses
+    * (true neighbor in an unprobed cell) + quantization (ADC misranks
+    * within probed cells); comparing against q_pq_recall isolates the
+    * probe-miss term. Hash-checked — the oracle replays BOTH sides. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val q = e.filter($"id" < 10)
+    val shortlist = graft.operators.Ann
+      .ivfPqTopKWith(ivfCentroidsFor(s, dir), ivfPqCodebooksFor(s, dir),
+        PqDSub, e, q, k = PqShortlist, nProbe = 8)
+      .select($"q_id", $"id")
+    val exact = graft.operators.Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id")
+    val hits = shortlist.join(exact, Seq("q_id", "id"))
+      .groupBy($"q_id").agg(count(lit(1)).as("hits"))
+    q.select($"id".as("q_id")).join(hits, Seq("q_id"), "left")
+      .select($"q_id", coalesce($"hits", lit(0L)).as("hits"),
+        (coalesce($"hits", lit(0L)) / lit(5.0)).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  /** The q_ivfpq_topk / q_ivfpq_recall oracle SQL, set by Verify via
+    * prepareIvfPqOracle; empty (rows-only fallback) until then. */
+  @volatile private var ivfPqOracle: Map[String, String] = Map.empty
+
+  def ivfPqOracleSqlEntry: Map[String, String] = ivfPqOracle
+
+  def prepareIvfPqOracle(s: SparkSession, dir: String): Unit = {
+    ivfPqOracle = Map.empty
+    val coarse = ivfCentroidsFor(s, dir)
+    val cb = ivfPqCodebooksFor(s, dir)
+    if (coarse.nonEmpty && cb.nonEmpty && cb.forall(_.nonEmpty))
+      ivfPqOracle = Map(
+        "q_ivfpq_topk" -> buildIvfPqTopKOracleSql(coarse, cb),
+        "q_ivfpq_recall" -> buildIvfPqRecallOracleSql(coarse, cb))
+  }
+
+  /** In-order left-fold dot of an rv subvector window against a literal
+    * centroid — pqSubDot over the residual column. */
+  private def ivfPqSubDot(off: Int, c: Array[Double]): String = {
+    val clit = c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")
+    s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
+      s"i -> rv[$off + i] * ($clit)[i]), (x, y) -> x + y)"
+  }
+
+  /** Two-stage replay CTE chain (the pqReplayCtes device composed with
+    * buildIvfOracleSql's): normalize → coarse-assign (argmax dot, ties
+    * → larger cell) → residual (vh − coarse, elementwise) → per-subspace
+    * residual encode (argmax dot − ½|c|², ties → larger cell) →
+    * reconstruct (coarse + concatenated codebook rows, elementwise) →
+    * probe list (s desc, cell desc, ≤ nProbe) → cell-pruned ADC dot →
+    * per-query rank window. Ends with `ivfpqtop` (q_id, id, adc,
+    * rank). Every double neither engine independently recomputes — the
+    * coarse centroids, the codebooks, the ½|c|² constants — is a
+    * driver-evaluated literal embedded in both plans. */
+  private[graft] def ivfPqReplayCtes(coarse: Seq[Array[Double]],
+      cb: Seq[Seq[Array[Double]]]): String = {
+    val dSub = PqDSub
+    def vlit(c: Array[Double]): String =
+      c.map(graft.SparkEntry.sqlDouble).mkString("[", ",", "]")
+    val coarseArms = coarse.zipWithIndex.map { case (c, i) =>
+      s"SELECT vec_id, $i AS cell, " +
+        s"list_reduce(list_transform(generate_series(1, ${c.length}), " +
+        s"i -> vh[i] * (${vlit(c)})[i]), (x, y) -> x + y) AS s FROM nv"
+    }.mkString("\n  UNION ALL\n  ")
+    val coarseRows = coarse.zipWithIndex.map { case (c, i) =>
+      s"($i, ${vlit(c)})"
+    }.mkString(",\n    ")
+    val pqArms = cb.indices.flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, i) =>
+        val halfCC = 0.5 * c.foldLeft(0.0)((a, x) => a + x * x)
+        s"SELECT vec_id, $m AS m, $i AS pcell, " +
+          s"${ivfPqSubDot(m * dSub, c)} - $halfCC AS s FROM resv"
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    val cbRows = cb.indices.flatMap { m =>
+      cb(m).zipWithIndex.map { case (c, i) => s"($m, $i, ${vlit(c)})" }
+    }.mkString(",\n    ")
+    s"""WITH raw AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${graft.SparkEntry.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |), nv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS vh
+       |  FROM raw WHERE nrm > 0
+       |), cscored AS (
+       |  $coarseArms
+       |), cassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell DESC) AS rn
+       |    FROM cscored)
+       |  WHERE rn = 1
+       |), cct AS (
+       |  SELECT * FROM (VALUES
+       |    $coarseRows) t(cell, ccv)
+       |), resv AS (
+       |  SELECT nv.vec_id, cassign.cell,
+       |    list_transform(generate_series(1, len(nv.vh)),
+       |      i -> nv.vh[i] - cct.ccv[i]) AS rv
+       |  FROM nv
+       |  JOIN cassign ON cassign.vec_id = nv.vec_id
+       |  JOIN cct ON cct.cell = cassign.cell
+       |), pqscored AS (
+       |  $pqArms
+       |), codes AS (
+       |  SELECT vec_id, m, pcell FROM (
+       |    SELECT vec_id, m, pcell,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY s DESC, pcell DESC) AS rn
+       |    FROM pqscored)
+       |  WHERE rn = 1
+       |), cbt AS (
+       |  SELECT * FROM (VALUES
+       |    $cbRows) t(m, pcell, cv)
+       |), reconres AS (
+       |  SELECT codes.vec_id, flatten(list(cbt.cv ORDER BY codes.m)) AS rr
+       |  FROM codes JOIN cbt ON cbt.m = codes.m AND cbt.pcell = codes.pcell
+       |  GROUP BY codes.vec_id
+       |), recon AS (
+       |  SELECT resv.vec_id, resv.cell,
+       |    list_transform(generate_series(1, len(reconres.rr)),
+       |      i -> cct.ccv[i] + reconres.rr[i]) AS recon
+       |  FROM reconres
+       |  JOIN resv ON resv.vec_id = reconres.vec_id
+       |  JOIN cct ON cct.cell = resv.cell
+       |), qn AS (
+       |  SELECT vec_id AS q_id, vh AS qh FROM nv WHERE vec_id < 10
+       |), qprobes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell DESC) AS rn
+       |    FROM cscored WHERE vec_id < 10)
+       |  WHERE rn <= 8
+       |), adcpairs AS (
+       |  SELECT qn.q_id, recon.vec_id AS id,
+       |    list_reduce(list_transform(generate_series(1, len(qh)),
+       |      i -> qh[i] * recon[i]), (x, y) -> x + y) AS adc
+       |  FROM recon
+       |  JOIN qprobes ON qprobes.cell = recon.cell
+       |  JOIN qn ON qn.q_id = qprobes.q_id AND recon.vec_id != qn.q_id
+       |), ivfpqtop AS (
+       |  SELECT q_id, id, adc,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc DESC, id ASC) AS rank
+       |  FROM adcpairs
+       |)""".stripMargin
+  }
+
+  private[graft] def buildIvfPqTopKOracleSql(coarse: Seq[Array[Double]],
+      cb: Seq[Seq[Array[Double]]]): String =
+    ivfPqReplayCtes(coarse, cb) +
+      "\nSELECT q_id, id, adc, rank FROM ivfpqtop WHERE rank <= 5 " +
+      "ORDER BY q_id, rank"
+
+  private[graft] def buildIvfPqRecallOracleSql(coarse: Seq[Array[Double]],
+      cb: Seq[Seq[Array[Double]]]): String =
+    ivfPqReplayCtes(coarse, cb) +
+      s""",
+         |exact AS (
+         |  SELECT q_id, id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${graft.SparkEntry.dotSql("q.embedding", "c.embedding")}
+         |          / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rn
+         |    FROM raw c JOIN raw q ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         |  WHERE rn <= 5
+         |), hits AS (
+         |  SELECT ivfpqtop.q_id, count(*) AS hits
+         |  FROM ivfpqtop JOIN exact
+         |    ON exact.q_id = ivfpqtop.q_id AND exact.id = ivfpqtop.id
+         |  WHERE ivfpqtop.rank <= $PqShortlist
+         |  GROUP BY ivfpqtop.q_id
          |)
          |SELECT q.q_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
          |  CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall

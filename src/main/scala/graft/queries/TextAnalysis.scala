@@ -1511,6 +1511,72 @@ object TextAnalysis {
       .orderBy($"mmr_rank")
   }
 
+  /** Reciprocal Rank Fusion (q_rrf_fusion): the rank-based combiner
+    * (Cormack, Clarke & Buettcher, SIGIR 2009) production retrieval
+    * stacks run when fusing lexical and dense rankings —
+    * rrf = Σᵢ 1/(k₀ + rankᵢ), k₀ = 60. Rank-based fusion is immune to
+    * the scorers' incomparable scales (BM25 is unbounded, cosine is
+    * [−1, 1]), which is why it beats weighted score sums on
+    * uncalibrated scorers. Candidates: the BM25 top-20; the dense
+    * ranking is cosine to the BM25 rank-1 doc's embedding (the
+    * hybridRetrieval query convention — rank-1 plays the query and
+    * ranks first in its own dense list).
+    *
+    * Float parity with the oracle: both ranks are INTEGERS, so
+    * rrf = 1.0/(60 + r₁) + 1.0/(60 + r₂) is two IEEE divisions and one
+    * add, replayed term-for-term (exponent-form 1.0e0 literals in the
+    * SQL so DuckDB lexes DOUBLE, not DECIMAL).
+    *
+    * Scale posture: stage 1 is the distributed bm25TopK plan; the
+    * fusion runs on the DRIVER-BOUNDED 20-row candidate set
+    * (hybridRetrieval's scalar pattern — one probe join against
+    * embeddings, two 20-row windows). */
+  def rrfFusion(s: SparkSession, dir: String, nCand: Int = 20,
+      k: Int = 10, k0: Int = 60): DataFrame = {
+    import s.implicits._
+    import graft.queries.Embeddings.{dot, norm}
+    val candRows = bm25TopK(s, dir, nCand)
+      .select($"rank".as("bm25_rank"), $"doc_id")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val cand = candRows.toSeq.toDF("bm25_rank", "doc_id")
+    def emptyOut: DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rrf_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bm25_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cos_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("rrf",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val top1IdOpt = candRows.find(_._1 == 1).map(_._2)
+    if (top1IdOpt.isEmpty) return emptyOut
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val qRowOpt = emb.filter($"vec_id" === top1IdOpt.get).select($"v")
+      .head(1).headOption
+    if (qRowOpt.isEmpty) return emptyOut
+    val q = qRowOpt.get.getSeq[Double](0)
+    val qNrm = math.sqrt(q.foldLeft(0.0)((acc, x) => acc + x * x))
+    emb.join(broadcast(cand), $"doc_id" === $"vec_id")
+      .select($"bm25_rank", $"doc_id",
+        (dot(typedLit(q), $"v") / (lit(qNrm) * norm($"v"))).as("cosine"))
+      .withColumn("cos_rank", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id".asc)))
+      .withColumn("rrf",
+        lit(1.0) / (lit(k0) + $"bm25_rank") +
+          lit(1.0) / (lit(k0) + $"cos_rank"))
+      .withColumn("rrf_rank", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id".asc)))
+      .filter($"rrf_rank" <= k)
+      .select($"rrf_rank", $"doc_id", $"bm25_rank", $"cos_rank", $"rrf")
+      .orderBy($"rrf_rank")
+  }
+
   /** Link-prediction candidate featurization — the reference p1 core
     * (double attribute join J1/J2 + feature derivation F1-F3 + label join
     * J3) on the documents table: candidate pairs blocked by source, token

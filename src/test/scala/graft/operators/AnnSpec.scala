@@ -405,4 +405,93 @@ class AnnSpec extends SparkSpec {
     assert(Ann.pqTopKWith(cbTiny, 8, tiny, tiny.filter($"id" < 2), k = 3)
       .count() > 0)
   }
+
+  test("ivfPqTopKWith: one coarse cell + lossless residual codebook " +
+      "degenerates to exact bruteTopK ranks") {
+    val spark2 = spark
+    import spark2.implicits._
+    // single coarse centroid → every vector in cell 0, full probe at
+    // nProbe = 1; codebook = every distinct residual subvector → encode
+    // is exact (argmax dot − ½|c|² ≡ argmin L2², uniquely at c = r) and
+    // recon = c + (v̂ − c), within 1 ulp of v̂ per element — far inside
+    // the fixture's cosine gaps, so the rank SET matches brute force
+    val c0 = {
+      val v = Array(1.0, 1.0, 1.0, 1.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val normed = corpus.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val residuals = normed.map(v => v.indices.map(i => v(i) - c0(i)).toArray)
+    val cb: Seq[Seq[Array[Double]]] = Seq(0, 1).map { m =>
+      residuals.map(_.slice(m * 2, m * 2 + 2).toSeq)
+        .distinct.map(_.toArray).toSeq
+    }
+    val q = corpus.filter($"id" < 2L)
+    val exact = Ann.bruteTopK(corpus, q, k = 3)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfpq = Ann.ivfPqTopKWith(Seq(c0), cb, dSub = 2, corpus, q,
+        k = 3, nProbe = 1)
+      .select($"q_id", $"id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfpq === exact)
+  }
+
+  test("ivfPqReconFrame joined ≡ literal row-by-row below the bound " +
+      "(forceJoined)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(17)
+    val nv = (0L until 150L).map { id =>
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n).toSeq)
+    }.toDF("id", "vh")
+    val coarse = Ann.ivfFit(nv.select($"id", $"vh".as("v")),
+      nCells = 4, lloydIters = 1, seed = 5)
+    val res = Ann.ivfPqResiduals(nv, coarse)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = Ann.pqFit(res.select($"id", $"rv".as("vh")),
+        mSub = 8, dSub = 8, kSub = 8, lloydIters = 1, seed = 3)
+      assert(cb.map(_.size).sum <= Ann.PqLiteralEntriesBound)
+      def collectOf(df: org.apache.spark.sql.DataFrame) = df
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Double](2))))
+        .toMap
+      val literal = collectOf(Ann.ivfPqReconFrame(res, coarse, cb, 8))
+      val joined = collectOf(
+        Ann.ivfPqReconFrame(res, coarse, cb, 8, forceJoined = true))
+      assert(joined === literal)  // cells, codes, AND recon doubles
+    } finally res.unpersist(blocking = false)
+  }
+
+  test("ivfPq tier on real embeddings: residual codebooks fit, probed " +
+      "shortlist recall holds a floor, state is shared") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = sf("sf0.001")
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val q = e.filter($"id" < 10)
+    val coarse = graft.queries.Extended.ivfCentroidsFor(spark, dir)
+    val cb = graft.queries.Extended.ivfPqCodebooksFor(spark, dir)
+    assert(cb.size === 8 &&
+      cb.forall(_.size === graft.queries.Extended.PqKSub))
+    val shortlist = Ann.ivfPqTopKWith(coarse, cb, 8, e, q,
+        k = graft.queries.Extended.PqShortlist, nProbe = 8)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.bruteTopK(e, q, k = 5)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probed recall stacks two losses (unprobed cells + quantization);
+    // uniform random embeddings are the worst case for both
+    val recall = (exact & shortlist).size.toDouble / exact.size
+    assert(recall >= 0.4, s"probed shortlist recall=$recall")
+  }
 }

@@ -194,6 +194,29 @@ class TextAnalysisSpec extends SparkSpec {
       "rerank order is non-increasing cosine")
   }
 
+  test("rrfFusion: rrf recomputed from the two integer ranks, ordered, " +
+      "candidates from the BM25 top-20") {
+    val dir = sf("sf0.001")
+    val cand = TextAnalysis.bm25TopK(spark, dir, k = 20).collect()
+      .map(r => (r.getLong(1), r.getInt(0))).toMap // doc_id -> bm25_rank
+    val got = TextAnalysis.rrfFusion(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty && got.length <= 10)
+    got.zipWithIndex.foreach { case ((rr, id, br, cr, rrf), i) =>
+      assert(rr === i + 1)
+      assert(cand(id) === br, s"doc $id carries its stage-1 rank")
+      assert(cr >= 1 && cr <= 20, s"doc $id cos_rank in candidate range")
+      // the fused score is exactly the two-term reciprocal sum
+      assert(rrf === 1.0 / (60 + br) + 1.0 / (60 + cr), s"doc $id")
+    }
+    val scores = got.map(_._5)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fusion order is non-increasing rrf")
+    // cos ranks are a permutation slice: distinct within the output
+    assert(got.map(_._4).distinct.length === got.length)
+  }
+
   test("repetition filter: hand-computed metrics and keep verdicts") {
     val spark2 = spark
     import spark2.implicits._
