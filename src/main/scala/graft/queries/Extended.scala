@@ -1076,8 +1076,13 @@ object Extended {
     * with cell pruning in the loop): how much of the exact cosine top-5
     * survives the probed ADC top-50. Losses decompose into probe misses
     * (true neighbor in an unprobed cell) + quantization (ADC misranks
-    * within probed cells); comparing against q_pq_recall isolates the
-    * probe-miss term. Hash-checked — the oracle replays BOTH sides. */
+    * within probed cells); graft.TuneIvfPq measures the split (r14:
+    * sf0.1 full-probe 0.48 vs raw-PQ 0.72 — on UNIFORM vectors the
+    * residual carries ~2× a unit vector's energy, ‖v̂ − c‖ ≈ √2, so
+    * residual coding is the dominant loss and probing costs little; on
+    * clustered production embeddings the inequality flips, which is
+    * why the composition exists). Hash-checked — the oracle replays
+    * BOTH sides. */
   def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)
