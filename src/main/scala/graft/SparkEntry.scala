@@ -34,6 +34,7 @@ object SparkEntry {
     "q_threshold_sweep", "q_nation_delta", "q_null_fill",
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
+    "q_hll_distinct", "q_hash_quantiles", "q_sketch_overlap",
     "q_stratified_sample", "q_bottomk_sample", "q_priority_sample",
     "q_hash_split",
     "q_source_mix", "q_mix_temperature", "q_epoch_shuffle", "q_skew_join",
@@ -233,15 +234,25 @@ object SparkEntry {
     "q_json_typed"        -> (Extended.jsonTyped(_, _)),
     "q_event_windows"     -> (Extended.eventWindows(_, _)),
     "q_distinct_counts"   -> (Extended.distinctCounts(_, _)),
-    // wave 2: library operators — sketches/sampling stay rows-only by
-    // design; q_lsh_topk got its hyperplane-replay oracle in r13,
-    // q_minhash_neardup/q_simhash_neardup their full xxhash64-replay
-    // oracles in r14 (XxhReplaySql), and q_similarity_join_p2 its
+    // wave 2: library operators — the Spark-internal sketches
+    // (q_approx_distinct HLL++, q_approx_quantiles GK) stay rows-only by
+    // design with graft-native hash-checked twins (q_hll_distinct,
+    // q_hash_quantiles); q_lsh_topk got its hyperplane-replay oracle in
+    // r13, q_minhash_neardup/q_simhash_neardup their full xxhash64-replay
+    // oracles in r14 (XxhReplaySql), q_similarity_join_p2 its
     // Murmur3/coefficient-replay oracle in r14 (Murmur3ReplaySql, a
     // dynamic entry — the sampled ids + reflected MinHash coefficients
-    // embed per-session via Extended.prepareP2Oracle)
+    // embed per-session via Extended.prepareP2Oracle), and
+    // q_stratified_sample its key-hash flip in r14 (the draw is a pure
+    // function of the row key, so the sample itself replays)
     "q_approx_distinct"   -> (Extended.approxDistinct(_, _)),
     "q_approx_quantiles"  -> (Extended.approxQuantiles(_, _)),
+    "q_hll_distinct"      -> (Extended.hllDistinct(_, _)),
+    "q_hash_quantiles"    -> (Extended.hashQuantiles(_, _)),
+    // KMV sketch-intersection source-overlap matrix: the no-pairwise-
+    // join overlap estimator (Beyer et al. / theta sketches), fully
+    // replayed from raw text by the oracle
+    "q_sketch_overlap"    -> (Extended.sketchOverlap(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     // key-hash priority sampling and the deletion-neighborhood edit-
@@ -1256,6 +1267,11 @@ object SparkEntry {
     // whose completeness theorem lets the oracle be the FULL brute-force
     // levenshtein self-join (length band |Δl| <= 1 is implied by ed <= 1)
     "q_priority_sample" -> XxhReplaySql.prioritySampleSql,
+    // r14: the stratified Bernoulli sample's draw became a pure key-hash
+    // function (top-53-bit uniform vs exact integer per-stratum
+    // thresholds), so the whole sample — not just its rate contract —
+    // is replayable; flips q_stratified_sample from rows-only
+    "q_stratified_sample" -> XxhReplaySql.stratifiedSampleSql,
     "q_editdist_pairs" ->
       """SELECT CAST(a.c_custkey AS BIGINT) AS a_id,
         |  CAST(b.c_custkey AS BIGINT) AS b_id,
@@ -1275,6 +1291,13 @@ object SparkEntry {
     // (SplitmixReplaySql scaladoc)
     "q_cm_words" -> SplitmixReplaySql.cmWordsSql,
     "q_bottomk_sample" -> SplitmixReplaySql.bottomkSampleSql,
+    // r14 continuation: the graft-native HLL registers + raw estimator
+    // and the bottom-k-row-sample quantiles are pure functions of the
+    // value/key sets, so both replay end-to-end (SplitmixReplaySql
+    // scaladoc) — hash-checked twins for the two Spark-internal sketches
+    "q_hll_distinct" -> SplitmixReplaySql.hllDistinctSql,
+    "q_hash_quantiles" -> SplitmixReplaySql.hashQuantilesSql,
+    "q_sketch_overlap" -> SplitmixReplaySql.sketchOverlapSql,
 
     "q_nation_delta" ->
       """SELECT nationkey FROM (

@@ -45,6 +45,29 @@ object SketchAggs {
     GraftBridge.column(BottomKSample(GraftBridge.expression(c), k, seed)
       .toAggregateExpression())
 
+  /** HLL raw-estimator bias constant α_m — shared with the replay oracle
+    * (the same double lands as a literal in the SQL). */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HyperLogLog distinct-count sketch of a long column — output
+    * struct<est:double, n_zero:bigint> per group (raw estimator +
+    * zero-register count; see HllDistinct). */
+  def hllDistinct(c: Column, p: Int, seed: Long): Column =
+    GraftBridge.column(HllDistinct(GraftBridge.expression(c), p, seed)
+      .toAggregateExpression())
+
+  /** Bottom-k row sample of a measure keyed by a unique row key —
+    * output array<double> (the k min-hash rows' measure values, sorted
+    * ascending) per group. */
+  def bottomKPairs(key: Column, value: Column, k: Int, seed: Long): Column =
+    GraftBridge.column(BottomKPairs(GraftBridge.expression(key),
+      GraftBridge.expression(value), k, seed).toAggregateExpression())
+
   /** Misra–Gries frequent-items summary of a string column — output
     * array<struct<item,est,err>> per group, sorted (est desc, item asc).
     * For every item: est ≤ true ≤ est + err, and any item with
@@ -419,4 +442,193 @@ case class CountMinEstimate(child: Expression, items: Seq[String],
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): CountMinEstimate =
     copy(child = newChild)
+}
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007) over a long
+  * column — the graft-native, REPLAYABLE twin of Spark's HLL++
+  * `approx_count_distinct`: same register structure (2^p byte
+  * registers, max leading-zero rank), but the row hash is the same
+  * seeded splitmix64 the other graft sketches use, so a SQL oracle can
+  * rebuild every register — and the estimate — from the raw table
+  * (SplitmixReplaySql.hllDistinctSql).
+  *
+  * Merge is an elementwise register MAX — idempotent, commutative,
+  * associative — so the merged sketch is a pure function of the value
+  * SET: bit-identical under any partitioning, duplication, task order,
+  * or AQE re-plan, with constant 2^p-byte state (the property that makes
+  * HLL the distinct-count of choice over a 100 TB corpus: one map pass,
+  * one 256-byte-per-group reduce).
+  *
+  * The emitted estimate is the RAW HLL estimator α_m·m²/Σ 2^−M[j] with
+  * the IEEE sum order pinned (register-index-ascending left fold) plus
+  * the zero-register count — deliberately NOT the bias-corrected /
+  * linear-counting composite: corrections involve libm (ln) whose
+  * last-ulp behavior differs across engines, so they belong to the
+  * presentation layer. n_zero lets a caller apply linear counting when
+  * est ≤ 2.5m; the spec pins the raw estimator's accuracy in its sound
+  * regime (n ≫ 2.5m, rel-err ≲ 3·1.04/√m). Nulls are skipped.
+  */
+case class HllDistinct(child: Expression, p: Int, seed: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(p >= 4 && p <= 14, s"precision out of range [4,14]: $p")
+
+  private val m = 1 << p
+
+  override def prettyName: String = "hll_distinct"
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("n_zero", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = SketchAggs.mix(v.asInstanceOf[Long] ^ SketchAggs.mix(seed))
+      val bucket = (h >>> (64 - p)).toInt
+      val w = h << p
+      // rank over the remaining 64-p bits; w == 0 caps at 64-p+1
+      val rho =
+        if (w == 0L) 64 - p + 1
+        else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var s = 0.0
+    var zeros = 0L
+    var i = 0
+    while (i < m) {
+      s += 1.0 / (1L << buf(i)).toDouble
+      if (buf(i) == 0) zeros += 1L
+      i += 1
+    }
+    InternalRow(SketchAggs.hllAlpha(m) * m * m / s, zeros)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllDistinct =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinct =
+    copy(child = newChild)
+}
+
+/** Bottom-k ROW sample carrying a measure: keep the measure values of
+  * the k rows whose seeded key hash is smallest — the row-level twin of
+  * BottomKSample (which samples distinct VALUES). The sampled row set is
+  * a uniform k-subset of the group's rows, a pure function of the key
+  * set (same rank function mix(key ^ mix(seed)); collisions between
+  * distinct keys are kept and broken by key order, so the result is
+  * exactly replayable with no first-arrival caveat). The emitted array
+  * is the sample's measure values sorted ascending — position
+  * ⌊q·(n−1)⌋+1 is then a deterministic sample-quantile estimator with
+  * the standard √k concentration, which is how an approximate quantile
+  * can be hash-checked across engines (the sketch quantile algorithms —
+  * GK, KLL, t-digest — are all arrival-order-dependent).
+  *
+  * CONTRACT: the key must uniquely identify the row (a primary key) —
+  * rows sharing a key collapse to one arbitrary-arrival entry, which is
+  * partition-order-dependent exactly like a reservoir. (That is why
+  * q_hash_quantiles keys on orders.o_orderkey: the synthetic lineitem
+  * repeats (orderkey, linenumber) with different payloads.)
+  *
+  * State is ≤ k (hash, key, value) triples — map-combinable constant
+  * state, no per-group sort of the full data at any scale. Null keys or
+  * values are skipped.
+  */
+case class BottomKPairs(key: Expression, value: Expression, k: Int,
+    seed: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    scala.collection.mutable.TreeMap[(Long, Long), Double]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  type Buf = scala.collection.mutable.TreeMap[(Long, Long), Double]
+
+  override def prettyName: String = "bottom_k_pairs"
+  override def left: Expression = key
+  override def right: Expression = value
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, org.apache.spark.sql.types.DoubleType)
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  private def insert(buf: Buf, kv: Long, value: Double): Unit = {
+    val h = SketchAggs.mix(kv ^ SketchAggs.mix(seed))
+    buf.put((h, kv), value)
+    if (buf.size > k) buf.remove(buf.lastKey)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val kv = key.eval(input)
+    val v = value.eval(input)
+    if (kv != null && v != null)
+      insert(buf, kv.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case ((h, kv), v) =>
+      a.put((h, kv), v)
+      if (a.size > k) a.remove(a.lastKey)
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val vs = buf.values.toArray
+    java.util.Arrays.sort(vs)
+    new GenericArrayData(vs)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 24)
+    bb.putInt(buf.size)
+    buf.foreach { case ((h, kv), v) =>
+      bb.putLong(h); bb.putLong(kv); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf()
+    var i = 0
+    while (i < n) { buf.put((bb.getLong, bb.getLong), bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKPairs =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKPairs =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BottomKPairs =
+    copy(key = newLeft, value = newRight)
 }

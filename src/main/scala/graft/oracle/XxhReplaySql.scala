@@ -112,7 +112,7 @@ object XxhReplaySql {
   /** Stage list computing XXH64(utf8($strCol), seed) into `{out}_u`:
     * hex-decode the UTF8 bytes, 4-lane 32-byte stripes, 8/4/1-byte
     * tails, avalanche — the full variable-length algorithm. */
-  private def strHashStages(strCol: String, out: String,
+  private[graft] def strHashStages(strCol: String, out: String,
       seed: Long = 42L): Seq[(String, String)] = {
     val st = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     st ++= byteStages(strCol, out)
@@ -208,16 +208,51 @@ object XxhReplaySql {
        |ORDER BY lang, rk""".stripMargin
   }
 
+  /** q_stratified_sample replay — Extended.stratifiedSample's pinned
+    * shape: u53 = xxhash64(l_orderkey·16 + l_linenumber) >>> 11, keep iff
+    * u53 < the stratum's exact integer threshold 2^53·num/den
+    * (Extended.stratTiers — the thresholds here are evaluated through
+    * Extended.stratThreshold, so query and oracle cannot drift). The
+    * acceptance test is pure integer compare on a replayed hash — no
+    * float anywhere before the final decimal-routed sum. */
+  lazy val stratifiedSampleSql: String = {
+    val tiers = graft.queries.Extended.stratTiers
+    val thrCase = tiers.map { case (f, num, den) =>
+      s"WHEN '$f' THEN ${graft.queries.Extended.stratThreshold(num, den)}"
+    }.mkString(" ")
+    val layers = longHashStages("ck", "sh").map(Seq(_)) :+
+      Seq("u53" -> "(sh_u // 2048)")
+    val (ctes, last) = layeredCte(
+      "SELECT l_returnflag, l_quantity, l_orderkey * 16 + l_linenumber AS ck" +
+        " FROM lineitem", layers, "st0")
+    s"""WITH $ctes
+       |SELECT l_returnflag, count(*) AS n_sampled,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       |FROM $last
+       |WHERE u53 < (CASE l_returnflag $thrCase ELSE 0 END)
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Chain layers of independent columns into a CTE pipeline; returns
-    * (cteText, lastName). */
+    * (cteText, lastName). Every stage is AS MATERIALIZED: DuckDB's
+    * optimizer inlines single-reference CTEs and substitutes each
+    * referenced COLUMN by its defining expression — through a chain of
+    * stages that each reference the prior column several times (rotl ×2,
+    * mul64 ×3 per operand) the substituted tree grows EXPONENTIALLY, and
+    * a replay that evaluates in seconds materialized runs for minutes
+    * inlined (measured: q_stratified_sample's 60k-row hashLong replay
+    * 2.2 s materialized vs >300 s inlined). Materialization pins the
+    * evaluation to once-per-stage-per-row — the semantics are identical,
+    * only the plan changes. */
   private[graft] def layeredCte(base: String, layers: Seq[Seq[(String, String)]],
       first: String): (String, String) = {
-    val sb = new StringBuilder(s"$first AS ($base)")
+    val sb = new StringBuilder(s"$first AS MATERIALIZED ($base)")
     var prev = first
     layers.zipWithIndex.foreach { case (layer, i) =>
       val name = s"${first}_${i + 1}"
       val cols = layer.map { case (c, e) => s"$e AS $c" }.mkString(", ")
-      sb.append(s",\n$name AS (SELECT *, $cols FROM $prev)")
+      sb.append(s",\n$name AS MATERIALIZED (SELECT *, $cols FROM $prev)")
       prev = name
     }
     (sb.toString, prev)
@@ -394,7 +429,8 @@ object XxhReplaySql {
   * Both SQLs were validated against the Spark verify dumps at sf0.01
   * before landing (18 cm rows, 3 bottom-k groups, bit-exact). */
 object SplitmixReplaySql {
-  import XxhReplaySql.{mod64, mul64, xorS, shr, toSigned, byteStages, layeredCte}
+  import XxhReplaySql.{mod64, mul64, xorS, shr, toSigned, toUnsigned,
+    byteStages, strHashStages, layeredCte}
   import graft.functions.SketchAggs
 
   /** splitmix64 over an unsigned-HUGEINT expression (SketchAggs.mix). */
@@ -490,5 +526,158 @@ object SplitmixReplaySql {
        |SELECT s.l_returnflag, s.sample_keys, n.n_rows
        |FROM s JOIN n USING (l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q_sketch_overlap replay — Extended.sketchOverlap's pinned shape
+    * (k = 256, seed 42 over documents' space-split tokens per source):
+    * DuckDB re-derives the ENTIRE pipeline from raw text — XXH64 token
+    * hashes (strHashStages over the distinct (source, token) pairs),
+    * splitmix ranks, the per-source bottom-k sketches, union ranks with
+    * the (rank, value) tie-break, and the KMV estimators with the exact
+    * 2⁻⁶⁴-affine density map. The one non-replayable branch is an exact
+    * 64-bit rank collision between distinct hashes (first-arrival vs
+    * arbitrary SQL tie — the standard documented sketch-determinism
+    * argument, probability ≈ k²·2⁻⁶⁴ per source). */
+  lazy val sketchOverlapSql: String = {
+    val k = 256
+    val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
+    val scale = math.pow(2, -64).toString
+    val (ctes, last) = layeredCte(
+      "SELECT DISTINCT source, tok FROM (SELECT source, " +
+        "unnest(string_split(text, ' ')) AS tok FROM documents)",
+      strHashStages("tok", "th").map(Seq(_)), "so0")
+    val r = toSigned(mixSql(xorS(toUnsigned("hv"), mixSeed)))
+    s"""WITH $ctes,
+       |dv AS (
+       |  SELECT DISTINCT source, ${toSigned("th_u")} AS hv FROM $last
+       |), rk AS MATERIALIZED (
+       |  SELECT source, hv, $r AS r FROM dv
+       |), sk AS (
+       |  SELECT source, hv, r FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY source ORDER BY r ASC) AS rn FROM rk)
+       |  WHERE rn <= $k
+       |), srcs AS (
+       |  SELECT DISTINCT source FROM sk
+       |), pr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source
+       |), u AS (
+       |  SELECT pr.src_a, pr.src_b, e.hv AS v, e.r, count(*) AS n_src
+       |  FROM pr JOIN sk e ON e.source = pr.src_a OR e.source = pr.src_b
+       |  GROUP BY 1, 2, 3, 4
+       |), kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY src_a, src_b ORDER BY r ASC, v ASC) AS rn
+       |    FROM u)
+       |  WHERE rn <= $k
+       |), agg AS (
+       |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_common,
+       |    max(r) AS hk
+       |  FROM kept GROUP BY 1, 2
+       |), est AS (
+       |  SELECT src_a, src_b, k_union, n_common,
+       |    CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |      ELSE CAST(${k - 1} AS DOUBLE)
+       |        / (CAST(hk AS DOUBLE) * $scale + 0.5) END AS est_union
+       |  FROM agg
+       |)
+       |SELECT src_a, src_b, k_union, n_common, est_union,
+       |  CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE) AS jaccard_est,
+       |  (CAST(n_common AS DOUBLE) / CAST(k_union AS DOUBLE)) * est_union
+       |    AS est_common
+       |FROM est
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** q_hll_distinct replay — Extended.hllDistinct's pinned shape (p = 8
+    * → 256 registers, seed 42 over lineitem's l_orderkey per
+    * l_returnflag): DuckDB re-derives every register from the DISTINCT
+    * value set (HLL registers are max-aggregates, so distinct suffices),
+    * with the rank's leading-zero count computed EXACTLY via bin()
+    * string length (no libm log2), then replays the raw estimator:
+    * term 2^−M[j] is an exact power-of-two reciprocal, the Σ is a
+    * register-index-ascending left fold seeded 0.0 (IEEE-identical to
+    * the aggregate's loop), and α_m·m·m/Σ is two exact power-of-two
+    * scalings and one correctly-rounded division. α_m is evaluated
+    * through SketchAggs.hllAlpha — the very constant the aggregate
+    * uses — and embedded as an exact decimal literal. */
+  lazy val hllDistinctSql: String = {
+    val p = 8; val m = 1 << p
+    val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
+    val alpha = new java.math.BigDecimal(SketchAggs.hllAlpha(m)).toPlainString
+    val shift = java.math.BigInteger.ONE.shiftLeft(64 - p) // 2^56
+    val h = mixSql(xorS("CAST(v AS HUGEINT)", mixSeed))
+    s"""WITH dv AS (
+       |  SELECT DISTINCT l_returnflag, l_orderkey AS v FROM lineitem
+       |), h AS MATERIALIZED (
+       |  SELECT l_returnflag, $h AS hu FROM dv
+       |), b AS MATERIALIZED (
+       |  SELECT l_returnflag, hu // $shift AS bucket,
+       |    CAST(hu % $shift AS BIGINT) AS wlow
+       |  FROM h
+       |), r AS (
+       |  SELECT l_returnflag, bucket,
+       |    max(CASE WHEN wlow = 0 THEN ${64 - p + 1}
+       |        ELSE ${64 - p + 1} - length(bin(wlow)) END) AS rho
+       |  FROM b GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT f.l_returnflag, g.range AS bucket
+       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f, range($m) g
+       |), t AS (
+       |  SELECT g.l_returnflag, g.bucket, coalesce(r.rho, 0) AS rho,
+       |    CAST(1 AS DOUBLE)
+       |      / CAST(CAST(1 AS BIGINT) << coalesce(r.rho, 0) AS DOUBLE) AS term
+       |  FROM grid g LEFT JOIN r
+       |    ON r.l_returnflag = g.l_returnflag AND r.bucket = g.bucket
+       |), agg AS (
+       |  SELECT l_returnflag,
+       |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
+       |      list(term ORDER BY bucket)), (a, b) -> a + b) AS s,
+       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM t GROUP BY 1
+       |), x AS (
+       |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS true_distinct
+       |  FROM lineitem GROUP BY 1
+       |)
+       |SELECT a.l_returnflag,
+       |  CAST('$alpha' AS DOUBLE) * $m * $m / s AS hll_est,
+       |  n_zero, true_distinct
+       |FROM agg a JOIN x USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** q_hash_quantiles replay — Extended.hashQuantiles' pinned shape
+    * (k = 500, seed 42, key = the UNIQUE o_orderkey): the sample is the
+    * k rows with smallest (signed splitmix hash, key) per o_orderstatus
+    * — replayed exactly, including hash-collision tie-breaks — and each
+    * quantile is the sorted sample's ⌊q·(n−1)⌋+1-th raw value: integer
+    * indexing only, the measured doubles pass through untouched. */
+  lazy val hashQuantilesSql: String = {
+    val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
+    val h = mixSql(xorS("CAST(o_orderkey AS HUGEINT)", mixSeed))
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+       |    ${toSigned(h)} AS hs
+       |  FROM orders
+       |), r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY o_orderstatus ORDER BY hs ASC, o_orderkey ASC) AS rn
+       |  FROM h
+       |), sm AS (
+       |  SELECT * FROM r WHERE rn <= 500
+       |), agg AS (
+       |  SELECT o_orderstatus, count(*) AS n,
+       |    list(o_totalprice ORDER BY o_totalprice) AS ps
+       |  FROM sm GROUP BY 1
+       |)
+       |SELECT o_orderstatus, CAST(n AS INT) AS n_sample,
+       |  ps[CAST((n - 1) // 2 + 1 AS INT)] AS p50_price,
+       |  ps[CAST((n - 1) * 9 // 10 + 1 AS INT)] AS p90_price
+       |FROM agg
+       |ORDER BY o_orderstatus""".stripMargin
   }
 }

@@ -119,8 +119,9 @@ object Extended {
   // ---- rows-only queries (no SQL oracle; driver checks rows>0 shape) ----
 
   /** HyperLogLog++ approximate distinct — sketch values are Spark-
-    * specific, so no DuckDB oracle; the relative-error contract is
-    * asserted in ExtendedSpec instead. */
+    * specific, so no DuckDB oracle (hllDistinct below is the graft-native
+    * hash-checked twin); the relative-error contract is asserted in
+    * ExtendedSpec instead. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
@@ -131,9 +132,30 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Graft-native HLL distinct sketch (functions.HllDistinct, p = 8 →
+    * 256 byte registers) next to the exact count — the REPLAYABLE twin
+    * of q_approx_distinct: the splitmix64 row hash, every register, the
+    * zero-register count, and the raw estimator's pinned-order IEEE sum
+    * are all recomputed independently by DuckDB
+    * (SplitmixReplaySql.hllDistinctSql), so the hash gate covers the
+    * sketch bit-for-bit, not just a tolerance. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.functions.SketchAggs.hllDistinct($"l_orderkey", 8, 42L)
+          .as("h"),
+        countDistinct($"l_orderkey").as("true_distinct"))
+      .select($"l_returnflag", $"h.est".as("hll_est"),
+        $"h.n_zero".as("n_zero"), $"true_distinct")
+      .orderBy($"l_returnflag")
+  }
+
   /** Approximate percentiles (KLL-style sketch) — the scale path next to
     * the exact `Relational.quantiles`; sketch internals are Spark-specific
-    * so no cross-engine oracle, the error contract vs exact percentiles is
+    * so no cross-engine oracle (hashQuantiles below is the deterministic
+    * hash-checked twin), the error contract vs exact percentiles is
     * pinned in ExtendedSpec. */
   def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -145,16 +167,71 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic approximate quantiles via a bottom-k-by-key-hash row
+    * sample (functions.BottomKPairs, k = 500 per group): the k rows with
+    * the smallest seeded key hash are a uniform row subset — a pure
+    * function of the group's key set, so unlike GK/KLL/t-digest (all
+    * arrival-order-dependent) the estimate is partition-invariant AND
+    * cross-engine replayable. The quantile is the sorted sample's
+    * ⌊q·(n−1)⌋+1-th element — integer indexing over raw data values, no
+    * interpolation arithmetic to drift. Keyed on
+    * orders (o_orderkey IS unique — the sampler's contract; lineitem's
+    * synthetic (orderkey, linenumber) repeats with different payloads,
+    * which a key-hash sample cannot disambiguate). Scale shape: constant
+    * ≤k-triple state per group, map-side combine, no full-group sort
+    * (the sketch quantile contract). Accuracy vs exact quantiles
+    * (√k concentration) is pinned in ExtendedSpec. */
+  def hashQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        graft.functions.SketchAggs.bottomKPairs(
+          $"o_orderkey", $"o_totalprice", 500, 42L).as("sp"))
+      .select($"o_orderstatus",
+        size($"sp").as("n_sample"),
+        expr("element_at(sp, CAST((size(sp)-1) DIV 2 + 1 AS INT))")
+          .as("p50_price"),
+        expr("element_at(sp, CAST(((size(sp)-1)*9) DIV 10 + 1 AS INT))")
+          .as("p90_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Per-stratum sampling rates as exact rationals (flag, num, den) —
+    * the single source of truth shared with the DuckDB replay oracle
+    * (XxhReplaySql.stratifiedSampleSql). */
+  val stratTiers: Seq[(String, Int, Int)] =
+    Seq(("A", 1, 5), ("N", 1, 10), ("R", 1, 20))
+
+  /** Exact integer acceptance threshold on the top-53-bit uniform:
+    * keep iff (hash >>> 11) < (2^53 · num / den). */
+  def stratThreshold(num: Int, den: Int): Long = (1L << 53) / den * num
+
   /** Stratified (per-key-fraction) Bernoulli sampling — S5's `sample`
-    * generalized with df.stat.sampleBy. Seeded, but the draw depends on
-    * row-to-partition assignment, so there is no cross-engine oracle; the
-    * per-stratum rate contract is asserted in ExtendedSpec instead. */
+    * generalized. The draw is a PURE FUNCTION of the row key, not of
+    * partitioning: u = top 53 bits of xxhash64(orderkey·16+linenumber),
+    * keep iff u < rate·2^53 (exact integer thresholds, no float compare).
+    * That is the production sampler at scale — map-only, zero shuffle,
+    * and the selected row SET is identical under repartitioning, AQE
+    * re-plans, task retries, and corpus backfills (rand()/sampleBy draws
+    * change with row-to-partition assignment, so a re-run "samples" a
+    * different corpus). Deterministic ⇒ fully oracle-checkable: DuckDB
+    * replays the hash (XxhReplaySql.longHashStages) and the integer
+    * threshold compare bit-for-bit. The per-stratum rate contract
+    * (Binomial concentration around num/den) is pinned in ExtendedSpec. */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val u53 = shiftrightunsigned(
+      xxhash64($"l_orderkey" * lit(16L) + $"l_linenumber"), 11)
+    val thr = stratTiers.tail.foldLeft(
+      when($"l_returnflag" === stratTiers.head._1,
+        lit(stratThreshold(stratTiers.head._2, stratTiers.head._3)))) {
+      case (c, (f, num, den)) =>
+        c.when($"l_returnflag" === f, lit(stratThreshold(num, den)))
+    }.otherwise(lit(0L))
     Tables.lineitem(s, dir)
-      .select($"l_returnflag", $"l_orderkey", $"l_quantity")
-      .stat.sampleBy("l_returnflag",
-        Map("A" -> 0.2, "N" -> 0.1, "R" -> 0.05), seed = 7L)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .filter(u53 < thr)
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_sampled"),
         sum(dec($"l_quantity")).cast("double").as("sum_qty"))
@@ -305,10 +382,11 @@ object Extended {
 
   /** Deterministic per-group k-sample of example ids via the graft-native
     * bottom-k sketch aggregate (functions.BottomKSample, a custom Catalyst
-    * TypedImperativeAggregate): unlike stratifiedSample (S5 Bernoulli,
-    * partition-order-dependent), the bottom-k result is a pure function of
-    * each group's value set — identical on any cluster layout. Sketch
-    * hashes are Spark-side (splitmix64), so no SQL oracle; the contract
+    * TypedImperativeAggregate): like the key-hash stratifiedSample, the
+    * bottom-k result is a pure function of each group's value set —
+    * identical on any cluster layout — but with an exact-k guarantee
+    * instead of a Binomial rate. The splitmix64 rank is replayed by the
+    * SQL oracle (SplitmixReplaySql.bottomkSampleSql); the contract
     * (uniformity, exactness ≤ k, partitioning invariance) is pinned in
     * SketchAggsSpec. The sampled keys are emitted as one comma-joined
     * string (bigints — exact as text): the driver's pandas comparer can
@@ -326,6 +404,69 @@ object Extended {
           .as("sample_keys"),
         $"n_rows")
       .orderBy($"l_returnflag")
+  }
+
+  /** Cross-source distinct-token overlap via KMV (bottom-k / theta-style)
+    * sketch intersection — "how much vocabulary do every two sources
+    * share?" answered with NO pairwise token join: one linear pass builds
+    * a 256-entry bottom-k sketch per source (functions.BottomKSample over
+    * xxhash64(token) — constant state, map-combinable), and all
+    * |S|·(|S|−1)/2 pair estimates come from the sketches alone
+    * (|S|·k rows total). The estimators are the standard KMV identities
+    * (Beyer et al. 2007 / theta sketches): with K the k smallest ranks of
+    * the UNION of two sketches, D̂_∪ = (k−1)/u(h_k) where u maps the
+    * signed k-th rank into (0,1) via the exact-affine h·2⁻⁶⁴ + 0.5
+    * (prioritySample's device), ρ̂ = |K ∩ A ∩ B|/k estimates jaccard, and
+    * D̂_∩ = ρ̂·D̂_∪; a union smaller than k is EXACT. At 100 TB this is
+    * the only viable shape for source-pair overlap matrices: sketches
+    * congregate per source (bytes each), the token stream is read once,
+    * and pair count never touches row count. Every stage is a pure
+    * function of the (source, hash) set, so DuckDB replays the whole
+    * pipeline — token hashes, ranks, per-source bottom-k, union ranks,
+    * and the float estimators — bit-for-bit
+    * (SplitmixReplaySql.sketchOverlapSql). The rank re-derivation on the
+    * tiny exploded sketch frame uses a Scala UDF (splitmix64 needs
+    * wrapping multiplies that ANSI-mode SQL arithmetic rejects);
+    * |S|·k ≈ 5k rows, never the corpus. */
+  def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val rank = udf((v: Long) =>
+      graft.functions.SketchAggs.mix(v ^ graft.functions.SketchAggs.mix(42L)))
+    val sketches = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .select($"source", xxhash64($"tok").as("hv"))
+      .groupBy($"source")
+      .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L).as("sk"))
+    val ex = sketches
+      .select($"source", explode($"sk").as("v"))
+      .withColumn("r", rank($"v"))
+    val srcs = ex.select($"source").distinct()
+    val pr = srcs.select($"source".as("src_a"))
+      .join(srcs.select($"source".as("src_b")), $"src_a" < $"src_b")
+    val unionRanked = pr
+      .join(ex, $"source" === $"src_a" || $"source" === $"src_b")
+      .groupBy($"src_a", $"src_b", $"v", $"r")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"src_a", $"src_b").orderBy($"r".asc, $"v".asc)))
+      .filter($"rn" <= k)
+    val scale = math.pow(2, -64)
+    unionRanked
+      .groupBy($"src_a", $"src_b")
+      .agg(
+        count(lit(1)).as("k_union"),
+        sum(when($"n_src" === 2, 1L).otherwise(0L)).as("n_common"),
+        max($"r").as("hk"))
+      .select($"src_a", $"src_b", $"k_union", $"n_common",
+        when($"k_union" < k, $"k_union".cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ($"hk".cast("double") * lit(scale) + lit(0.5)))
+          .as("est_union"))
+      .withColumn("jaccard_est",
+        $"n_common".cast("double") / $"k_union".cast("double"))
+      .withColumn("est_common", $"jaccard_est" * $"est_union")
+      .orderBy($"src_a", $"src_b")
   }
 
   /** Deterministic weighted sample — priority sampling (Duffield,

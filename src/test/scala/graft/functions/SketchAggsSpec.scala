@@ -248,4 +248,88 @@ class SketchAggsSpec extends SparkSpec {
     val empty = cmRun(Seq.empty[String].toDF("w"), Seq("a"))
     assert(est("d") === 0L && empty === Map("a" -> 0L))
   }
+
+  // ---- HLL distinct ----
+
+  private def hllRun(values: Seq[Long], partitions: Int,
+      p: Int = 8): (Double, Long) = {
+    val spark2 = spark
+    import spark2.implicits._
+    val r = values.toDF("v").repartition(partitions)
+      .agg(SketchAggs.hllDistinct($"v", p, 42L).as("h"))
+      .select($"h.est", $"h.n_zero").head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  test("hll: raw estimator lands within the 1.04/√m band of the truth") {
+    // n = 5000 distinct ≫ 2.5m = 640, the raw estimator's sound regime;
+    // σ = 1.04/16 ≈ 6.5% — assert a 3σ envelope (the draw is seeded,
+    // so this is a deterministic pin, not a flaky statistical test)
+    val (est, nZero) = hllRun((1L to 5000L), partitions = 4)
+    assert(math.abs(est / 5000.0 - 1.0) < 0.2, s"est=$est")
+    assert(nZero === 0L, "5000 draws into 256 registers leave none empty")
+  }
+
+  test("hll: duplicates are invisible (set semantics) and the merged " +
+    "sketch is bit-identical under 1/3/8 partitions") {
+    val base = (1L to 2000L).map(i => i * 31 % 4999)
+    val withDups = base ++ base ++ base.take(500)
+    val runs = Seq(1, 3, 8).map(p => hllRun(withDups, p))
+    assert(runs.distinct.length === 1,
+      "register max-merge must not depend on partitioning")
+    assert(hllRun(base.distinct, 2) === runs.head,
+      "HLL is a pure function of the value SET")
+  }
+
+  test("hll: empty input → every register zero, estimate is α·m (all " +
+    "terms 1.0); nulls skipped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (est, nZero) = hllRun(Seq.empty, 1)
+    assert(nZero === 256L)
+    assert(math.abs(est - SketchAggs.hllAlpha(256) * 256) < 1e-9)
+    val r = Seq[Option[Long]](Some(7L), None, Some(7L)).toDF("v")
+      .agg(SketchAggs.hllDistinct($"v", 8, 42L).as("h"))
+      .select($"h.n_zero").head().getLong(0)
+    assert(r === 255L, "one distinct non-null value → one register set")
+  }
+
+  // ---- bottom-k row-sample pairs ----
+
+  private def pairsRun(rows: Seq[(Long, Double)], k: Int,
+      partitions: Int): Seq[Double] = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toDF("k", "v").repartition(partitions)
+      .agg(SketchAggs.bottomKPairs($"k", $"v", k, 42L).as("s"))
+      .collect().head.getSeq[Double](0)
+  }
+
+  test("bottomKPairs: groups with ≤ k rows return every value, sorted") {
+    val rows = Seq((1L, 5.0), (2L, 1.0), (3L, 9.0))
+    assert(pairsRun(rows, k = 5, 2) === Seq(1.0, 5.0, 9.0))
+    assert(pairsRun(Seq.empty, k = 5, 1) === Seq.empty)
+  }
+
+  test("bottomKPairs: k-subset of the input values, bit-identical under " +
+    "1/3/8 partitions") {
+    val rows = (1L to 3000L).map(i => (i, (i * 17 % 101).toDouble))
+    val runs = Seq(1, 3, 8).map(p => pairsRun(rows, k = 25, p))
+    assert(runs.distinct.length === 1,
+      "key-hash sample must not depend on partitioning")
+    assert(runs.head.size === 25)
+    assert(runs.head === runs.head.sorted)
+    val vals = rows.map(_._2).toSet
+    assert(runs.head.forall(vals.contains))
+  }
+
+  test("bottomKPairs: the sampled ROW set is a pure function of the key " +
+    "set — value payloads don't steer inclusion") {
+    // same keys, shifted values: the same ranks are selected, so the
+    // emitted values are exactly the shifted ones
+    val keys = (1L to 400L)
+    val a = pairsRun(keys.map(k => (k, k.toDouble)), k = 10, 3)
+    val b = pairsRun(keys.map(k => (k, k.toDouble + 0.5)), k = 10, 3)
+    assert(b === a.map(_ + 0.5))
+  }
 }

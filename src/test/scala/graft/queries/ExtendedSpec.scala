@@ -33,6 +33,69 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinct: graft HLL within its √m band of the exact count") {
+    val spark2 = spark
+    import spark2.implicits._
+    Extended.hllDistinct(spark, sf("sf0.01")).collect().foreach { r =>
+      val (flag, est, exact) =
+        (r.getString(0), r.getDouble(1), r.getLong(3))
+      // m = 256 → σ ≈ 6.5%; seeded draw, 3σ envelope
+      assert(math.abs(est / exact - 1.0) < 0.2,
+        s"$flag: hll_est=$est exact=$exact")
+    }
+  }
+
+  test("hashQuantiles: sample quantiles within ±8 rank points of exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val orders = graft.sources.Tables.orders(spark, sf("sf0.01"))
+      .select($"o_orderstatus", $"o_totalprice").cache()
+    val ranks = Extended.hashQuantiles(spark, sf("sf0.01")).collect()
+      .flatMap { r =>
+        val st = r.getString(0)
+        val grp = orders.filter($"o_orderstatus" === st)
+        val n = grp.count().toDouble
+        def rankOf(v: Double): Double =
+          grp.filter($"o_totalprice" <= v).count() / n
+        Seq((st, "p50", rankOf(r.getDouble(2)), 0.5),
+          (st, "p90", rankOf(r.getDouble(3)), 0.9))
+      }
+    orders.unpersist()
+    ranks.foreach { case (st, q, got, want) =>
+      // k = 500 → rank σ ≈ √(q(1−q)/k) ≤ 2.3%; seeded, 3σ+ envelope
+      assert(math.abs(got - want) < 0.08, s"$st $q: rank=$got want=$want")
+    }
+  }
+
+  test("sketchOverlap: KMV estimates track exact union/jaccard without " +
+    "any pairwise token join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val toks = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .select($"source", xxhash64($"tok").as("hv")).distinct().cache()
+    val got = Extended.sketchOverlap(spark, sf("sf0.01")).collect()
+    assert(got.length === 190, "20 sources → 190 unordered pairs")
+    // exact ground truth for a handful of pairs (cheap at sf0.01)
+    got.take(3).foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val sa = toks.filter($"source" === a).select($"hv")
+        .collect().map(_.getLong(0)).toSet
+      val sb = toks.filter($"source" === b).select($"hv")
+        .collect().map(_.getLong(0)).toSet
+      val exactUnion = (sa ++ sb).size.toDouble
+      val exactJac = (sa & sb).size.toDouble / exactUnion
+      val estUnion = r.getDouble(4)
+      val estJac = r.getDouble(5)
+      // k = 256 → σ ≈ 1/16; seeded draw, generous deterministic pins
+      assert(math.abs(estUnion / exactUnion - 1.0) < 0.25,
+        s"$a×$b union: est=$estUnion exact=$exactUnion")
+      assert(math.abs(estJac - exactJac) < 0.15,
+        s"$a×$b jaccard: est=$estJac exact=$exactJac")
+    }
+    toks.unpersist()
+  }
+
   test("stratifiedSample: per-stratum rates near their fractions, seeded-stable") {
     val spark2 = spark
     import spark2.implicits._
@@ -46,10 +109,23 @@ class ExtendedSpec extends SparkSpec {
       val rate = sampled(flag).toDouble / totals(flag)
       assert(math.abs(rate - f) < 0.03, s"$flag: rate=$rate expected≈$f")
     }
-    // same seed, same partitioning → identical draw
+    // the draw is a pure function of the row key — identical under
+    // re-runs AND any repartitioning (the r14 key-hash redesign; the old
+    // sampleBy draw changed with row-to-partition assignment)
     val again = Extended.stratifiedSample(spark, sf("sf0.01")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === sampled)
+    val shuffled = graft.sources.Tables.lineitem(spark, sf("sf0.01"))
+      .repartition(7)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity")
+    val u53 = shiftrightunsigned(
+      xxhash64($"l_orderkey" * lit(16L) + $"l_linenumber"), 11)
+    val keptA = shuffled
+      .filter($"l_returnflag" === "A" &&
+        u53 < lit(Extended.stratThreshold(1, 5)))
+      .count()
+    assert(keptA === sampled("A"),
+      "key-hash draw must be invariant to partitioning")
   }
 
   test("hashSplit matches a driver-side md5 recompute; splits non-vacuous") {
