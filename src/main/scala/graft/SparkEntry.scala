@@ -35,6 +35,7 @@ object SparkEntry {
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_hll_distinct", "q_hash_quantiles", "q_sketch_overlap",
+    "q_window_hll",
     "q_stratified_sample", "q_bottomk_sample", "q_priority_sample",
     "q_hash_split",
     "q_source_mix", "q_mix_temperature", "q_epoch_shuffle", "q_skew_join",
@@ -253,6 +254,7 @@ object SparkEntry {
     // join overlap estimator (Beyer et al. / theta sketches), fully
     // replayed from raw text by the oracle
     "q_sketch_overlap"    -> (Extended.sketchOverlap(_, _)),
+    "q_window_hll"        -> (Extended.windowHll(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     // key-hash priority sampling and the deletion-neighborhood edit-
@@ -1298,6 +1300,7 @@ object SparkEntry {
     "q_hll_distinct" -> SplitmixReplaySql.hllDistinctSql,
     "q_hash_quantiles" -> SplitmixReplaySql.hashQuantilesSql,
     "q_sketch_overlap" -> SplitmixReplaySql.sketchOverlapSql,
+    "q_window_hll" -> SplitmixReplaySql.windowHllSql,
 
     "q_nation_delta" ->
       """SELECT nationkey FROM (

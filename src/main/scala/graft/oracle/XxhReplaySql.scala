@@ -605,50 +605,79 @@ object SplitmixReplaySql {
     * scalings and one correctly-rounded division. α_m is evaluated
     * through SketchAggs.hllAlpha — the very constant the aggregate
     * uses — and embedded as an exact decimal literal. */
-  lazy val hllDistinctSql: String = {
+  /** Shared HLL register/estimator replay: rebuild the p = 8 registers
+    * for an arbitrary group-key tuple from a `dvSql` producing
+    * (keys..., v) DISTINCT rows, then replay the raw estimator with the
+    * pinned bucket-ascending left fold. `exactSql` supplies the
+    * (keys..., <exactCol>) exact twin column. */
+  private def hllReplaySql(dvSql: String, keys: Seq[String],
+      exactSql: String, exactCol: String): String = {
     val p = 8; val m = 1 << p
     val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
     val alpha = new java.math.BigDecimal(SketchAggs.hllAlpha(m)).toPlainString
     val shift = java.math.BigInteger.ONE.shiftLeft(64 - p) // 2^56
     val h = mixSql(xorS("CAST(v AS HUGEINT)", mixSeed))
+    val ks = keys.mkString(", ")
+    val gks = keys.map(k => s"g.$k").mkString(", ")
+    val on = keys.map(k => s"r.$k = g.$k").mkString(" AND ")
     s"""WITH dv AS (
-       |  SELECT DISTINCT l_returnflag, l_orderkey AS v FROM lineitem
+       |  $dvSql
        |), h AS MATERIALIZED (
-       |  SELECT l_returnflag, $h AS hu FROM dv
+       |  SELECT $ks, $h AS hu FROM dv
        |), b AS MATERIALIZED (
-       |  SELECT l_returnflag, hu // $shift AS bucket,
+       |  SELECT $ks, hu // $shift AS bucket,
        |    CAST(hu % $shift AS BIGINT) AS wlow
        |  FROM h
        |), r AS (
-       |  SELECT l_returnflag, bucket,
+       |  SELECT $ks, bucket,
        |    max(CASE WHEN wlow = 0 THEN ${64 - p + 1}
        |        ELSE ${64 - p + 1} - length(bin(wlow)) END) AS rho
-       |  FROM b GROUP BY 1, 2
+       |  FROM b GROUP BY ALL
        |), grid AS (
-       |  SELECT f.l_returnflag, g.range AS bucket
-       |  FROM (SELECT DISTINCT l_returnflag FROM lineitem) f, range($m) g
+       |  SELECT $gks, g2.range AS bucket
+       |  FROM (SELECT DISTINCT $ks FROM dv) g, range($m) g2
        |), t AS (
-       |  SELECT g.l_returnflag, g.bucket, coalesce(r.rho, 0) AS rho,
+       |  SELECT $gks, g.bucket, coalesce(r.rho, 0) AS rho,
        |    CAST(1 AS DOUBLE)
        |      / CAST(CAST(1 AS BIGINT) << coalesce(r.rho, 0) AS DOUBLE) AS term
        |  FROM grid g LEFT JOIN r
-       |    ON r.l_returnflag = g.l_returnflag AND r.bucket = g.bucket
+       |    ON $on AND r.bucket = g.bucket
        |), agg AS (
-       |  SELECT l_returnflag,
+       |  SELECT $ks,
        |    list_reduce(list_concat([CAST(0 AS DOUBLE)],
        |      list(term ORDER BY bucket)), (a, b) -> a + b) AS s,
        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
-       |  FROM t GROUP BY 1
+       |  FROM t GROUP BY ALL
        |), x AS (
-       |  SELECT l_returnflag, count(DISTINCT l_orderkey) AS true_distinct
-       |  FROM lineitem GROUP BY 1
+       |  $exactSql
        |)
-       |SELECT a.l_returnflag,
+       |SELECT ${keys.map(k => s"a.$k").mkString(", ")},
        |  CAST('$alpha' AS DOUBLE) * $m * $m / s AS hll_est,
-       |  n_zero, true_distinct
-       |FROM agg a JOIN x USING (l_returnflag)
-       |ORDER BY l_returnflag""".stripMargin
+       |  n_zero, $exactCol
+       |FROM agg a JOIN x USING ($ks)
+       |ORDER BY $ks""".stripMargin
   }
+
+  lazy val hllDistinctSql: String = hllReplaySql(
+    "SELECT DISTINCT l_returnflag, l_orderkey AS v FROM lineitem",
+    Seq("l_returnflag"),
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS true_distinct
+      |  FROM lineitem GROUP BY 1""".stripMargin,
+    "true_distinct")
+
+  /** q_window_hll replay — Extended.windowHll's pinned shape: the same
+    * register rebuild keyed by (6h tumbling window, event_type); the
+    * window start is DuckDB's time_bucket, which equals Spark's
+    * window() origin for epoch-aligned tumbling windows (the
+    * q_event_windows precedent). */
+  lazy val windowHllSql: String = hllReplaySql(
+    """SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) AS w_start,
+      |    event_type, user_id AS v FROM events""".stripMargin,
+    Seq("w_start", "event_type"),
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |    count(DISTINCT user_id) AS true_users
+      |  FROM events GROUP BY 1, 2""".stripMargin,
+    "true_users")
 
   /** q_hash_quantiles replay — Extended.hashQuantiles' pinned shape
     * (k = 500, seed 42, key = the UNIQUE o_orderkey): the sample is the

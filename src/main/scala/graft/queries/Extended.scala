@@ -152,6 +152,27 @@ object Extended {
       .orderBy($"l_returnflag")
   }
 
+  /** Windowed HLL — distinct users per 6h tumbling window per event
+    * type: the sketch × TimeWindow composition every traffic/dedup
+    * dashboard runs at scale (exact windowed countDistinct re-shuffles
+    * every event; the sketch moves 256 bytes per window). Emits the raw
+    * estimator + n_zero (the mergeable sufficient statistics — the
+    * linear-counting correction for these small-n windows is libm and
+    * belongs to the consumer; ExtendedSpec applies it and pins the
+    * composite estimate's accuracy), plus the exact twin column. Fully
+    * replayed by SplitmixReplaySql.windowHllSql. */
+  def windowHll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(
+        graft.functions.SketchAggs.hllDistinct($"user_id", 8, 42L).as("h"),
+        countDistinct($"user_id").as("true_users"))
+      .select($"w.start".as("w_start"), $"event_type",
+        $"h.est".as("hll_est"), $"h.n_zero".as("n_zero"), $"true_users")
+      .orderBy($"w_start", $"event_type")
+  }
+
   /** Approximate percentiles (KLL-style sketch) — the scale path next to
     * the exact `Relational.quantiles`; sketch internals are Spark-specific
     * so no cross-engine oracle (hashQuantiles below is the deterministic
@@ -428,16 +449,27 @@ object Extended {
     * tiny exploded sketch frame uses a Scala UDF (splitmix64 needs
     * wrapping multiplies that ANSI-mode SQL arithmetic rejects);
     * |S|·k ≈ 5k rows, never the corpus. */
+  /** Session-memoized per-source KMV sketches (one row per source, a
+    * few KB total): the overlap query references the frame four times
+    * (exploded ranks, source list ×2, union join), and an unpersisted
+    * plan re-runs the corpus token-hash pass per reference — the
+    * exactPairCache/ivfCentroids discipline, wired into
+    * invalidateCache below. */
+  private val sketchCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def sketchOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 256
     val rank = udf((v: Long) =>
       graft.functions.SketchAggs.mix(v ^ graft.functions.SketchAggs.mix(42L)))
-    val sketches = Tables.documents(s, dir)
-      .select($"source", explode(split($"text", " ")).as("tok"))
-      .select($"source", xxhash64($"tok").as("hv"))
-      .groupBy($"source")
-      .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L).as("sk"))
+    val sketches = sketchCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select($"source", explode(split($"text", " ")).as("tok"))
+        .select($"source", xxhash64($"tok").as("hv"))
+        .groupBy($"source")
+        .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L).as("sk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = sketches
       .select($"source", explode($"sk").as("v"))
       .withColumn("r", rank($"v"))
@@ -809,6 +841,9 @@ object Extended {
     ivfCentroids.keys.filter(_._1 eq s).foreach(ivfCentroids.remove)
     pqCodebooks.keys.filter(_._1 eq s).foreach(pqCodebooks.remove)
     ivfPqCodebooks.keys.filter(_._1 eq s).foreach(ivfPqCodebooks.remove)
+    sketchCache.keys.filter(_._1 eq s).foreach { key =>
+      sketchCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** IVF (inverted-file) approximate top-k over embeddings — the second

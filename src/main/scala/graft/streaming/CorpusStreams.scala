@@ -92,4 +92,19 @@ object CorpusStreams {
       .agg(graft.functions.SketchAggs
         .cmEstimate(org.apache.spark.sql.functions.col("w"), probes)
         .as("ests"))
+
+  /** Streaming HLL distinct-count sketch over a (grp, v) stream — the
+    * distinct-count face of the same streaming-sketch principle:
+    * register max-merge is idempotent, commutative, and associative, so
+    * the streamed state after ANY micro-batch sequence is BIT-IDENTICAL
+    * to the batch sketch over the same rows — including when later
+    * batches re-deliver values already counted (re-observing a value
+    * max-merges a rank already present: distinct-count state cannot
+    * double-count, the property that makes HLL safe under at-least-once
+    * delivery). Pinned in CorpusStreamsSpec. */
+  def hllStream(rows: DataFrame): DataFrame =
+    rows.groupBy(org.apache.spark.sql.functions.col("grp"))
+      .agg(graft.functions.SketchAggs
+        .hllDistinct(org.apache.spark.sql.functions.col("v"), 8, 42L)
+        .as("h"))
 }

@@ -155,4 +155,44 @@ class PlanShapeSpec extends SparkSpec {
     val read = scanOf(df, "customer").requiredSchema.fieldNames.toSet
     assert(read === Set("c_acctbal"), s"read=$read")
   }
+
+  test("q_hll_distinct: 2-column pruned scan feeding a map-side partial " +
+    "object aggregate (the constant-state sketch contract)") {
+    val df = query("q_hll_distinct")
+    val read = scanOf(df, "lineitem").requiredSchema.fieldNames.toSet
+    assert(read === Set("l_returnflag", "l_orderkey"), s"read=$read")
+    val plan = df.queryExecution.executedPlan.toString
+    val objAggs = plan.split("ObjectHashAggregate").length - 1
+    // partial + final (× the countDistinct expansion's extra levels —
+    // never fewer than one partial/final pair)
+    assert(objAggs >= 2, s"ObjectHashAggregate count=$objAggs")
+  }
+
+  test("q_sketch_overlap: the corpus token pass hides behind ONE cached " +
+    "sketch frame — no join input re-derives it") {
+    val df = query("q_sketch_overlap")
+    // all four references to the sketches frame must resolve to the
+    // memoized InMemoryRelation: a raw documents FileSourceScan in this
+    // plan means the corpus pass is re-run per reference
+    val corpusScans = scansOf(df).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents")))
+    assert(corpusScans.isEmpty,
+      "corpus scan must sit inside the cached sketch frame")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"), plan.take(1500))
+  }
+
+  test("q_stratified_sample: the key-hash Bernoulli filter runs in the " +
+    "scan stage (map-only draw, no pre-filter shuffle)") {
+    val df = query("q_stratified_sample")
+    val plan = df.queryExecution.sparkPlan.toString
+    // at most one exchange — the post-filter group-by (zero when the
+    // tiny fixture plans as one partition); the draw itself adds none
+    val exchanges = plan.split("Exchange").length - 1
+    assert(exchanges <= 1, s"exchange count=$exchanges\n${plan.take(2000)}")
+    // and the filter sits directly on the scan stage, below the agg
+    assert(plan.contains("Filter (shiftrightunsigned(xxhash64"),
+      plan.take(2000))
+  }
 }

@@ -45,6 +45,25 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("windowHll: the composite estimator (linear counting in the " +
+    "small-n regime) tracks exact per-window distincts") {
+    val m = 256.0
+    val rows = Extended.windowHll(spark, sf("sf0.01")).collect()
+    assert(rows.length > 50, s"windows=${rows.length}")
+    rows.foreach { r =>
+      val (raw, nZero, exact) =
+        (r.getDouble(2), r.getLong(3), r.getLong(4))
+      // the standard HLL composite: linear counting when raw ≤ 2.5m and
+      // empty registers remain — exactly the regime these ~100-user
+      // windows live in (the QUERY emits the sufficient statistics; the
+      // correction is presentation-layer libm)
+      val est =
+        if (raw <= 2.5 * m && nZero > 0) m * math.log(m / nZero) else raw
+      assert(math.abs(est / exact - 1.0) < 0.2,
+        s"w=${r.get(0)} type=${r.getString(1)}: est=$est exact=$exact")
+    }
+  }
+
   test("hashQuantiles: sample quantiles within ±8 rank points of exact") {
     val spark2 = spark
     import spark2.implicits._

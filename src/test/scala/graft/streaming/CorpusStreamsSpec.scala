@@ -175,4 +175,41 @@ class CorpusStreamsSpec extends SparkSpec {
         ("de", "a", 2L), ("de", "b", 0L), ("de", "zz", 0L)))
     } finally q.stop()
   }
+
+  test("streaming HLL sketch ≡ batch sketch, and re-delivered values " +
+    "cannot double-count (idempotent max-merge)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (1L to 400L).map(("en", _)) ++ (1L to 50L).map(("de", _))
+    // batch2 re-delivers half of batch1's values (at-least-once shape)
+    // alongside new ones
+    val batch2 = (201L to 600L).map(("en", _)) ++ (40L to 90L).map(("de", _))
+    val mem = MemoryStream[(String, Long)]
+    val q = CorpusStreams.hllStream(mem.toDF().toDF("grp", "v"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      def flat(df: org.apache.spark.sql.DataFrame) = df
+        .select($"grp", $"h.est", $"h.n_zero")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      val streamed = flat(spark.table("hll_stream"))
+      val batched = flat(CorpusStreams.hllStream(
+        (batch1 ++ batch2).toDF("grp", "v")))
+      assert(streamed === batched,
+        "state-merged registers must equal the batch sketch bit-for-bit")
+      // and equal the sketch of the DISTINCT union — duplicates across
+      // micro-batches are invisible to distinct-count state
+      val dedup = flat(CorpusStreams.hllStream(
+        (batch1 ++ batch2).distinct.toDF("grp", "v")))
+      assert(streamed === dedup)
+      val en = streamed.find(_._1 == "en").get
+      assert(math.abs(en._2 / 600.0 - 1.0) < 0.25, s"en est=${en._2}")
+    } finally q.stop()
+  }
 }
