@@ -40,9 +40,17 @@ class QueriesSpec extends SparkSpec {
     // against a tiny broadcast query set — the compression (8-byte
     // codes vs 256-byte vectors) is the scale device, and the
     // corpus × nQueries product is inherent to "k queries against
-    // everything" until an IVF coarse index prunes cells. Everything
-    // else must be an equi-join.
-    val sanctioned = Set("q_cosine_topk", "q_pq_topk", "q_pq_recall")
+    // everything" until an IVF coarse index prunes cells —
+    // q_ivfpq_recall carries the same exact-baseline arm as
+    // q_pq_recall. q_sketch_overlap's nested loops join the per-source
+    // KMV SKETCH frames (|S| single-row sketches, |S|·k exploded rows —
+    // KBs at any corpus size) under `<` and OR predicates; the corpus
+    // itself is consumed once by the sketch aggregate behind them
+    // (PlanShapeSpec pins that the token pass sits inside the cached
+    // frame and never feeds a join). Everything else must be an
+    // equi-join.
+    val sanctioned = Set("q_cosine_topk", "q_pq_topk", "q_pq_recall",
+      "q_ivfpq_recall", "q_sketch_overlap")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => sanctioned.contains(q._1))
       .flatMap { case (name, fn) =>
