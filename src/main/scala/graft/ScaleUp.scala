@@ -129,13 +129,35 @@ object ScaleUp {
       if (!perturb) scaled(read("embeddings"), "vec_id" -> kVec)
       else {
         val dim = read("embeddings").select(size($"embedding")).head().getInt(0)
+        // rotation alone collides past r = dim copies (copies k and
+        // k + dim share a rotation → exact cross-copy twins; measured
+        // dup = 1.52 at r = 100, which would ENGAGE the collapse valves
+        // the decade exists to disengage). Compose with a per-__g sign
+        // mask (__g = __copy / dim): flip dim d iff bit (d mod 31) of
+        // hash(__g)'s bit string is set. A per-copy diagonal ±1 preserves
+        // every intra-copy inner product and norm exactly (both vectors
+        // of a pair get the SAME flips, so elementwise products are
+        // unchanged), while distinct (rotation, mask) pairs keep
+        // cross-copy cosines pseudo-random — dup ≈ 1 at any r ≤ dim·2³¹.
+        // __g = 0 has mask 0, so r ≤ dim output is bit-identical to the
+        // pre-fix generator (sfp10/sfp30 artifacts unaffected).
         scaledKeep(read("embeddings"), "vec_id" -> kVec)
           .withColumn("__s", ($"__copy" % dim).cast("int"))
+          .withColumn("__g", ($"__copy" / dim).cast("long"))
+          .withColumn("__m", lpad(bin(
+            xxhash64(concat(lit("emb-sign:"), $"__g".cast("string")))),
+            64, "0"))
           .withColumn("embedding",
             when($"__s" === 0, $"embedding").otherwise(concat(
               slice($"embedding", $"__s" + 1, lit(dim) - $"__s"),
               slice($"embedding", lit(1), $"__s"))))
-          .drop("__copy", "__s")
+          .withColumn("embedding",
+            when($"__g" === 0L, $"embedding").otherwise(
+              zip_with($"embedding",
+                transform(sequence(lit(0), lit(dim - 1)),
+                  d => $"__m".substr(pmod(d, lit(63)) + 2, lit(1))),
+                (v, bit) => when(bit === "1", -v).otherwise(v))))
+          .drop("__copy", "__s", "__g", "__m")
       }
     write(embs, "embeddings")
 
