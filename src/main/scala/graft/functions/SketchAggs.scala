@@ -68,6 +68,21 @@ object SketchAggs {
     GraftBridge.column(BottomKPairs(GraftBridge.expression(key),
       GraftBridge.expression(value), k, seed).toAggregateExpression())
 
+  /** HLL register state (binary) per group — sketch-state-as-data for
+    * merge-on-read materialized views (see HllRegisters). */
+  def hllRegisters(c: Column, p: Int, seed: Long): Column =
+    GraftBridge.column(HllRegisters(GraftBridge.expression(c), p, seed)
+      .toAggregateExpression())
+
+  /** Merge stored HLL register states (binary column) per group. */
+  def hllMerge(c: Column, p: Int): Column =
+    GraftBridge.column(HllMerge(GraftBridge.expression(c), p)
+      .toAggregateExpression())
+
+  /** Score a stored HLL register state: struct<est, n_zero>. */
+  def hllEstimate(c: Column): Column =
+    GraftBridge.column(HllEstimate(GraftBridge.expression(c)))
+
   /** Misra–Gries frequent-items summary of a string column — output
     * array<struct<item,est,err>> per group, sorted (est desc, item asc).
     * For every item: est ≤ true ≤ est + err, and any item with
@@ -489,35 +504,18 @@ case class HllDistinct(child: Expression, p: Int, seed: Long,
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = SketchAggs.mix(v.asInstanceOf[Long] ^ SketchAggs.mix(seed))
-      val bucket = (h >>> (64 - p)).toInt
-      val w = h << p
-      // rank over the remaining 64-p bits; w == 0 caps at 64-p+1
-      val rho =
-        if (w == 0L) 64 - p + 1
-        else java.lang.Long.numberOfLeadingZeros(w) + 1
-      if (rho > buf(bucket)) buf(bucket) = rho.toByte
-    }
+    // rank over the remaining 64-p bits; w == 0 caps at 64-p+1 (HllOps)
+    if (v != null) HllOps.observe(buf, p, seed, v.asInstanceOf[Long])
     buf
   }
 
   override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-    a
+    HllOps.maxInto(a, b); a
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    var s = 0.0
-    var zeros = 0L
-    var i = 0
-    while (i < m) {
-      s += 1.0 / (1L << buf(i)).toDouble
-      if (buf(i) == 0) zeros += 1L
-      i += 1
-    }
-    InternalRow(SketchAggs.hllAlpha(m) * m * m / s, zeros)
+    val (est, zeros) = HllOps.score(buf)
+    InternalRow(est, zeros)
   }
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
@@ -631,4 +629,159 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): BottomKPairs =
     copy(key = newLeft, value = newRight)
+}
+
+/** HLL register STATE as a value: the same sketch as HllDistinct, but
+  * eval emits the raw 2^p-byte register array (BinaryType) instead of
+  * the estimate — sketch-state-as-data, the warehouse pattern where a
+  * materialized view stores one sketch per group and refresh merges new
+  * state in without touching history (merge-on-read distinct counts).
+  * `HllMerge` folds stored states; `HllEstimate` scores them. Because
+  * register max-merge is associative/commutative/idempotent,
+  * merge(state(A), state(B)) is BIT-IDENTICAL to state(A ∪ B) — so a
+  * query that stores, merges, and then estimates hash-matches the
+  * full-recompute oracle (q_hll_merge).
+  */
+case class HllRegisters(child: Expression, p: Int, seed: Long,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(p >= 4 && p <= 14, s"precision out of range [4,14]: $p")
+
+  override def prettyName: String = "hll_registers"
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllOps.observe(buf, p, seed, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    HllOps.maxInto(a, b); a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllRegisters =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
+/** Merge aggregate over STORED HLL register states (BinaryType column of
+  * equal-precision sketches): elementwise max — the refresh half of the
+  * merge-on-read pattern. Empty groups merge to the all-zero state. */
+case class HllMerge(child: Expression, p: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(p >= 4 && p <= 14, s"precision out of range [4,14]: $p")
+
+  override def prettyName: String = "hll_merge"
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val other = v.asInstanceOf[Array[Byte]]
+      require(other.length == buf.length,
+        s"sketch precision mismatch: ${other.length} vs ${buf.length} registers")
+      HllOps.maxInto(buf, other)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    HllOps.maxInto(a, b); a
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllMerge =
+    copy(child = newChild)
+}
+
+/** Scalar scorer for a stored register state: struct<est, n_zero> with
+  * the identical pinned-order fold the HllDistinct aggregate runs —
+  * one implementation (HllOps.score) serves both, so store-merge-score
+  * cannot drift from aggregate-and-score. Post-aggregation rows only
+  * (one per group), so CodegenFallback costs nothing. */
+case class HllEstimate(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+  with ImplicitCastInputTypes {
+
+  override def prettyName: String = "hll_estimate"
+  override def dataType: DataType = StructType(Seq(
+    StructField("est", org.apache.spark.sql.types.DoubleType, nullable = false),
+    StructField("n_zero", LongType, nullable = false)))
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (est, zeros) = HllOps.score(input.asInstanceOf[Array[Byte]])
+    InternalRow(est, zeros)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
+}
+
+/** The one shared implementation of HLL observe/merge/score — keeps the
+  * three-operator state pattern and the single-aggregate HllDistinct
+  * bit-aligned by construction. */
+private[graft] object HllOps {
+  def observe(buf: Array[Byte], p: Int, seed: Long, v: Long): Unit = {
+    val h = SketchAggs.mix(v ^ SketchAggs.mix(seed))
+    val bucket = (h >>> (64 - p)).toInt
+    val w = h << p
+    val rho =
+      if (w == 0L) 64 - p + 1
+      else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > buf(bucket)) buf(bucket) = rho.toByte
+  }
+
+  def maxInto(a: Array[Byte], b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+  }
+
+  /** (raw estimate, zero-register count) with the pinned
+    * register-index-ascending left fold. */
+  def score(regs: Array[Byte]): (Double, Long) = {
+    val m = regs.length
+    var s = 0.0
+    var zeros = 0L
+    var i = 0
+    while (i < m) {
+      s += 1.0 / (1L << regs(i)).toDouble
+      if (regs(i) == 0) zeros += 1L
+      i += 1
+    }
+    (SketchAggs.hllAlpha(m) * m * m / s, zeros)
+  }
 }

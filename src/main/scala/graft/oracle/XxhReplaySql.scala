@@ -670,6 +670,18 @@ object SplitmixReplaySql {
     * window start is DuckDB's time_bucket, which equals Spark's
     * window() origin for epoch-aligned tumbling windows (the
     * q_event_windows precedent). */
+  /** q_hll_merge replay — Extended.hllMergeMv's pinned shape: the
+    * oracle recomputes the sketch from the FULL distinct (event_type,
+    * user_id) set with no knowledge of the query's 4-shard store-merge
+    * path — the hash match is the proof that stored-state merge ≡
+    * one-pass sketch, register for register. */
+  lazy val hllMergeSql: String = hllReplaySql(
+    "SELECT DISTINCT event_type, user_id AS v FROM events",
+    Seq("event_type"),
+    """SELECT event_type, count(DISTINCT user_id) AS true_users
+      |  FROM events GROUP BY 1""".stripMargin,
+    "true_users")
+
   lazy val windowHllSql: String = hllReplaySql(
     """SELECT DISTINCT time_bucket(INTERVAL '6 hours', ts) AS w_start,
       |    event_type, user_id AS v FROM events""".stripMargin,

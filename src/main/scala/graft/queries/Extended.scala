@@ -173,6 +173,40 @@ object Extended {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** Merge-on-read distinct-count MV — sketch STATE as data: the events
+    * stream is split into 4 batch shards (event_id mod 4, standing in
+    * for daily refresh batches), each shard stores one binary HLL
+    * register state per event_type (functions.HllRegisters — the
+    * warehouse pattern where the MV holds sketches, not counts), and
+    * the read path merges stored states (HllMerge) and scores the
+    * result (HllEstimate). Register max-merge is associative,
+    * commutative, and idempotent, so merge(state(A), state(B)) is
+    * BIT-IDENTICAL to state(A ∪ B) — which is why the full-recompute
+    * DuckDB oracle hash-checks this incremental path without knowing
+    * the sharding existed. At 100 TB this is the difference between
+    * re-scanning history on every refresh and merging 256 bytes per
+    * group: distinct counts become additive. */
+  def hllMergeMv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val states = ev
+      .withColumn("shard", pmod($"event_id", lit(4L)))
+      .groupBy($"event_type", $"shard")
+      .agg(graft.functions.SketchAggs.hllRegisters($"user_id", 8, 42L)
+        .as("st"))
+    val merged = states
+      .groupBy($"event_type")
+      .agg(graft.functions.SketchAggs.hllMerge($"st", 8).as("st"))
+      .select($"event_type",
+        graft.functions.SketchAggs.hllEstimate($"st").as("h"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("true_users"))
+    merged.join(exact, "event_type")
+      .select($"event_type", $"h.est".as("hll_est"),
+        $"h.n_zero".as("n_zero"), $"true_users")
+      .orderBy($"event_type")
+  }
+
   /** Approximate percentiles (KLL-style sketch) — the scale path next to
     * the exact `Relational.quantiles`; sketch internals are Spark-specific
     * so no cross-engine oracle (hashQuantiles below is the deterministic

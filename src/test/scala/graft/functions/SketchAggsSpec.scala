@@ -294,6 +294,51 @@ class SketchAggsSpec extends SparkSpec {
     assert(r === 255L, "one distinct non-null value → one register set")
   }
 
+  test("hll state path: store shards → merge → score is bit-identical " +
+    "to the one-pass sketch, registers included") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1L to 3000L).map(i => (i % 7, i * 13 % 997))
+    val df = rows.toDF("g", "v").repartition(5)
+    // one-pass reference
+    val direct = df.groupBy($"g")
+      .agg(SketchAggs.hllDistinct($"v", 8, 42L).as("h"))
+      .select($"g", $"h.est", $"h.n_zero")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // store-merge-score with an arbitrary sharding
+    val viaState = df.withColumn("shard", pmod($"v", lit(3L)))
+      .groupBy($"g", $"shard")
+      .agg(SketchAggs.hllRegisters($"v", 8, 42L).as("st"))
+      .groupBy($"g")
+      .agg(SketchAggs.hllMerge($"st", 8).as("st"))
+      .select($"g", SketchAggs.hllEstimate($"st").as("h"))
+      .select($"g", $"h.est", $"h.n_zero")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaState === direct)
+    // and the raw register arrays agree with the distinct-set sketch
+    val regsMerged = df.withColumn("shard", pmod($"v", lit(2L)))
+      .groupBy($"g", $"shard")
+      .agg(SketchAggs.hllRegisters($"v", 8, 42L).as("st"))
+      .groupBy($"g")
+      .agg(SketchAggs.hllMerge($"st", 8).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val regsDirect = df.groupBy($"g")
+      .agg(SketchAggs.hllRegisters($"v", 8, 42L).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    regsDirect.foreach { case (g, st) =>
+      assert(java.util.Arrays.equals(st, regsMerged(g)),
+        s"group $g register state diverged")
+    }
+    // precision mismatch fails loudly, not silently
+    val bad = intercept[Exception] {
+      df.groupBy($"g")
+        .agg(SketchAggs.hllRegisters($"v", 8, 42L).as("st"))
+        .agg(SketchAggs.hllMerge($"st", 9).as("m"))
+        .collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   // ---- bottom-k row-sample pairs ----
 
   private def pairsRun(rows: Seq[(Long, Double)], k: Int,
