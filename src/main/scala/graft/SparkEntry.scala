@@ -35,7 +35,7 @@ object SparkEntry {
     "q_distinct_counts", "q_pivot_status", "q_orders_cube", "q_quantiles",
     "q_part_strings", "q_approx_distinct", "q_approx_quantiles",
     "q_hll_distinct", "q_hash_quantiles", "q_sketch_overlap",
-    "q_window_hll", "q_hll_merge",
+    "q_window_hll", "q_hll_merge", "q_sketch_delta",
     "q_stratified_sample", "q_bottomk_sample", "q_priority_sample",
     "q_hash_split",
     "q_source_mix", "q_mix_temperature", "q_epoch_shuffle", "q_skew_join",
@@ -258,6 +258,9 @@ object SparkEntry {
     // sketch-state-as-data: stored binary HLL states merged on read;
     // the full-recompute oracle proves merge ≡ one-pass bit-for-bit
     "q_hll_merge"         -> (Extended.hllMergeMv(_, _)),
+    // KMV snapshot difference: batch-vs-corpus vocabulary novelty from
+    // sketches alone (the crawl-worth-keeping measure)
+    "q_sketch_delta"      -> (Extended.sketchDelta(_, _)),
     "q_stratified_sample" -> (Extended.stratifiedSample(_, _)),
     "q_bottomk_sample"    -> (Extended.bottomkSample(_, _)),
     // key-hash priority sampling and the deletion-neighborhood edit-
@@ -1305,6 +1308,7 @@ object SparkEntry {
     "q_sketch_overlap" -> SplitmixReplaySql.sketchOverlapSql,
     "q_window_hll" -> SplitmixReplaySql.windowHllSql,
     "q_hll_merge" -> SplitmixReplaySql.hllMergeSql,
+    "q_sketch_delta" -> SplitmixReplaySql.sketchDeltaSql,
 
     "q_nation_delta" ->
       """SELECT nationkey FROM (

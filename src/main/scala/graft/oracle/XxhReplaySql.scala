@@ -593,6 +593,64 @@ object SplitmixReplaySql {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** q_sketch_delta replay — Extended.sketchDelta's pinned shape (k =
+    * 256, seed 42, snapshots = doc_id parity, grouped by lang): the
+    * sketchOverlap replay applied to the difference identities — DuckDB
+    * rebuilds both per-(lang, side) sketches from raw text, takes the k
+    * smallest union ranks, and counts batch-only / corpus-only members
+    * with the same (rank, value) tie-break and 2⁻⁶⁴-affine density
+    * map. */
+  lazy val sketchDeltaSql: String = {
+    val k = 256
+    val mixSeed = java.lang.Long.toUnsignedString(SketchAggs.mix(42L))
+    val scale = math.pow(2, -64).toString
+    val (ctes, last) = layeredCte(
+      "SELECT DISTINCT lang, side, tok FROM (SELECT lang, " +
+        "doc_id % 2 AS side, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents)",
+      strHashStages("tok", "th").map(Seq(_)), "sd0")
+    val r = toSigned(mixSql(xorS(toUnsigned("hv"), mixSeed)))
+    s"""WITH $ctes,
+       |dv AS (
+       |  SELECT DISTINCT lang, side, ${toSigned("th_u")} AS hv FROM $last
+       |), rk AS MATERIALIZED (
+       |  SELECT lang, side, hv, $r AS r FROM dv
+       |), sk AS (
+       |  SELECT lang, side, hv, r FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY lang, side ORDER BY r ASC) AS rn FROM rk)
+       |  WHERE rn <= $k
+       |), u AS (
+       |  SELECT lang, hv AS v, r, max(side) AS mx, min(side) AS mn
+       |  FROM sk GROUP BY 1, 2, 3
+       |), kept AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY lang ORDER BY r ASC, v ASC) AS rn
+       |    FROM u)
+       |  WHERE rn <= $k
+       |), agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS k_union,
+       |    CAST(sum(CASE WHEN mn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_batch_only,
+       |    CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_corpus_only,
+       |    max(r) AS hk
+       |  FROM kept GROUP BY 1
+       |), est AS (
+       |  SELECT lang, k_union, n_batch_only, n_corpus_only,
+       |    CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |      ELSE CAST(${k - 1} AS DOUBLE)
+       |        / (CAST(hk AS DOUBLE) * $scale + 0.5) END AS est_union
+       |  FROM agg
+       |)
+       |SELECT lang, k_union, n_batch_only, n_corpus_only, est_union,
+       |  (CAST(n_batch_only AS DOUBLE) / CAST(k_union AS DOUBLE))
+       |    * est_union AS est_novel
+       |FROM est
+       |ORDER BY lang""".stripMargin
+  }
+
   /** q_hll_distinct replay — Extended.hllDistinct's pinned shape (p = 8
     * → 256 registers, seed 42 over lineitem's l_orderkey per
     * l_returnflag): DuckDB re-derives every register from the DISTINCT

@@ -535,6 +535,53 @@ object Extended {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** Snapshot novelty via KMV sketch difference — "how much of the new
+    * batch's vocabulary is genuinely NEW against the standing corpus?",
+    * the crawl-worth-keeping measure, per lang: documents split into
+    * corpus (even doc_id) and batch (odd doc_id) snapshots, one
+    * 256-entry bottom-k sketch per (lang, side), and the difference
+    * estimated from sketches alone — D̂_novel = ρ_batch-only · D̂_∪ with
+    * ρ from the k smallest union ranks (the sketchOverlap identities
+    * applied to A∖B instead of A∩B). One linear token pass, no
+    * batch×corpus token join, replayed bit-for-bit by
+    * SplitmixReplaySql.sketchDeltaSql. */
+  def sketchDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 256
+    val rank = udf((v: Long) =>
+      graft.functions.SketchAggs.mix(v ^ graft.functions.SketchAggs.mix(42L)))
+    val ex = Tables.documents(s, dir)
+      .select($"lang", pmod($"doc_id", lit(2L)).as("side"),
+        explode(split($"text", " ")).as("tok"))
+      .select($"lang", $"side", xxhash64($"tok").as("hv"))
+      .groupBy($"lang", $"side")
+      .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L).as("sk"))
+      .select($"lang", $"side", explode($"sk").as("v"))
+      .withColumn("r", rank($"v"))
+    val scale = math.pow(2, -64)
+    ex
+      .groupBy($"lang", $"v", $"r")
+      .agg(max($"side").as("mx"), min($"side").as("mn"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"r".asc, $"v".asc)))
+      .filter($"rn" <= k)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("k_union"),
+        sum(when($"mn" === 1L, 1L).otherwise(0L)).as("n_batch_only"),
+        sum(when($"mx" === 0L, 1L).otherwise(0L)).as("n_corpus_only"),
+        max($"r").as("hk"))
+      .select($"lang", $"k_union", $"n_batch_only", $"n_corpus_only",
+        when($"k_union" < k, $"k_union".cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ($"hk".cast("double") * lit(scale) + lit(0.5)))
+          .as("est_union"))
+      .withColumn("est_novel",
+        ($"n_batch_only".cast("double") / $"k_union".cast("double")) *
+          $"est_union")
+      .orderBy($"lang")
+  }
+
   /** Deterministic weighted sample — priority sampling (Duffield,
     * Lund & Thorup): each row gets priority w/u with u a seeded uniform,
     * and the k highest-priority rows per group are kept, so inclusion

@@ -115,6 +115,32 @@ class ExtendedSpec extends SparkSpec {
     toks.unpersist()
   }
 
+  test("sketchDelta: novelty estimates track the exact batch-only " +
+    "vocabulary, join-free") {
+    val spark2 = spark
+    import spark2.implicits._
+    val toks = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .select($"lang", pmod($"doc_id", lit(2L)).as("side"),
+        explode(split($"text", " ")).as("tok"))
+      .select($"lang", $"side", xxhash64($"tok").as("hv")).distinct().cache()
+    Extended.sketchDelta(spark, sf("sf0.01")).collect().foreach { r =>
+      val lang = r.getString(0)
+      val old = toks.filter($"lang" === lang && $"side" === 0L)
+        .select($"hv").collect().map(_.getLong(0)).toSet
+      val batch = toks.filter($"lang" === lang && $"side" === 1L)
+        .select($"hv").collect().map(_.getLong(0)).toSet
+      val exactUnion = (old ++ batch).size.toDouble
+      val exactNovel = (batch -- old).size.toDouble
+      val (estUnion, estNovel) = (r.getDouble(4), r.getDouble(5))
+      // k = 256 → σ ≈ 1/16; seeded draw, generous deterministic pins
+      assert(math.abs(estUnion / exactUnion - 1.0) < 0.25,
+        s"$lang union: est=$estUnion exact=$exactUnion")
+      assert(math.abs(estNovel - exactNovel) < 0.25 * exactUnion,
+        s"$lang novel: est=$estNovel exact=$exactNovel")
+    }
+    toks.unpersist()
+  }
+
   test("stratifiedSample: per-stratum rates near their fractions, seeded-stable") {
     val spark2 = spark
     import spark2.implicits._
