@@ -133,12 +133,13 @@ object ScaleUp {
         // k + dim share a rotation → exact cross-copy twins; measured
         // dup = 1.52 at r = 100, which would ENGAGE the collapse valves
         // the decade exists to disengage). Compose with a per-__g sign
-        // mask (__g = __copy / dim): flip dim d iff bit (d mod 31) of
-        // hash(__g)'s bit string is set. A per-copy diagonal ±1 preserves
+        // mask (__g = __copy / dim): flip dim d iff bit (d mod 63) of a
+        // 63-bit window of hash(__g)'s zero-padded 64-char bit string is
+        // set (chars 2..64 below). A per-copy diagonal ±1 preserves
         // every intra-copy inner product and norm exactly (both vectors
         // of a pair get the SAME flips, so elementwise products are
         // unchanged), while distinct (rotation, mask) pairs keep
-        // cross-copy cosines pseudo-random — dup ≈ 1 at any r ≤ dim·2³¹.
+        // cross-copy cosines pseudo-random — dup ≈ 1 at any r ≤ dim·2⁶³.
         // __g = 0 has mask 0, so r ≤ dim output is bit-identical to the
         // pre-fix generator (sfp10/sfp30 artifacts unaffected).
         scaledKeep(read("embeddings"), "vec_id" -> kVec)

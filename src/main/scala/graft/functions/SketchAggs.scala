@@ -542,11 +542,15 @@ case class HllDistinct(child: Expression, p: Int, seed: Long,
   * can be hash-checked across engines (the sketch quantile algorithms —
   * GK, KLL, t-digest — are all arrival-order-dependent).
   *
-  * CONTRACT: the key must uniquely identify the row (a primary key) —
-  * rows sharing a key collapse to one arbitrary-arrival entry, which is
-  * partition-order-dependent exactly like a reservoir. (That is why
-  * q_hash_quantiles keys on orders.o_orderkey: the synthetic lineitem
-  * repeats (orderkey, linenumber) with different payloads.)
+  * CONTRACT: the key must uniquely identify the row (a primary key).
+  * A violating caller (same key, differing values) fails LOUDLY when
+  * the resident twin is still in the buffer — best-effort, but the
+  * surviving duplicate is precisely the one that could reach the
+  * output; a twin already evicted past rank k is harmless by
+  * construction. Same-value re-arrival (task retry, idempotent merge)
+  * stays legal. (This is why q_hash_quantiles keys on
+  * orders.o_orderkey: the synthetic lineitem repeats (orderkey,
+  * linenumber) with different payloads.)
   *
   * State is ≤ k (hash, key, value) triples — map-combinable constant
   * state, no per-group sort of the full data at any scale. Null keys or
@@ -576,9 +580,22 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
 
   override def createAggregationBuffer(): Buf = new Buf()
 
+  /** Insert, detecting unique-key-contract violations (ADVICE r14):
+    * a key re-arriving with a DIFFERENT value while its twin is still
+    * resident would otherwise resolve by last-arrival overwrite —
+    * partition-order-nondeterministic with no signal. Detection is
+    * best-effort by construction (a twin already evicted past rank k is
+    * invisible), but any surviving duplicate is exactly the one that
+    * could reach the output, so the loud path covers the cases that
+    * matter. Same-value re-arrival (task retry, idempotent merge) stays
+    * legal. */
   private def insert(buf: Buf, kv: Long, value: Double): Unit = {
     val h = SketchAggs.mix(kv ^ SketchAggs.mix(seed))
-    buf.put((h, kv), value)
+    val prior = buf.put((h, kv), value)
+    if (prior.exists(_ != value))
+      throw new IllegalStateException(
+        s"bottom_k_pairs: key $kv re-arrived with value $value != " +
+          s"${prior.get} — the key column must uniquely identify the row")
     if (buf.size > k) buf.remove(buf.lastKey)
   }
 
@@ -592,7 +609,12 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
 
   override def merge(a: Buf, b: Buf): Buf = {
     b.foreach { case ((h, kv), v) =>
-      a.put((h, kv), v)
+      val prior = a.put((h, kv), v)
+      if (prior.exists(_ != v))
+        throw new IllegalStateException(
+          s"bottom_k_pairs: key $kv present on both merge sides with " +
+            s"differing values ($v vs ${prior.get}) — the key column " +
+            "must uniquely identify the row")
       if (a.size > k) a.remove(a.lastKey)
     }
     a

@@ -259,8 +259,14 @@ object Extended {
     Seq(("A", 1, 5), ("N", 1, 10), ("R", 1, 20))
 
   /** Exact integer acceptance threshold on the top-53-bit uniform:
-    * keep iff (hash >>> 11) < (2^53 · num / den). */
-  def stratThreshold(num: Int, den: Int): Long = (1L << 53) / den * num
+    * keep iff (hash >>> 11) < floor(2^53 · num / den). Multiply BEFORE
+    * the floor division so the documented rate identity holds for any
+    * num/den tier (floor(2^53/den)·num under-counts when num > 1 and
+    * den ∤ 2^53); 2^53·num needs num ≤ 1024 to stay inside a Long. */
+  def stratThreshold(num: Int, den: Int): Long = {
+    require(num >= 1 && num <= 1024 && den >= 1, s"rate $num/$den")
+    ((1L << 53) * num) / den
+  }
 
   /** Stratified (per-key-fraction) Bernoulli sampling — S5's `sample`
     * generalized. The draw is a PURE FUNCTION of the row key, not of

@@ -186,12 +186,22 @@ class PlanShapeSpec extends SparkSpec {
   test("q_stratified_sample: the key-hash Bernoulli filter runs in the " +
     "scan stage (map-only draw, no pre-filter shuffle)") {
     val df = query("q_stratified_sample")
-    val plan = df.queryExecution.sparkPlan.toString
-    // at most one exchange — the post-filter group-by (zero when the
-    // tiny fixture plans as one partition); the draw itself adds none
-    val exchanges = plan.split("Exchange").length - 1
-    assert(exchanges <= 1, s"exchange count=$exchanges\n${plan.take(2000)}")
+    // Count shuffles POST-EnsureRequirements — sparkPlan is pre-
+    // requirements, so requirement-driven exchanges (the group-by, the
+    // sort) never appear there and a bound on it is vacuous (ADVICE
+    // r14). AQE hides the final plan inside a leaf AdaptiveSparkPlanExec,
+    // so apply EnsureRequirements to the bare plan directly. Budget: the
+    // post-filter group-by (hash) + the output orderBy (range) = 2; the
+    // map-only draw itself adds none.
+    val prepared = org.apache.spark.sql.execution.exchange
+      .EnsureRequirements().apply(df.queryExecution.sparkPlan)
+    val exchanges = prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(exchanges <= 2,
+      s"exchange count=$exchanges\n${prepared.toString.take(2000)}")
     // and the filter sits directly on the scan stage, below the agg
+    val plan = df.queryExecution.sparkPlan.toString
     assert(plan.contains("Filter (shiftrightunsigned(xxhash64"),
       plan.take(2000))
   }

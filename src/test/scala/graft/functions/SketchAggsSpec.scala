@@ -377,4 +377,18 @@ class SketchAggsSpec extends SparkSpec {
     val b = pairsRun(keys.map(k => (k, k.toDouble + 0.5)), k = 10, 3)
     assert(b === a.map(_ + 0.5))
   }
+
+  test("bottomKPairs: a unique-key-contract violation fails LOUDLY " +
+    "(same key, differing values) instead of silently overwriting") {
+    // k large enough that the twin is resident when its duplicate lands
+    val dup = Seq((7L, 1.0), (7L, 2.0)) ++ (100L to 110L).map(i => (i, 0.0))
+    val ex = intercept[org.apache.spark.SparkException] {
+      pairsRun(dup, k = 50, 1)
+    }
+    assert(ex.getMessage.contains("uniquely identify") ||
+      Option(ex.getCause).exists(_.getMessage.contains("uniquely identify")))
+    // same-value re-arrival (retry/idempotent merge) stays legal
+    assert(pairsRun(Seq((7L, 1.0), (7L, 1.0), (8L, 2.0)), k = 5, 2)
+      === Seq(1.0, 2.0))
+  }
 }
