@@ -167,7 +167,27 @@ object SparkEntry {
     "q_pipeline_funnel"   -> (TextAnalysis.pipelineFunnel(_, _)),
     "q_winnow_dedup"      -> (TextAnalysis.winnowDedup(_, _)),
     "q_cm_words"          -> (TextAnalysis.cmWords(_, _)),
+    // LR family flipped to hash-checked in r15 (the coefficient-embed
+    // device, oracle/LrReplaySql): training stays Spark-side (L-BFGS
+    // treeAggregate float order) and session-memoized, the oracle
+    // embeds the fitted coefficients and replays the pure scoring
+    // function — prediction at the default threshold ≡ margin > 0,
+    // libm-free
     "q_quality_classifier" -> (graft.ml.QualityFilter.confusion(_, _)),
+    // rows-only PRECISELY because Misra–Gries' per-partition UPDATE
+    // fold is arrival-order-dependent (r15, VERDICT r14 #7: the merge
+    // tree IS order-invariant by design — pointwise sum + one
+    // eval-time truncation — but the in-partition fold is not: at
+    // capacity 1 the multiset {a,a,c,d} yields summary {} with err 2
+    // streamed a,a,c,d and {a:2} with err 1 streamed c,d,a,a — both
+    // honor est ≤ true ≤ est+err; pinned executable in
+    // SketchAggsSpec). A DuckDB replay would therefore have to
+    // simulate Spark's exact scan-split boundaries and in-file row
+    // order — a function of session config, not of the table, so no
+    // pure-SQL oracle can exist. The est ≤ true ≤ est+err CONTRACT is
+    // what the sketch promises and what the spec pins under
+    // 1/3/8-partition splits; the exact-sum twin q_cm_words is the
+    // hash-checked ground truth.
     "q_frequent_words"    -> ((s, d) => TextAnalysis.frequentWords(s, d)),
     "q_tfidf_topk"        -> ((s, d) => TextAnalysis.tfidfTopK(s, d)),
     // BM25 retrieval over a corpus-derived query (df-rank terms); the
@@ -582,7 +602,10 @@ object SparkEntry {
     staticOracleSql ++ TextAnalysis.bpeOracleSqlEntry ++
       Extended.ivfOracleSqlEntry ++ Embeddings.semDedupOracleSqlEntry ++
       Extended.p2OracleSqlEntry ++ Extended.pqOracleSqlEntry ++
-      Extended.ivfPqOracleSqlEntry
+      Extended.ivfPqOracleSqlEntry ++
+      graft.ml.QualityFilter.oracleSqlEntry ++
+      Extended.linkpredAnnOracleSqlEntry ++
+      Extended.linkpredE2eOracleSqlEntry
 
   private def staticOracleSql: Map[String, String] = Map(
     // incremental refresh vs full recompute: the oracle IS the full

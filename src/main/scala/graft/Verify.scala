@@ -88,6 +88,21 @@ object Verify {
       System.err.println(s"[verify] ivfpq oracle pre-fit failed: " +
         e.toString.take(200))
     }
+    try graft.ml.QualityFilter.prepareOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] quality-classifier oracle pre-fit " +
+        s"failed: ${e.toString.take(200)}")
+    }
+    try graft.queries.Extended.prepareLinkpredAnnOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] linkpred-ann oracle pre-fit failed: " +
+        e.toString.take(200))
+    }
+    try graft.queries.Extended.prepareLinkpredE2eOracle(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] linkpred-e2e oracle pre-fit failed: " +
+        e.toString.take(200))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

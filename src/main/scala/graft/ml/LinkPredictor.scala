@@ -75,7 +75,9 @@ object LinkPredictor {
         common(col("author_toks_from"), col("author_toks_to")))
   }
 
-  private val enStopwords =
+  /** private[graft]: the q_linkpred_e2e replay oracle embeds this SAME
+    * list (single source of truth — no copy to drift). */
+  private[graft] val enStopwords =
     org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
 
   val featureCols: Array[String] = Array(
@@ -149,13 +151,21 @@ object LinkPredictor {
   }
 
   /** End-to-end p1: train on labeled edges, score candidate edges,
-    * return (model, scored candidates, metrics vs ground truth). */
+    * return (model, scored candidates, metrics vs ground truth).
+    * `cachedModel` skips the fit entirely (the session-memoized-state
+    * device, r15): Extended.linkpredE2e trains once per (session,
+    * corpus) so its coefficient-embed replay oracle scores with the
+    * SAME coefficients the query does. */
   def run(spark: SparkSession, nodes: DataFrame, trainEdges: DataFrame,
       candidateEdges: DataFrame, groundTruth: DataFrame,
-      maxIter: Int = 100): (LogisticRegressionModel, DataFrame, DataFrame) = {
+      maxIter: Int = 100,
+      cachedModel: Option[LogisticRegressionModel] = None)
+      : (LogisticRegressionModel, DataFrame, DataFrame) = {
     val prepared = prepareNodes(nodes).cache()
-    val trainFeat = featurize(attachNodeAttrs(trainEdges, prepared))
-    val (model, _) = train(trainFeat, maxIter)
+    val model = cachedModel.getOrElse {
+      val trainFeat = featurize(attachNodeAttrs(trainEdges, prepared))
+      train(trainFeat, maxIter)._1
+    }
     // J3: left-outer membership probe labels the candidates (Q3: directed).
     // dropDuplicates: it is a MEMBERSHIP probe — a ground-truth dump
     // listing an edge twice would otherwise fan each matching candidate

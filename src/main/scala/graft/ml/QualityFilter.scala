@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,36 +50,76 @@ object QualityFilter {
           1.0).otherwise(0.0).as("label"))
   }
 
-  /** Train on the md5-salted ~80% split, score everything, and emit the
-    * holdout confusion counts — the slim per-round driver signal. */
-  def confusion(s: SparkSession, dir: String,
-      maxIter: Int = 20): DataFrame = {
+  /** The featurized frame with the md5-salted holdout flag and the
+    * assembled feature vector (handleInvalid = skip, so null/NaN
+    * feature rows never reach the model — the oracle replays the same
+    * guard). */
+  private def assembled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val f = featurize(s, dir)
       .withColumn("holdout",
         (substring(md5(concat(lit("qf:"), $"doc_id".cast("string"))), 1, 1)
           .isin("0", "1", "2")).cast("boolean"))
-    val assembled = new VectorAssembler()
+    new VectorAssembler()
       .setInputCols(Array("avg_token_len", "distinct_ratio", "chars"))
       .setOutputCol("features")
       .setHandleInvalid("skip")
       .transform(f)
-      .cache()
-    val lr = new LogisticRegression()
-      .setMaxIter(maxIter)
-      .setLabelCol("label")
-      .setFeaturesCol("features")
-    val model = lr.fit(assembled.filter(!$"holdout"))
-    val scored = model.transform(assembled.filter($"holdout"))
+  }
+
+  /** Session-memoized fit (the semCentroidsFor device, r15): training
+    * state is treeAggregate-float-order-dependent across JVMs, so the
+    * oracle cannot recompute it — instead ONE fit per (session, corpus,
+    * budget) serves both the query and the coefficient-embed oracle,
+    * which replays the pure scoring function of THESE coefficients. */
+  private val models = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), LogisticRegressionModel]
+
+  def modelFor(s: SparkSession, dir: String,
+      maxIter: Int = 20): LogisticRegressionModel =
+    models.getOrElseUpdate((s, dir, maxIter), {
+      import s.implicits._
+      val a = assembled(s, dir).filter(!$"holdout").cache()
+      try {
+        new LogisticRegression()
+          .setMaxIter(maxIter)
+          .setLabelCol("label")
+          .setFeaturesCol("features")
+          .fit(a)
+      } finally a.unpersist(blocking = false)
+    })
+
+  /** Score the holdout with the memoized fit and emit the confusion
+    * counts — the slim per-round driver signal, hash-checked against
+    * the coefficient-embed replay oracle (prediction at the default
+    * 0.5 threshold ≡ margin > 0; see oracle.LrReplaySql). */
+  def confusion(s: SparkSession, dir: String,
+      maxIter: Int = 20): DataFrame = {
+    import s.implicits._
+    val model = modelFor(s, dir, maxIter)
+    val scored = model.transform(assembled(s, dir).filter($"holdout"))
       .select($"label".cast("long").as("label"),
         $"prediction".cast("long").as("pred"))
       .groupBy($"label", $"pred")
       .agg(count(lit(1)).as("n"))
       .orderBy($"label", $"pred")
-    val out = scored.collect() // ≤4 rows — materialize before unpersist
-    assembled.unpersist(blocking = false)
+    val out = scored.collect() // ≤4 rows — materialize to a tiny frame
     s.createDataFrame(
       s.sparkContext.parallelize(out.toIndexedSeq, 1), scored.schema)
       .orderBy($"label", $"pred")
+  }
+
+  /** The q_quality_classifier oracle SQL, set by Verify via
+    * prepareOracle before the dump; absent (rows-only) until then. */
+  @volatile private var oracle: Option[String] = None
+
+  def oracleSqlEntry: Map[String, String] =
+    oracle.map("q_quality_classifier" -> _).toMap
+
+  def prepareOracle(s: SparkSession, dir: String): Unit = {
+    oracle = None // a failed prepare must fall back to rows-only
+    val m = modelFor(s, dir)
+    oracle = Some(graft.LrReplaySql.qualityClassifierSql(
+      m.coefficients.toArray, m.intercept))
   }
 }

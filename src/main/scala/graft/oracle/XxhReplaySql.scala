@@ -265,9 +265,22 @@ object XxhReplaySql {
     * 4-long hash chains (Spark's multi-arg xxhash64 seeding), the
     * windowed bucket-size guard, distinct candidate pairs, and the exact
     * distinct-shingle-set jaccard at the 0.5 cutoff. */
-  lazy val minhashNearDupSql: String = {
+  lazy val minhashNearDupSql: String =
+    s"""WITH $minhashCandJacCtes
+       |SELECT a_id, b_id, jaccard FROM mj
+       |WHERE jaccard >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** The minhash banding pipeline through exact-jaccard verification as
+    * a CTE chain ending in `mj(a_id, b_id, jaccard)` — every bucket
+    * candidate pair surviving the maxBucket guard, WITH its exact
+    * distinct-shingle jaccard, threshold NOT yet applied. Shared by
+    * q_minhash_neardup (threshold 0.5 near-dup) and the
+    * q_linkpred_ann_e2e replay (threshold 0.0 candidate tier whose 0.5
+    * cut becomes the LABEL) so the two oracles can never drift. */
+  lazy val minhashCandJacCtes: String = {
     val k = 32; val bands = 8; val rows = 4
-    val maxBucket = 1000; val threshold = "0.5"
+    val maxBucket = 1000
     val p58 = P5 + 8
     val vocBase =
       "SELECT DISTINCT shingle FROM (SELECT unnest(sh_set) AS shingle FROM shd)"
@@ -307,7 +320,7 @@ object XxhReplaySql {
       " / CAST(len(sa.sh_set) + len(sb.sh_set)" +
       " - len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)"
 
-    s"""WITH shd AS (
+    s"""shd AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, len(string_split(text,' '))-1),
        |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS sh_set
@@ -327,12 +340,11 @@ object XxhReplaySql {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM kept a JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
        |    AND a.doc_id < b.doc_id
-       |)
-       |SELECT cand.a_id, cand.b_id, $jac AS jaccard
-       |FROM cand JOIN shd sa ON sa.doc_id = cand.a_id
-       |          JOIN shd sb ON sb.doc_id = cand.b_id
-       |WHERE $jac >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |), mj AS (
+       |  SELECT cand.a_id, cand.b_id, $jac AS jaccard
+       |  FROM cand JOIN shd sa ON sa.doc_id = cand.a_id
+       |            JOIN shd sb ON sb.doc_id = cand.b_id
+       |)""".stripMargin
   }
 
   /** One band-chain step for every band: hashLong(m_{band·rows+s}, acc),
@@ -409,6 +421,109 @@ object XxhReplaySql {
        |FROM cand
        |WHERE bit_count(xor(a_fp, b_fp)) <= $maxHamming
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** q_linkpred_ann_e2e replay (r15) — Extended.linkpredAnnE2e's full
+    * candidate-production path re-derived from `documents`, with the
+    * session's fitted LR coefficients embedded (the LrReplaySql
+    * coefficient-embed device; training stays Spark-side and
+    * spec-gated):
+    *
+    *  - candidates: the shared minhash banding pipeline
+    *    (minhashCandJacCtes — the q_minhash_neardup replay verbatim) at
+    *    threshold 0; the 0.5 jaccard cut becomes the LABEL;
+    *  - easy negatives: partner = pmod(xxhash64(doc_id, j,
+    *    'linkpred-neg'), max_id+1) for j ∈ {1,2} — the 3-element hash
+    *    chain replayed as hashLong(doc_id, 42) → hashInt(j, ·) →
+    *    hashUtf8('linkpred-neg', ·) (the 12-byte constant string
+    *    collapses to one 8-byte and one 4-byte tail step whose words
+    *    are Scala-side constants), then the least/greatest + distinct +
+    *    membership semi-join + candidate anti-join;
+    *  - features exactly as the query computes them (token-set
+    *    intersect/jaccard on distinct token sets — the q_linkpred_pairs
+    *    string-set device, ≡ the hashed-set counts modulo intra-doc
+    *    xxh64 collisions at P ≈ 1e-16/doc —, lang equality, |Δchars|);
+    *  - the md5-salted holdout quarter and the assembler's NaN guard;
+    *  - prediction at the default threshold ≡ margin > 0 (libm-free).
+    */
+  def linkpredAnnE2eSql(coefficients: Array[Double],
+      intercept: Double): String = {
+    require(coefficients.length == 4, coefficients.mkString(","))
+    val layers = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    // h1 = XXH64.hashLong(doc_id, seed 42)
+    layers ++= longHashStages("doc_id", "h1").map(Seq(_))
+    // h2 = XXH64.hashInt(j, seed h1): j is the {1,2} partner index col
+    layers += Seq("i_a" -> mod64(s"(h1_u + ${u(P5 + 4)})"))
+    layers += Seq("i_b" -> xorS("i_a", mul64("CAST(j AS HUGEINT)", P1)))
+    layers += Seq("i_c" -> mod64(s"${mul64(rotl("i_b", 23), P2)} + ${u(P3)}"))
+    layers ++= fmixStages("h2", "i_c").map(Seq(_))
+    // h3 = XXH64.hashUtf8("linkpred-neg", seed h2): 12 bytes = one
+    // 8-byte step (word "linkpred") + one 4-byte step (word "-neg"),
+    // both little-endian constants evaluated here
+    val bytes = "linkpred-neg".getBytes("UTF-8")
+    require(bytes.length == 12)
+    val w8 = (0 until 8).map(i => (bytes(i) & 0xFFL) << (8 * i)).reduce(_ | _)
+    val w4 = (0 until 4).map(i => (bytes(8 + i) & 0xFFL) << (8 * i)).reduce(_ | _)
+    val rnd0w8 = java.lang.Long.rotateLeft(w8 * P2, 31) * P1
+    layers += Seq("s_a" -> mod64(s"(h2_u + ${u(P5 + 12)})"))
+    layers += Seq("s_b" -> mod64(
+      s"${mul64(rotl(xorS("s_a", u(rnd0w8)), 27), P1)} + ${u(P4)}"))
+    layers += Seq("s_c" -> mod64(
+      s"${mul64(rotl(xorS("s_b", u(w4 * P1)), 23), P2)} + ${u(P3)}"))
+    layers ++= fmixStages("h3", "s_c").map(Seq(_))
+    val negBase =
+      "SELECT doc_id, j FROM documents CROSS JOIN (VALUES (1), (2)) jj(j)"
+    val (negCtes, negLast) = layeredCte(negBase, layers.toSeq, "ng0")
+
+    val margin = LrReplaySql.marginSql(
+      Seq("x1", "x2", "x3", "x4"), coefficients, intercept)
+    s"""WITH $minhashCandJacCtes,
+       |$negCtes,
+       |maxid AS (SELECT max(doc_id) AS mx FROM documents),
+       |negp AS (
+       |  SELECT doc_id,
+       |    ((${toSigned("h3_u")} % (mx + 1)) + (mx + 1)) % (mx + 1) AS partner
+       |  FROM $negLast CROSS JOIN maxid
+       |), negpair AS (
+       |  SELECT DISTINCT least(doc_id, partner) AS a_id,
+       |    greatest(doc_id, partner) AS b_id
+       |  FROM negp WHERE doc_id <> partner
+       |), negk AS (
+       |  SELECT n.a_id, n.b_id FROM negpair n
+       |  WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = n.b_id)
+       |    AND NOT EXISTS (SELECT 1 FROM mj c
+       |                    WHERE c.a_id = n.a_id AND c.b_id = n.b_id)
+       |), pairs AS (
+       |  SELECT a_id, b_id,
+       |    CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS label FROM mj
+       |  UNION ALL
+       |  SELECT a_id, b_id, 0 AS label FROM negk
+       |), dt AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    list_distinct(string_split(text, ' ')) AS tset
+       |  FROM documents
+       |), feat AS (
+       |  SELECT p.a_id, p.b_id, p.label,
+       |    CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) AS x1,
+       |    CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE) /
+       |      CAST(len(a.tset) + len(b.tset)
+       |           - len(list_intersect(a.tset, b.tset)) AS DOUBLE) AS x2,
+       |    CASE WHEN a.lang = b.lang THEN 1e0 ELSE 0e0 END AS x3,
+       |    CAST(abs(a.n_chars - b.n_chars) AS DOUBLE) AS x4
+       |  FROM pairs p JOIN dt a ON a.doc_id = p.a_id
+       |               JOIN dt b ON b.doc_id = p.b_id
+       |), hold AS (
+       |  SELECT * FROM feat
+       |  WHERE substr(md5('lpann:' || CAST(a_id AS VARCHAR) || ':'
+       |          || CAST(b_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+       |    AND NOT isnan(x2)
+       |)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(CASE WHEN $margin > 0e0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  count(*) AS n
+       |FROM hold
+       |GROUP BY 1, 2
+       |ORDER BY label, pred""".stripMargin
   }
 }
 

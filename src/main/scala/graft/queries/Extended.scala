@@ -928,6 +928,8 @@ object Extended {
     ivfCentroids.keys.filter(_._1 eq s).foreach(ivfCentroids.remove)
     pqCodebooks.keys.filter(_._1 eq s).foreach(pqCodebooks.remove)
     ivfPqCodebooks.keys.filter(_._1 eq s).foreach(ivfPqCodebooks.remove)
+    lpAnnModels.keys.filter(_._1 eq s).foreach(lpAnnModels.remove)
+    lpE2eModels.keys.filter(_._1 eq s).foreach(lpE2eModels.remove)
     sketchCache.keys.filter(_._1 eq s).foreach { key =>
       sketchCache.remove(key).foreach(_.unpersist(blocking = false))
     }
@@ -1595,14 +1597,44 @@ object Extended {
     // the dominant q_linkpred_e2e cost — and the seeded synthetic labels
     // separate within 5 iterations (ExtendedSpec pins F1 > 0.5). Keeps the
     // query under the driver bench's 45 s cap with 5× slow-host margin.
-    val (_, scored, _) = graft.ml.LinkPredictor.run(
-      s, nodes, train, cand, gt, maxIter = 5)
+    // Fit memoized per (session, corpus) — the coefficient-embed oracle
+    // below replays scoring with exactly these coefficients.
+    val (model, scored, _) = graft.ml.LinkPredictor.run(
+      s, nodes, train, cand, gt, maxIter = 5,
+      cachedModel = lpE2eModels.get((s, dir)))
+    lpE2eModels.putIfAbsent((s, dir), model)
     pairs.unpersist(blocking = false)
     // sweep on probabilities bucketed to 3 decimals: bounds the distinct
     // thresholds (≤1001) so the global-ordered cumsum window stays tiny
     // regardless of candidate count
     graft.ml.LinkPredictor.sweepMetrics(
       scored.withColumn("p1r", round($"p1", 3)), "p1r")
+  }
+
+  /** Session-memoized p1-e2e fit — see linkpredE2e. */
+  private val lpE2eModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  /** The q_linkpred_e2e oracle SQL, set by Verify via
+    * prepareLinkpredE2eOracle before the dump; absent (rows-only) until
+    * then. */
+  @volatile private var lpE2eOracle: Option[String] = None
+
+  def linkpredE2eOracleSqlEntry: Map[String, String] =
+    lpE2eOracle.map("q_linkpred_e2e" -> _).toMap
+
+  /** Runs the query pipeline once (fit + score, memoizing the model) if
+    * no fit is cached yet, then embeds the coefficients into the sweep
+    * replay (oracle.LrReplaySql.linkpredE2eSql — sigmoid bucketing goes
+    * through the libm-free margin-cutoff table). */
+  def prepareLinkpredE2eOracle(s: SparkSession, dir: String): Unit = {
+    lpE2eOracle = None // a failed prepare must fall back to rows-only
+    if (!lpE2eModels.contains((s, dir))) linkpredE2e(s, dir)
+    val model = lpE2eModels((s, dir))
+    lpE2eOracle = Some(graft.LrReplaySql.linkpredE2eSql(
+      model.coefficients.toArray, model.intercept,
+      graft.ml.LinkPredictor.enStopwords))
   }
 
   /** The PRODUCTION link-prediction path (VERDICT r8 #3): candidates from
@@ -1636,6 +1668,73 @@ object Extended {
     * Every stage is corpus-linear except the capped bucket join — the
     * sub-10× e2e family member the scale run asked for. */
   def linkpredAnnE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assembled = lpAnnAssembled(s, dir).cache()
+    try {
+      val model = lpAnnModelFor(s, dir, assembled)
+      val conf = model.transform(assembled.filter($"holdout"))
+        .select($"label".cast("long").as("label"),
+          $"prediction".cast("long").as("pred"))
+        .groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
+        .orderBy($"label", $"pred")
+      val out = conf.collect() // ≤4 rows — materialize before unpersist
+      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
+          conf.schema)
+        .orderBy($"label", $"pred")
+    } finally assembled.unpersist(blocking = false)
+  }
+
+  /** Session-memoized ANN-e2e fit (the semCentroidsFor device, r15):
+    * ONE L-BFGS fit per (session, corpus) serves both the query and the
+    * coefficient-embed replay oracle below — the oracle embeds THESE
+    * coefficients, so query and oracle cannot drift within a session,
+    * while training itself stays Spark-side and spec-gated
+    * (treeAggregate float order is not replayable). */
+  private val lpAnnModels = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      org.apache.spark.ml.classification.LogisticRegressionModel]
+
+  private def lpAnnModelFor(s: SparkSession, dir: String,
+      assembled: DataFrame)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    import s.implicits._
+    lpAnnModels.getOrElseUpdate((s, dir), {
+      // maxIter 5 (was 10 — ADVICE r9 #4 fit budget, same argument as
+      // linkpredE2e): each L-BFGS iteration is a treeAggregate pass over
+      // the candidate frame, and the weighted boundary separates within
+      // 5 iterations — the holdout floors (recall ≥ 0.75, accuracy
+      // ≥ 0.95, ExtendedSpec) are re-pinned under this budget.
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(5).setLabelCol("label").setFeaturesCol("features")
+        .setWeightCol("w")
+        .fit(assembled.filter(!$"holdout"))
+    })
+  }
+
+  /** The q_linkpred_ann_e2e oracle SQL, set by Verify via
+    * prepareLinkpredAnnOracle before the dump; absent (rows-only) until
+    * then. */
+  @volatile private var lpAnnOracle: Option[String] = None
+
+  def linkpredAnnOracleSqlEntry: Map[String, String] =
+    lpAnnOracle.map("q_linkpred_ann_e2e" -> _).toMap
+
+  def prepareLinkpredAnnOracle(s: SparkSession, dir: String): Unit = {
+    lpAnnOracle = None // a failed prepare must fall back to rows-only
+    val model = lpAnnModels.get((s, dir)).getOrElse {
+      val a = lpAnnAssembled(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try lpAnnModelFor(s, dir, a)
+      finally a.unpersist(blocking = false)
+    }
+    lpAnnOracle = Some(graft.XxhReplaySql.linkpredAnnE2eSql(
+      model.coefficients.toArray, model.intercept))
+  }
+
+  /** The featurized + assembled candidate frame the ANN-e2e query and
+    * its fit share — see the scaladoc above for the candidate tier,
+    * negative sampling, feature and leakage arguments. */
+  private def lpAnnAssembled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val tokens = docs
@@ -1699,32 +1798,11 @@ object Extended {
       // L-BFGS parks the boundary inside the positive cluster at small
       // SFs (measured: 2/5 holdout positives lost at sf0.001).
       .withColumn("w", when($"label" === 1.0, 10.0).otherwise(1.0))
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+    new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(
         Array("common_tokens", "token_jaccard", "same_lang", "chars_diff"))
       .setOutputCol("features")
       .setHandleInvalid("skip")
       .transform(feat)
-      .cache()
-    try {
-      // maxIter 5 (was 10 — ADVICE r9 #4 fit budget, same argument as
-      // linkpredE2e): each L-BFGS iteration is a treeAggregate pass over
-      // the candidate frame, and the weighted boundary separates within
-      // 5 iterations — the holdout floors below (recall ≥ 0.75,
-      // accuracy ≥ 0.95, ExtendedSpec) are re-pinned under this budget.
-      val lr = new org.apache.spark.ml.classification.LogisticRegression()
-        .setMaxIter(5).setLabelCol("label").setFeaturesCol("features")
-        .setWeightCol("w")
-      val model = lr.fit(assembled.filter(!$"holdout"))
-      val conf = model.transform(assembled.filter($"holdout"))
-        .select($"label".cast("long").as("label"),
-          $"prediction".cast("long").as("pred"))
-        .groupBy($"label", $"pred").agg(count(lit(1)).as("n"))
-        .orderBy($"label", $"pred")
-      val out = conf.collect() // ≤4 rows — materialize before unpersist
-      s.createDataFrame(s.sparkContext.parallelize(out.toIndexedSeq, 1),
-          conf.schema)
-        .orderBy($"label", $"pred")
-    } finally assembled.unpersist(blocking = false)
   }
 }

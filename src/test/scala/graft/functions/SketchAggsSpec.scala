@@ -158,6 +158,30 @@ class SketchAggsSpec extends SparkSpec {
     }
   }
 
+  test("freq items: the per-partition update fold is arrival-order-" +
+    "DEPENDENT — the executable reason q_frequent_words has no replay " +
+    "oracle (both orders honor the est ≤ true ≤ est+err contract)") {
+    // capacity 1, multiset {a,a,c,d}: streamed a,a,c,d the summary is
+    // {} with err 2; streamed c,d,a,a it is {a:2} with err 1. A pure
+    // function of the multiset cannot produce both, so any DuckDB
+    // replay would have to simulate Spark's scan-split boundaries and
+    // in-file row order — session config, not table content.
+    def fold(order: Seq[String]): Seq[(String, Long, Long)] = {
+      val spark2 = spark
+      import spark2.implicits._
+      // ONE partition in the given order: parallelize(…, 1) feeds the
+      // partial aggregate's update fold exactly this arrival sequence
+      spark2.sparkContext.parallelize(order, 1).toDF("v")
+        .agg(SketchAggs.frequentItems($"v", 1).as("f"))
+        .select(explode($"f").as("e"))
+        .select($"e.item", $"e.est", $"e.err")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    assert(fold(Seq("a", "a", "c", "d")) === Seq.empty)
+    assert(fold(Seq("c", "d", "a", "a")) === Seq(("a", 2L, 1L)))
+  }
+
   test("freq items: SQL registration and capacity validation") {
     val spark2 = spark
     import spark2.implicits._
