@@ -63,6 +63,15 @@ object TuneLshBits {
       val (pl, tl) = run(law)
       println(f"| ${new java.io.File(dir).getName} | $n%d | $law%d | " +
         f"$p4s/$pl%d | $t4s | $tl%.2f |")
+      // r15 auto-width arm (VERDICT r14 #4): the PUBLIC operator at the
+      // production threshold with NO width knob — the valve probe, the
+      // candidate gate, and the auto-resolved occupancy law all engage
+      // on their own. Pairs must equal the explicit law arm's.
+      val (ra, ta) = timeOnce(
+        Ann.lshNearDupPairs(c, threshold = 0.9).count())
+      println(f"|  └ auto (no knob) | $n%d | — | $ra%d | — | $ta%.2f |")
+      require(ra == pl,
+        s"auto width produced $ra pairs vs explicit law $pl")
       c.unpersist(blocking = true)
       System.gc()
     }

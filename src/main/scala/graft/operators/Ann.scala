@@ -361,8 +361,24 @@ object Ann {
     b
   }
 
+  /** Sentinel default for lshNearDupPairs' nBits: resolve the width
+    * automatically — the corpus-occupancy law (nBitsForCorpus) at
+    * production near-dup thresholds, the pinned 4 bits in the
+    * exploratory regime. An explicit caller value always wins. */
+  val AutoNBits: Int = 0
+
+  /** Threshold at or above which the auto width applies the occupancy
+    * law (VERDICT r14 #4): per-hyperplane collision probability
+    * p = 1 − acos(θ)/π ≥ ~0.75 there, so widening to b =
+    * nBitsForCorpus(n) keeps recall 1−(1−p^b)^T high (cosine 0.9 ⇒
+    * b = 9, T = 24 still 0.999 — TuneLshBits), while below it the r12
+    * retune MEASURED real borderline pairs lost at 5 bits — the
+    * exploratory regime keeps pinned 4 bits and relies on the
+    * candidate-volume gate to fail fast instead. */
+  val HighThresholdForWidthLaw: Double = 0.7
+
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
-      nTables: Int = 24, nBits: Int = 4, seed: Int = 42,
+      nTables: Int = 24, nBits: Int = AutoNBits, seed: Int = 42,
       maxBucket: Int = 10000,
       maxCandidateEstimate: Long = MaxLshCandidateEstimate): DataFrame = {
     val spark = corpus.sparkSession
@@ -394,11 +410,20 @@ object Ann {
     // crashing the cluster minutes in. Every driver SF is ≤ 8e6; the
     // measured-feasible 10× decade point (8e8) passes.
     val nEff = (corpus.count() / math.max(dupFactor, 1.0)).toLong
+    // AUTO WIDTH (r15, VERDICT r14 #4): with nBits unspecified, apply
+    // the occupancy law at production thresholds — the 30× distinct
+    // corpus that needed a caller knob in r14 now passes ungated with
+    // none — and keep the pinned 4 bits in the exploratory regime,
+    // where widening was measured to LOSE real pairs (r12 retune).
+    val bits =
+      if (nBits != AutoNBits) nBits
+      else if (threshold >= HighThresholdForWidthLaw) nBitsForCorpus(nEff)
+      else 4
     val estCandidates =
-      nTables.toDouble * nEff.toDouble * nEff.toDouble / (1L << nBits)
+      nTables.toDouble * nEff.toDouble * nEff.toDouble / (1L << bits)
     require(estCandidates <= maxCandidateEstimate,
       f"lshNearDupPairs: ~$estCandidates%.2g expected bucket-join candidates " +
-        f"at $nTables tables × $nBits bits over $nEff%d distinct vectors " +
+        f"at $nTables tables × $bits bits over $nEff%d distinct vectors " +
         f"exceeds the ${maxCandidateEstimate}%d budget. At high " +
         f"thresholds raise nBits toward nBitsForCorpus($nEff%d) = " +
         f"${nBitsForCorpus(nEff)}%d (and nTables for recall — see the " +
@@ -406,10 +431,10 @@ object Ann {
         "pair set itself is quadratic and should be range-partitioned " +
         "or threshold-tightened upstream.")
     if (dupFactor < CollapseDupFactor)
-      lshNearDupPairsDirect(corpus, threshold, nTables, nBits, seed,
+      lshNearDupPairsDirect(corpus, threshold, nTables, bits, seed,
         maxBucket, dim)
     else
-      lshNearDupPairsCollapsed(corpus, threshold, nTables, nBits, seed,
+      lshNearDupPairsCollapsed(corpus, threshold, nTables, bits, seed,
         maxBucket, dim)
   }
 

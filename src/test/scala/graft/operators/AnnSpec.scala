@@ -75,6 +75,30 @@ class AnnSpec extends SparkSpec {
     assert(approx.map(_._1) === (0L until 10L).toSet)
   }
 
+  test("lshNearDupPairs auto width (r15): the occupancy law engages at " +
+    "threshold ≥ 0.7 with no caller knob, the exploratory regime keeps " +
+    "its pinned 4 bits — each pinned by equality with the explicit call") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2100 distinct seeded vectors: past the 4-bit operating point
+    // (125·2⁴ = 2000), so nBitsForCorpus resolves to 5
+    assert(Ann.nBitsForCorpus(2100) === 5)
+    val rnd = new scala.util.Random(7)
+    val big = (0L until 2100L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .select($"a_id", $"b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // production threshold: auto ≡ explicit nBitsForCorpus width
+    assert(run(Ann.lshNearDupPairs(big, threshold = 0.9)) ===
+      run(Ann.lshNearDupPairs(big, threshold = 0.9, nBits = 5)))
+    // exploratory threshold: auto ≡ the pinned 4 bits (the r12 retune
+    // measured real borderline pairs LOST at 5 bits here)
+    val small = corpus
+    assert(run(Ann.lshNearDupPairs(small, threshold = 0.35)) ===
+      run(Ann.lshNearDupPairs(small, threshold = 0.35, nBits = 4)))
+  }
+
   test("lshNearDupPairs: exact duplicates always collide; high recall vs exact") {
     val spark2 = spark
     import spark2.implicits._
