@@ -635,7 +635,8 @@ object Extended {
   /** The reference's multiset common-word count (F3/Q5, a Scala UDF) over
     * blocked candidate pairs — the one operator kept as a UDF for
     * fidelity; its set-semantics twin is oracle-checked in linkpredPairs. */
-  def multisetPairs(s: SparkSession, dir: String): DataFrame = {
+  def multisetPairs(s: SparkSession, dir: String,
+      maxPairEstimate: Long = 100000000L): DataFrame = {
     import s.implicits._
     import graft.functions.TextOps
     val d0 = Tables.documents(s, dir)
@@ -673,6 +674,35 @@ object Extended {
     // the direct plan. Probe memoized per session (operators.DupProbe).
     val dupFactor =
       graft.operators.DupProbe.dupFactor(d0, $"source", $"t")
+    // LOUD pair-volume gate (r15 — caught by the first all-queries
+    // sfp30 pass, where the disengaged valve left the full blocked
+    // join: 10 blocks × C(15k, 2) ≈ 1.1e9 pairs × a ~100-token
+    // multiset intersect each = a 180 s bench timeout, the one
+    // unplanned failure of that run). Same posture as linkpredE2e's
+    // gate: the blocked all-pairs MULTISET DEMO is quadratic in block
+    // size by construction (it exists to pin the reference's F3/Q5
+    // Seq.intersect semantics at pair scale); the branch-effective
+    // pair mass is the member mass over dup² (the collapse valve's
+    // rep-level join — the lshNearDupPairs nEff discipline), and past
+    // the budget the production near-dup tiers (q_minhash_neardup,
+    // q_similarity_join_p2) are the scale path, not this enumeration.
+    // 1e8 ≈ 6 min of measured multiset-intersect throughput (3e5
+    // pairs/s at sf0.1) — comfortably past every driver SF (sf0.1 ≈
+    // 1.25e6) and every twin decade (sf3 collapses to rep-level
+    // 1.25e6), failing fast only where the enumeration itself is the
+    // mistake (sfp30 ≈ 1.1e9).
+    val blockMass = d0.groupBy($"source").agg(count(lit(1)).as("n"))
+      .agg(coalesce(
+        sum($"n".cast("double") * ($"n" - 1).cast("double")), lit(0.0)))
+      .head.getDouble(0) / 2.0
+    val effMass = blockMass / (dupFactor * dupFactor)
+    require(effMass <= maxPairEstimate,
+      f"multisetPairs: ~$effMass%.2g effective blocked pairs (member " +
+        f"mass ${blockMass.toLong}%d over dup² = $dupFactor%.1f²) " +
+        f"exceeds the $maxPairEstimate%d budget — the all-pairs " +
+        "multiset demo is quadratic in block size by construction; at " +
+        "this scale use the banded near-dup tiers (q_minhash_neardup, " +
+        "q_similarity_join_p2) instead")
     val pairs =
       if (dupFactor < graft.operators.DupProbe.CollapseDupFactor) pairsOf(d0)
     else {

@@ -285,6 +285,18 @@ class ExtendedSpec extends SparkSpec {
     }
   }
 
+  test("multisetPairs pair-volume gate fails FAST past the budget, " +
+    "naming the banded tiers as the remedy (r15, caught by the sfp30 " +
+    "full-suite pass)") {
+    val ex = intercept[IllegalArgumentException] {
+      Extended.multisetPairs(spark, sf("sf0.001"), maxPairEstimate = 10L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("q_minhash_neardup"), ex.getMessage)
+    // and the real budget passes at every driver SF
+    assert(Extended.multisetPairs(spark, sf("sf0.001")).count() > 0)
+  }
+
   test("similarityJoinP2 agrees with exact ngram jaccard at the threshold") {
     val spark2 = spark
     import spark2.implicits._
