@@ -23,7 +23,8 @@ object SparkEntry {
   /** Harness run order: oracle-checked relational core first, heavy
     * library operators last — so a wall-clock-capped Verify/Bench pass in
     * the driver environment (measured 5-20× slower than local) degrades by
-    * trimming the rows-only tail, never the oracle-checked core. Anything
+    * trimming the heavy tail (since r15 itself oracle-checked — the
+    * LR e2e pair closes the order), never the cheap core. Anything
     * in `queries` but missing here runs in the middle, alphabetically. */
   val runOrder: Seq[String] = Seq(
     // relational core — cheap, oracle-checked
