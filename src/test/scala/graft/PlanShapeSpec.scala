@@ -205,4 +205,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Filter (shiftrightunsigned(xxhash64"),
       plan.take(2000))
   }
+
+  test("QualityFilter.featurize: documents scan reads only " +
+    "doc_id/n_chars/text — the map-only inference contract (r15: this " +
+    "is now the oracle-replayed feature path, so a fat column sneaking " +
+    "into the scan costs the 100 TB scoring pass, not just this test)") {
+    val df = graft.ml.QualityFilter.featurize(spark, sf("sf0.001"))
+    val read = scanOf(df, "documents").requiredSchema.fieldNames.toSet
+    assert(read === Set("doc_id", "n_chars", "text"), s"read=$read")
+    // ONE projection chain over the scan — featurize must not shuffle
+    val prepared = org.apache.spark.sql.execution.exchange
+      .EnsureRequirements().apply(df.queryExecution.sparkPlan)
+    val exchanges = prepared.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    assert(exchanges === 0, s"featurize must be map-only, got $exchanges")
+  }
 }
