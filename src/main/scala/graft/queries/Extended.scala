@@ -676,7 +676,7 @@ object Extended {
       graft.operators.DupProbe.dupFactor(d0, $"source", $"t")
     // LOUD pair-volume gate (r15 — caught by the first all-queries
     // sfp30 pass, where the disengaged valve left the full blocked
-    // join: 10 blocks × C(15k, 2) ≈ 1.1e9 pairs × a ~100-token
+    // join: 20 blocks × C(7.5k, 2) ≈ 5.6e8 pairs × a ~100-token
     // multiset intersect each = a 180 s bench timeout, the one
     // unplanned failure of that run). Same posture as linkpredE2e's
     // gate: the blocked all-pairs MULTISET DEMO is quadratic in block
@@ -686,11 +686,12 @@ object Extended {
     // rep-level join — the lshNearDupPairs nEff discipline), and past
     // the budget the production near-dup tiers (q_minhash_neardup,
     // q_similarity_join_p2) are the scale path, not this enumeration.
-    // 1e8 ≈ 6 min of measured multiset-intersect throughput (3e5
-    // pairs/s at sf0.1) — comfortably past every driver SF (sf0.1 ≈
-    // 1.25e6) and every twin decade (sf3 collapses to rep-level
-    // 1.25e6), failing fast only where the enumeration itself is the
-    // mistake (sfp30 ≈ 1.1e9).
+    // 1e8 ≈ 85 s of measured multiset-intersect throughput (6.2e7
+    // pairs in 53 s at sfp10 — ~1.2e6 pairs/s) — comfortably past
+    // every driver SF (sf0.1 ≈ 6.2e5), every twin decade (sf3
+    // collapses to rep-level 6.2e5) and the measured-feasible 10×
+    // distinct point, failing fast only where the enumeration itself
+    // is the mistake (sfp30 ≈ 5.6e8).
     val blockMass = d0.groupBy($"source").agg(count(lit(1)).as("n"))
       .agg(coalesce(
         sum($"n".cast("double") * ($"n" - 1).cast("double")), lit(0.0)))
