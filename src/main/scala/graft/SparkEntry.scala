@@ -2606,7 +2606,10 @@ object SparkEntry {
         |      ORDER BY o_orderkey DESC) AS rn
         |  FROM orders WHERE o_orderkey % 7 = 0
         |), upd_i AS (
-        |  SELECT o_custkey + 1000000 AS custkey, o_orderstatus AS segment,
+        |  -- insert-arm offset derived from the key domain (r15): the
+        |  -- same max(c_custkey)+1 scalar the Spark side embeds
+        |  SELECT o_custkey + (SELECT max(c_custkey) + 1 FROM customer)
+        |    AS custkey, o_orderstatus AS segment,
         |    o_totalprice AS bal,
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_orderkey DESC) AS rn
@@ -2704,7 +2707,8 @@ object SparkEntry {
         |  SELECT 'legacy' AS seg, c_acctbal AS bal, c_custkey AS custkey
         |  FROM customer
         |  UNION ALL
-        |  SELECT o_orderpriority, o_totalprice, o_custkey + 1000000
+        |  SELECT o_orderpriority, o_totalprice,
+        |    o_custkey + (SELECT max(c_custkey) + 1 FROM customer)
         |  FROM orders WHERE o_orderkey % 3 = 1
         |)
         |GROUP BY seg

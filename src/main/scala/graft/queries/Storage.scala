@@ -373,11 +373,19 @@ object Storage {
           Window.partitionBy($"o_custkey").orderBy($"o_orderkey".desc)))
         .filter($"__rn" === 1).drop("__rn")
     val o = Tables.orders(s, dir)
+    // Insert-arm key offset DERIVED from the key domain (r15 — the
+    // fixed +1e6 collided with real custkeys once the corpus passed a
+    // million customers: the sfp100 storage decade failed the MERGE's
+    // duplicate-key guard with 2.0M update rows / 1.8M distinct keys.
+    // max+1 keeps the arms disjoint at ANY scale; the oracle computes
+    // the same scalar from the same table).
+    val insertOffset = Tables.customer(s, dir)
+      .agg(max($"c_custkey")).head.getLong(0) + 1L
     val updates = latestPer(o.filter($"o_orderkey" % 7 === 0))
       .select($"o_custkey".as("custkey"), $"o_orderpriority".as("segment"),
         $"o_totalprice".as("bal"))
       .unionByName(latestPer(o.filter($"o_orderkey" % 11 === 3))
-        .select(($"o_custkey" + 1000000L).as("custkey"),
+        .select(($"o_custkey" + lit(insertOffset)).as("custkey"),
           $"o_orderstatus".as("segment"), $"o_totalprice".as("bal")))
 
     graft.sources.Upsert.upsertSnapshot(s, baseDir, updates,
@@ -431,9 +439,13 @@ object Storage {
     Tables.customer(s, dir)
       .select($"c_custkey".as("custkey"), $"c_acctbal".as("bal"))
       .write.parquet(table)
+    // same derived offset as mergeState (r15): evolved rows must not
+    // collide with legacy custkeys at any corpus scale
+    val insertOffset = Tables.customer(s, dir)
+      .agg(max($"c_custkey")).head.getLong(0) + 1L
     Tables.orders(s, dir)
       .filter($"o_orderkey" % 3 === 1)
-      .select(($"o_custkey" + 1000000L).as("custkey"),
+      .select(($"o_custkey" + lit(insertOffset)).as("custkey"),
         $"o_totalprice".as("bal"), $"o_orderpriority".as("seg"))
       .write.mode("append").parquet(table)
     graft.sources.Maintenance.readEvolved(s, table)
@@ -530,8 +542,18 @@ object Storage {
         f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
     val before = dataFiles(frag)
     require(before == 64, s"fragmented write produced $before files")
+    // Scale-correct target (r15 — caught at the 100× distinct decade):
+    // a FIXED 16 MB target makes `after < before/2` corpus-dependent —
+    // at 60M rows the 64 fragments are already ~8-13 MB each, the
+    // size-derived correct output is ~40 files, and the guard read
+    // honest compaction as "not compacting". Aim for ~16 output files
+    // at any corpus size, floored at 16 MB so small corpora still
+    // exercise real multi-file merges; the require is now a
+    // scale-invariant property of the operator, not of the corpus.
+    val fragBytes = new java.io.File(frag).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
     graft.sources.Maintenance.compact(s, frag, dest,
-      targetFileBytes = 16L * 1024 * 1024)
+      targetFileBytes = math.max(16L * 1024 * 1024, fragBytes / 16))
     val after = dataFiles(dest)
     require(after < before / 2,
       s"compaction left $after of $before files — not compacting")
