@@ -83,7 +83,8 @@ object SparkEntry {
     "q_multiset_pairs",
     "q_cosine_topk", "q_cosine_neardup", "q_lsh_neardup", "q_lsh_recall",
     "q_simhash_neardup", "q_simhash_recall",
-    "q_minhash_neardup", "q_neardup_recall", "q_lsh_topk", "q_ivf_topk",
+    "q_minhash_neardup", "q_neardup_recall", "q_retrieval_eval",
+    "q_lsh_topk", "q_ivf_topk",
     "q_ivf_recall", "q_pq_topk", "q_pq_recall",
     "q_ivfpq_topk", "q_ivfpq_recall",
     "q_similarity_join_p2", "q_quality_classifier",
@@ -298,6 +299,7 @@ object SparkEntry {
     "q_similarity_join_p2" -> (Extended.similarityJoinP2(_, _)),
     "q_minhash_neardup"   -> (Extended.minhashNearDup(_, _)),
     "q_neardup_recall"    -> (Extended.neardupRecall(_, _)),
+    "q_retrieval_eval"    -> (Extended.retrievalEval(_, _)),
     "q_simhash_neardup"   -> (Extended.simhashNearDup(_, _)),
     "q_simhash_recall"    -> (Extended.simhashRecall(_, _)),
     "q_lsh_topk"          -> (Extended.lshTopK(_, _)),
@@ -1316,6 +1318,11 @@ object SparkEntry {
 
     "q_minhash_neardup" -> XxhReplaySql.minhashNearDupSql,
     "q_simhash_neardup" -> XxhReplaySql.simhashNearDupSql,
+    // tier-quality evaluation as a query (r16): recall@10/MRR/nDCG@10 of
+    // the minhash candidate tier vs exact-jaccard gold — the candidate
+    // replay is minhashCandJacCtes verbatim, the metric floats are pure
+    // functions of integer rank flags and shared literals
+    "q_retrieval_eval" -> XxhReplaySql.retrievalEvalSql,
 
     // …and the splitmix64-seeded sketches (r14): Count-Min counters are
     // exact sums and bottom-k is a rank over a seeded hash of the value

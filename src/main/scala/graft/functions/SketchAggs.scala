@@ -588,11 +588,15 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
     * invisible), but any surviving duplicate is exactly the one that
     * could reach the output, so the loud path covers the cases that
     * matter. Same-value re-arrival (task retry, idempotent merge) stays
-    * legal. */
+    * legal — compared via doubleToLongBits so a same-NaN re-arrival is
+    * same-value (IEEE != would call every NaN a violation). */
+  private def sameBits(a: Double, b: Double): Boolean =
+    java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+
   private def insert(buf: Buf, kv: Long, value: Double): Unit = {
     val h = SketchAggs.mix(kv ^ SketchAggs.mix(seed))
     val prior = buf.put((h, kv), value)
-    if (prior.exists(_ != value))
+    if (prior.exists(!sameBits(_, value)))
       throw new IllegalStateException(
         s"bottom_k_pairs: key $kv re-arrived with value $value != " +
           s"${prior.get} — the key column must uniquely identify the row")
@@ -610,7 +614,7 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
   override def merge(a: Buf, b: Buf): Buf = {
     b.foreach { case ((h, kv), v) =>
       val prior = a.put((h, kv), v)
-      if (prior.exists(_ != v))
+      if (prior.exists(!sameBits(_, v)))
         throw new IllegalStateException(
           s"bottom_k_pairs: key $kv present on both merge sides with " +
             s"differing values ($v vs ${prior.get}) — the key column " +

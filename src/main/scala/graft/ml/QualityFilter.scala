@@ -75,6 +75,15 @@ object QualityFilter {
   private val models = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), LogisticRegressionModel]
 
+  /** Drop this session's memoized fits — the same stale-on-rewrite
+    * contract as Extended/TextAnalysis/Embeddings/GraphQueries
+    * .invalidateCache (ADVICE r15): after a dir rewrite the classifier
+    * must refit rather than silently score with coefficients trained
+    * on the old corpus; dropping by session also releases keys of
+    * stopped sessions instead of retaining them for the JVM lifetime. */
+  def invalidateCache(s: SparkSession): Unit =
+    models.keys.filter(_._1 eq s).foreach(models.remove)
+
   def modelFor(s: SparkSession, dir: String,
       maxIter: Int = 20): LogisticRegressionModel =
     models.getOrElseUpdate((s, dir, maxIter), {

@@ -408,8 +408,11 @@ object Ann {
     // 48 g after 709 s). The estimate is analytic — a row count, no
     // signature pass — and fails FAST with the remedy named, instead of
     // crashing the cluster minutes in. Every driver SF is ≤ 8e6; the
-    // measured-feasible 10× decade point (8e8) passes.
-    val nEff = (corpus.count() / math.max(dupFactor, 1.0)).toLong
+    // measured-feasible 10× decade point (8e8) passes. The row count
+    // rides the dup probe's own aggregate (DupProbe.stats) — no second
+    // scan.
+    val nEff = (DupProbe.stats(corpus, $"vec")._1 /
+      math.max(dupFactor, 1.0)).toLong
     // AUTO WIDTH (r15, VERDICT r14 #4): with nBits unspecified, apply
     // the occupancy law at production thresholds — the 30× distinct
     // corpus that needed a caller knob in r14 now passes ungated with
@@ -554,8 +557,30 @@ object Ann {
     * with the query in any table; deduped, then exact cosine re-rank.
     * Recall < 1 by construction; raise nTables / lower nBits to trade
     * cost for recall. `dim` is read from the first corpus row. */
+  /** Expected fraction of the (distinct) corpus that shares at least one
+    * (table, bucket) with a query under uniform bucket occupancy —
+    * 1 − (1 − 2^−nBits)^nTables. With (nBits, nTables) FIXED this is a
+    * scale-invariant CONSTANT (≈ 0.22 at q_lsh_topk's 6 bits × 16
+    * tables), which is exactly the fixed-parameter tier's scale defect:
+    * the exact re-rank probes the same corpus fraction per query at
+    * every corpus size — near-brute-force at 100 TB. */
+  def lshTopKCoverage(nTables: Int, nBits: Int): Double =
+    1.0 - math.pow(1.0 - 1.0 / (1L << nBits).toDouble, nTables.toDouble)
+
+  /** Budget on nQueries × nEff × coverage — the expected exact re-rank
+    * candidate mass of one lshTopK call. Calibration: the largest
+    * measured point (sfp100, 600k distinct vectors × 10 queries × 0.22
+    * coverage ≈ 1.3e6, 60.9 s warm — SCALE_r15 §7) passes with ~150×
+    * headroom, while a 100-TB-class corpus (~1e9 vectors) fails for even
+    * ONE query (0.22 × 1e9 = 2.2e8) — precisely the scale where probing
+    * a fifth of the corpus per query is the wrong plan and the fitted
+    * quantization tiers (3.7–4.2× warm for 100× vectors vs this tier's
+    * 36×) are the right one. */
+  val MaxLshTopKRerankEstimate: Long = 200000000L
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nTables: Int = 8, nBits: Int = 12, seed: Int = 42): DataFrame = {
+      nTables: Int = 8, nBits: Int = 12, seed: Int = 42,
+      maxRerankEstimate: Long = MaxLshTopKRerankEstimate): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dims = corpus.select(size($"vec")).take(1)
@@ -570,7 +595,35 @@ object Ann {
     // with the duplication factor; twins share every signature, so the
     // whole pipeline can run once per distinct vector. Same memoized
     // probe as lshNearDupPairs (identical corpus frame → one scan).
-    if (DupProbe.shouldCollapse(corpus, $"vec"))
+    val (n, dupFactor) = DupProbe.stats(corpus, $"vec")
+    val nEff = (n / math.max(dupFactor, 1.0)).toLong
+    // RERANK-MASS GATE (r16, the q_lsh_topk scale-posture decision —
+    // VERDICT r15 #1). Analytic: the dup probe's cached (count, dup)
+    // pair plus one count on the (small) query frame — no signature
+    // pass, no shuffle scheduled before the require. The width law is
+    // deliberately NOT offered as the remedy: a top-k query's best
+    // neighbors can sit at ANY cosine (this corpus: ~0.4, per-
+    // hyperplane collision p ≈ 0.63), so corpus-width signatures
+    // collapse recall (p⁹ ≈ 0.016/table at nBitsForCorpus widths —
+    // SCALE_r15 §7) where the near-dup tier's threshold ≥ 0.9 keeps it
+    // safe. Past the budget the fitted quantization tiers are the
+    // scale path by measurement, not assertion.
+    val nQ = queries.count()
+    val coverage = lshTopKCoverage(nTables, nBits)
+    val estRerank = nQ.toDouble * nEff.toDouble * coverage
+    require(estRerank <= maxRerankEstimate,
+      f"lshTopK: ~$estRerank%.2g expected exact re-rank candidates " +
+        f"($nQ%d queries × coverage $coverage%.2f of $nEff%d distinct " +
+        f"vectors at $nTables tables × $nBits bits) exceeds the " +
+        f"$maxRerankEstimate%d budget. Fixed (nBits, nTables) probes a " +
+        "scale-invariant corpus fraction per query — near-brute-force " +
+        "at this size — and widening nBits is NOT recall-safe for " +
+        "top-k (best neighbors sit at arbitrary cosine; see " +
+        "lshTopKCoverage scaladoc). Use the fitted quantization tiers " +
+        "instead: Ann.ivfTopK / pqTopK / ivfPqTopK " +
+        "(q_ivf_topk / q_pq_topk / q_ivfpq_topk — 3.7-4.2x warm for " +
+        "100x vectors, recall arms in SCALE_r15 §5).")
+    if (dupFactor >= DupProbe.CollapseDupFactor)
       lshTopKCollapsed(corpus, queries, k, nTables, nBits, seed, dim)
     else
       lshTopKDirect(corpus, queries, k, nTables, nBits, seed, dim)

@@ -47,21 +47,28 @@ object DupProbe {
     * factor — its work is a function of distinct vectors only). */
   val CollapseDupFactor = 1.4
 
-  private val cache = TrieMap.empty[(SparkSession, Int), Double]
+  private val cache = TrieMap.empty[(SparkSession, Int), (Long, Double)]
 
-  /** Exact-duplication factor of `frame` under the content key `key`:
-    * total rows ÷ approx_count_distinct(xxhash64(key…), 2%). One linear
-    * map-side-combinable pass on first use; memoized per (session,
-    * probe-plan semantic hash) afterwards. */
-  def dupFactor(frame: DataFrame, key: Column*): Double = {
+  /** Row count AND exact-duplication factor of `frame` under the content
+    * key `key` — total rows, and rows ÷ approx_count_distinct(
+    * xxhash64(key…), 2%). ONE linear map-side-combinable pass on first
+    * use (the count rides the same aggregate the dup probe already ran,
+    * so analytic gates that need both pay no second scan); memoized per
+    * (session, probe-plan semantic hash) afterwards. */
+  def stats(frame: DataFrame, key: Column*): (Long, Double) = {
     val keyed = frame.select(xxhash64(key: _*).as("k"))
     cache.getOrElseUpdate((frame.sparkSession, keyed.semanticHash()), {
       val r = keyed
         .agg(count(lit(1)).as("n"), approx_count_distinct(col("k"), 0.02).as("u"))
         .head()
-      r.getLong(0).toDouble / math.max(1L, r.getLong(1)).toDouble
+      val n = r.getLong(0)
+      (n, n.toDouble / math.max(1L, r.getLong(1)).toDouble)
     })
   }
+
+  /** Exact-duplication factor alone (see `stats`). */
+  def dupFactor(frame: DataFrame, key: Column*): Double =
+    stats(frame, key: _*)._2
 
   /** True when the valve should take the collapsed branch. */
   def shouldCollapse(frame: DataFrame, key: Column*): Boolean =

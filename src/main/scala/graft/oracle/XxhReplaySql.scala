@@ -271,6 +271,75 @@ object XxhReplaySql {
        |WHERE jaccard >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q_retrieval_eval replay — per query doc (doc_id < 20): recall@10,
+    * MRR, nDCG@10 of the minhash candidate tier (mj at threshold 0,
+    * reranked by exact jaccard) against the top-10 exact-jaccard gold.
+    * Float discipline (the LrReplaySql literal device): the ten
+    * 1/log₂(rank+1) discounts and their cumulative sums are embedded as
+    * the SAME shortest-repr doubles Extended.NdcgDiscounts holds, DCG is
+    * a left-assoc literal chain over integer 0/1 per-rank flags, MRR one
+    * division by an integer rank — no float aggregate whose order an
+    * engine could choose. */
+  lazy val retrievalEvalSql: String = {
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val disc = graft.queries.Extended.NdcgDiscounts
+    val cum = graft.queries.Extended.NdcgIdcgCum
+    val rCols = (1 to 10).map(i =>
+      s"MAX(CASE WHEN rnk = $i THEN rel ELSE 0 END) AS r$i").mkString(", ")
+    val dcg = (1 to 10).map(i =>
+      s"(CAST(COALESCE(s.r$i, 0) AS DOUBLE) * ${dlit(disc(i - 1))})")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val idcg = (1 to 10).map(i =>
+      s"WHEN $i THEN ${dlit(cum(i - 1))}").mkString(" ")
+    s"""WITH $minhashCandJacCtes,
+       |gold_all AS (
+       |  SELECT qa.doc_id AS q_id, sb.doc_id AS id,
+       |    CAST(len(list_intersect(qa.sh_set, sb.sh_set)) AS DOUBLE) /
+       |    CAST(len(qa.sh_set) + len(sb.sh_set)
+       |         - len(list_intersect(qa.sh_set, sb.sh_set)) AS DOUBLE)
+       |      AS jaccard
+       |  FROM shd qa JOIN shd sb ON sb.doc_id <> qa.doc_id
+       |  WHERE qa.doc_id < 20
+       |), gold10 AS (
+       |  SELECT q_id, id FROM (
+       |    SELECT q_id, id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY jaccard DESC, id ASC) AS grank
+       |    FROM gold_all WHERE jaccard > 0e0) WHERE grank <= 10
+       |), gold_agg AS (
+       |  SELECT q_id, COUNT(*) AS n_gold FROM gold10 GROUP BY q_id
+       |), sys_pairs AS (
+       |  SELECT a_id AS q_id, b_id AS id, jaccard FROM mj WHERE a_id < 20
+       |  UNION ALL
+       |  SELECT b_id AS q_id, a_id AS id, jaccard FROM mj WHERE b_id < 20
+       |), sys10 AS (
+       |  SELECT q_id, id, rnk FROM (
+       |    SELECT q_id, id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY jaccard DESC, id ASC) AS rnk
+       |    FROM sys_pairs) WHERE rnk <= 10
+       |), sys_rel AS (
+       |  SELECT s.q_id, s.rnk,
+       |    CASE WHEN g.id IS NULL THEN 0 ELSE 1 END AS rel
+       |  FROM sys10 s LEFT JOIN gold10 g ON g.q_id = s.q_id AND g.id = s.id
+       |), sys_agg AS (
+       |  SELECT q_id, $rCols,
+       |    CAST(SUM(rel) AS BIGINT) AS n_hits,
+       |    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+       |  FROM sys_rel GROUP BY q_id
+       |)
+       |SELECT g.q_id, g.n_gold,
+       |  COALESCE(s.n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(s.n_hits, 0) AS DOUBLE) / CAST(g.n_gold AS DOUBLE)
+       |    AS recall_at_10,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / CAST(s.first_rel AS DOUBLE), 0e0)
+       |    AS mrr,
+       |  ($dcg) / (CASE g.n_gold $idcg END) AS ndcg_at_10
+       |FROM gold_agg g LEFT JOIN sys_agg s USING (q_id)
+       |ORDER BY q_id""".stripMargin
+  }
+
   /** The minhash banding pipeline through exact-jaccard verification as
     * a CTE chain ending in `mj(a_id, b_id, jaccard)` — every bucket
     * candidate pair surviving the maxBucket guard, WITH its exact

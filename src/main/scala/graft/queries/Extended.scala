@@ -262,9 +262,10 @@ object Extended {
     * keep iff (hash >>> 11) < floor(2^53 · num / den). Multiply BEFORE
     * the floor division so the documented rate identity holds for any
     * num/den tier (floor(2^53/den)·num under-counts when num > 1 and
-    * den ∤ 2^53); 2^53·num needs num ≤ 1024 to stay inside a Long. */
+    * den ∤ 2^53); 2^53·num needs num ≤ 1023 to stay inside a Long
+    * (num = 1024 is exactly 2^63 — Long.MinValue, a silent sign flip). */
   def stratThreshold(num: Int, den: Int): Long = {
-    require(num >= 1 && num <= 1024 && den >= 1, s"rate $num/$den")
+    require(num >= 1 && num <= 1023 && den >= 1, s"rate $num/$den")
     ((1L << 53) * num) / den
   }
 
@@ -696,10 +697,22 @@ object Extended {
       .agg(coalesce(
         sum($"n".cast("double") * ($"n" - 1).cast("double")), lit(0.0)))
       .head.getDouble(0) / 2.0
-    val effMass = blockMass / (dupFactor * dupFactor)
+    // The dup² discount models the collapse valve's rep-level join, so
+    // it applies ONLY on the branch that takes the valve; the direct
+    // branch (dupFactor < CollapseDupFactor) enumerates the FULL
+    // blocked mass, and discounting there would under-estimate by up
+    // to CollapseDupFactor² ≈ 2×, admitting ~2e8 real pairs against a
+    // budget calibrated to 1e8 (r16, ADVICE).
+    val valveEngaged =
+      dupFactor >= graft.operators.DupProbe.CollapseDupFactor
+    val effMass =
+      if (valveEngaged) blockMass / (dupFactor * dupFactor) else blockMass
     require(effMass <= maxPairEstimate,
       f"multisetPairs: ~$effMass%.2g effective blocked pairs (member " +
-        f"mass ${blockMass.toLong}%d over dup² = $dupFactor%.1f²) " +
+        f"mass ${blockMass.toLong}%d" +
+        (if (valveEngaged) f" over dup² = $dupFactor%.1f²" else
+          f"; dup = $dupFactor%.1f below the collapse valve, direct " +
+            "enumeration") + ") " +
         f"exceeds the $maxPairEstimate%d budget — the all-pairs " +
         "multiset demo is quadratic in block size by construction; at " +
         "this scale use the banded near-dup tiers (q_minhash_neardup, " +
@@ -861,6 +874,99 @@ object Extended {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** The ten rank-discount constants 1/log₂(rank+1), rank 1..10, and
+    * their left-assoc cumulative sums (ideal DCG at n_gold = 1..10) —
+    * shared verbatim with the DuckDB replay (XxhReplaySql embeds the
+    * SAME doubles as literals), so nDCG parity needs no cross-engine
+    * libm agreement: both sides add identical literals in identical
+    * left-assoc order. */
+  val NdcgDiscounts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  val NdcgIdcgCum: Seq[Double] = NdcgDiscounts.scanLeft(0.0)(_ + _).tail
+
+  /** Retrieval-quality evaluation of the MinHash candidate tier against
+    * exact-Jaccard gold — tier-quality measurement AS A QUERY (VERDICT
+    * r15 #3): per query document, recall@10 / MRR / nDCG@10 of the
+    * banding tier's candidates (reranked by exact jaccard) against the
+    * top-10 exact-jaccard neighbors.
+    *
+    * Determinism for the oracle hash: ranks break ties (jaccard DESC,
+    * id ASC) on bit-identical jaccard doubles (the q_minhash_neardup
+    * replay device); DCG is a LEFT-ASSOC literal chain over per-rank
+    * 0/1 relevance flags (r1·d1 + r2·d2 + …, the LrReplaySql dot-chain
+    * discipline) — never a float SUM whose order an engine could pick;
+    * MRR is one division by the integer first-relevant rank; IDCG is a
+    * literal lookup by n_gold. So every emitted double is a pure
+    * function of integer flags and shared literals.
+    *
+    * Scale: the system side is the banded candidate join (corpus-
+    * linear); the exact gold side is nQ × corpus with the tiny query
+    * set broadcast — the evaluation-gate posture (q_lsh_recall's): at
+    * 100 TB the query sample IS the knob, and the scan stays one
+    * map-side pass per query batch. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextOps
+    val NQ = 20L; val K = 10
+    val d0 = Tables.documents(s, dir)
+      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
+      .repartition(s.sparkContext.defaultParallelism)
+    // identical shingling to Dedup.minhashNearDup (and the shd CTE)
+    val shingled = d0.filter(size($"tokens") >= 2)
+      .select($"doc_id".as("id"),
+        array_distinct(TextOps.shingles($"tokens", 2)).as("sh"))
+    val q = shingled.filter($"id" < NQ)
+      .select($"id".as("q_id"), $"sh".as("q_sh"))
+    val inter = size(array_intersect($"q_sh", $"sh"))
+    val jac = inter.cast("double") /
+      (size($"q_sh") + size($"sh") - inter).cast("double")
+    val goldAll = shingled.join(broadcast(q), $"id" =!= $"q_id")
+      .select($"q_id", $"id", jac.as("jaccard"))
+      .filter($"jaccard" > 0.0)
+    val wg = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"id".asc)
+    val gold10 = goldAll.withColumn("grank", row_number().over(wg))
+      .filter($"grank" <= K)
+    val goldAgg = gold10.groupBy($"q_id")
+      .agg(count(lit(1)).as("n_gold"))
+      .withColumn("idcg", (2 to K).foldLeft(
+        when($"n_gold" === 1, lit(NdcgIdcgCum.head))) {
+        case (c, i) => c.when($"n_gold" === i, lit(NdcgIdcgCum(i - 1)))
+      })
+    // system side: the banding tier's candidates (threshold 0 = the
+    // candidate set itself), reranked by their exact jaccard
+    val cand = graft.operators.Dedup.minhashNearDup(d0, "doc_id", "tokens",
+      shingleN = 2, k = 32, bands = 8, threshold = 0.0)
+    val sysPairs = cand.filter($"a_id" < NQ)
+      .select($"a_id".as("q_id"), $"b_id".as("id"), $"jaccard")
+      .unionByName(cand.filter($"b_id" < NQ)
+        .select($"b_id".as("q_id"), $"a_id".as("id"), $"jaccard"))
+    val ws = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"id".asc)
+    val sys10 = sysPairs.withColumn("rank", row_number().over(ws))
+      .filter($"rank" <= K)
+    val sysRel = sys10
+      .join(gold10.select($"q_id", $"id", lit(1).as("rel")),
+        Seq("q_id", "id"), "left_outer")
+      .select($"q_id", $"rank", coalesce($"rel", lit(0)).as("rel"))
+    val sysAgg = sysRel.groupBy($"q_id").agg(
+      max(when($"rank" === 1, $"rel").otherwise(lit(0))).as("r1"),
+      (2 to K).map(i =>
+        max(when($"rank" === i, $"rel").otherwise(lit(0))).as(s"r$i")) ++
+        Seq(sum($"rel").as("n_hits"),
+          min(when($"rel" === 1, $"rank")).as("first_rel")): _*)
+    val dcg = (1 to K).map(i =>
+      coalesce(col(s"r$i"), lit(0)).cast("double") *
+        lit(NdcgDiscounts(i - 1))).reduceLeft(_ + _)
+    goldAgg.join(sysAgg, Seq("q_id"), "left_outer")
+      .select($"q_id", $"n_gold",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") /
+          $"n_gold".cast("double")).as("recall_at_10"),
+        coalesce(lit(1.0) / $"first_rel".cast("double"), lit(0.0))
+          .as("mrr"),
+        (dcg / $"idcg").as("ndcg_at_10"))
+      .orderBy($"q_id")
+  }
+
   /** SimHash Hamming-distance near-dup over documents. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -909,14 +1015,26 @@ object Extended {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** Sign-LSH bucketed approximate top-k over embeddings (the ANN scale
-    * path; recall vs the exact bruteTopK is asserted in ExtendedSpec).
-    * Parameters sized for this corpus: uniform random 64-dim embeddings
-    * put true top-k neighbors at cosine ≈ 0.4 (θ ≈ 66°, per-hyperplane
-    * collision ≈ 0.63) — 6-bit signatures over 16 tables give candidate
-    * recall ≈ 1-(1-0.63⁶)¹⁶ ≈ 0.65 while probing ~25% of the corpus.
-    * Clustered real-world embeddings sit far closer and would use more
-    * bits / fewer tables. */
+  /** Sign-LSH bucketed approximate top-k over embeddings — the
+    * EXPLORATORY ANN tier (recall vs the exact bruteTopK is asserted in
+    * ExtendedSpec). Parameters sized for this corpus: uniform random
+    * 64-dim embeddings put true top-k neighbors at cosine ≈ 0.4
+    * (θ ≈ 66°, per-hyperplane collision ≈ 0.63) — 6-bit signatures over
+    * 16 tables give candidate recall ≈ 1-(1-0.63⁶)¹⁶ ≈ 0.65 while
+    * probing ~22% of the corpus.
+    *
+    * SCALE POSTURE (r16, VERDICT r15 #1 — decided): with (nBits,
+    * nTables) fixed, the probed fraction is scale-invariant, so the
+    * exact re-rank mass is linear in corpus size PER QUERY with a
+    * brute-force-fraction constant (measured 36× warm for 100× vectors
+    * at sfp100, vs 3.7-4.2× for the fitted quantization tiers —
+    * SCALE_r15 §7), and widening nBits with the corpus is NOT
+    * recall-safe at top-k cosines (p⁹ ≈ 0.016/table at ~0.4). The tier
+    * therefore carries an analytic rerank-mass gate
+    * (Ann.MaxLshTopKRerankEstimate) that fails fast past the budget
+    * naming q_ivf_topk / q_pq_topk / q_ivfpq_topk as the scale path —
+    * gate-or-supersede, landed as gate. Pinned in AnnSpec (fires, names
+    * the tiers, schedules no shuffle first). */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir)

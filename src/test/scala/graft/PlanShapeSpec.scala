@@ -221,4 +221,35 @@ class PlanShapeSpec extends SparkSpec {
     }.size
     assert(exchanges === 0, s"featurize must be map-only, got $exchanges")
   }
+
+  test("multisetPairs pair-mass gate (r15, pinned r16): fires past " +
+    "budget naming the banded tiers, BEFORE any pair-join work is " +
+    "scheduled (VERDICT r15 #5: a refactor that moves the require " +
+    "after an eager action on the blocked join must fail here)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.queries.Extended.multisetPairs(spark, sf("sf0.001"),
+          maxPairEstimate = 0L)
+      }
+      assert(e.getMessage.contains("q_minhash_neardup"))
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      // only the analytic probes may run first: the dup probe (one
+      // agg, possibly session-memoized to zero) and the block-mass
+      // count (one agg head) — under AQE each agg is 3-4 stage-jobs,
+      // measured 8 total; the salted pair join plus the multiset
+      // expression pipeline would add well past this bound
+      assert(jobs.get() <= 10, s"jobs before the gate = ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the shipped budget admits the sf0.001 corpus untouched
+    assert(graft.queries.Extended.multisetPairs(spark, sf("sf0.001"))
+      .limit(1).count() >= 0)
+  }
 }

@@ -415,4 +415,19 @@ class SketchAggsSpec extends SparkSpec {
     assert(pairsRun(Seq((7L, 1.0), (7L, 1.0), (8L, 2.0)), k = 5, 2)
       === Seq(1.0, 2.0))
   }
+
+  test("bottomKPairs: same-NaN re-arrival is same-value, not a " +
+    "violation (ADVICE r15: IEEE != calls every NaN a mismatch, which " +
+    "would fail legal task retries), while NaN-vs-number still fails") {
+    val out = pairsRun(
+      Seq((7L, Double.NaN), (7L, Double.NaN), (8L, 2.0)), k = 5, 2)
+    assert(out.length === 2)
+    assert(out.exists(_.isNaN) && out.contains(2.0))
+    val ex = intercept[org.apache.spark.SparkException] {
+      pairsRun(Seq((7L, Double.NaN), (7L, 1.0)) ++
+        (100L to 110L).map(i => (i, 0.0)), k = 50, 1)
+    }
+    assert(ex.getMessage.contains("uniquely identify") ||
+      Option(ex.getCause).exists(_.getMessage.contains("uniquely identify")))
+  }
 }

@@ -518,4 +518,42 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & shortlist).size.toDouble / exact.size
     assert(recall >= 0.4, s"probed shortlist recall=$recall")
   }
+
+  test("lshTopK rerank-mass gate (r16): fires past budget naming the " +
+      "quantization tiers as the scale path, runs only the analytic " +
+      "probe jobs first, and stays silent at the shipped budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    val distinct = (0L until 300L)
+      .map(i => (i, Array(i.toFloat, 1f, 0.5f, 0f))).toDF("id", "vec")
+    val q = distinct.filter($"id" < 5L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 5 queries × ~0.23 coverage × ~300 distinct ≈ 340 ≫ a 10 budget
+      val e = intercept[IllegalArgumentException] {
+        Ann.lshTopK(distinct, q, k = 3, nTables = 4, nBits = 4,
+          maxRerankEstimate = 10L)
+      }
+      // the remedy names the fitted tiers, NOT the width law (top-k
+      // recall collapses at corpus-width signatures — SCALE_r15 §7)
+      assert(e.getMessage.contains("ivfTopK"))
+      assert(e.getMessage.contains("q_ivf_topk"))
+      assert(!e.getMessage.contains("nBitsForCorpus"))
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+      // analytic gate: dim take(1) + dup probe + query count — a
+      // refactor that moves the require after an eager action on the
+      // bucket join (signatures + shuffle + exchange) blows this bound
+      assert(jobs.get() <= 5, s"jobs before the gate = ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // …and passes untouched at the shipped default budget
+    assert(Ann.lshTopK(distinct, q, k = 3, nTables = 4, nBits = 4)
+      .count() > 0)
+  }
 }

@@ -173,6 +173,16 @@ class ExtendedSpec extends SparkSpec {
       "key-hash draw must be invariant to partitioning")
   }
 
+  test("stratThreshold num boundary (ADVICE r15): 1023 stays a positive " +
+    "threshold; 1024 is rejected (2^53·1024 = 2^63 would overflow Long " +
+    "to a negative threshold that silently keeps zero rows)") {
+    assert(Extended.stratThreshold(1023, 1024) > 0L)
+    assert(Extended.stratThreshold(1023, 1) === ((1L << 53) * 1023))
+    intercept[IllegalArgumentException] {
+      Extended.stratThreshold(1024, 1024)
+    }
+  }
+
   test("hashSplit matches a driver-side md5 recompute; splits non-vacuous") {
     val spark2 = spark
     import spark2.implicits._
@@ -348,5 +358,32 @@ class ExtendedSpec extends SparkSpec {
     assert(m.getOrElse((0L, 0L), 0L) >= 10, s"confusion=$m")
     assert(m.getOrElse((1L, 1L), 0L) * 4 >= pos * 3, s"confusion=$m")
     assert(correct * 100 >= total * 95, s"confusion=$m")
+  }
+
+  test("retrievalEval (r16): per-query metric invariants hold, and the " +
+    "shared literal tables are what the nDCG identity requires") {
+    // the discount/idcg literal contract the oracle embeds verbatim
+    assert(Extended.NdcgDiscounts.head === 1.0)
+    assert(Extended.NdcgIdcgCum.head === 1.0)
+    assert(Extended.NdcgIdcgCum === Extended.NdcgDiscounts
+      .scanLeft(0.0)(_ + _).tail)
+    val rows = Extended.retrievalEval(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nGold, nHits) = (r.getLong(1), r.getLong(2))
+      val (rec, mrr, ndcg) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nGold >= 1 && nGold <= 10, r.toString)
+      assert(nHits >= 0 && nHits <= nGold, r.toString)
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+      assert(mrr >= 0.0 && mrr <= 1.0, r.toString)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-12, r.toString)
+      // binary-gain identities: no hits ⇒ all three zero; a hit at
+      // rank 1 ⇒ mrr = 1
+      if (nHits == 0) assert(rec == 0.0 && mrr == 0.0 && ndcg == 0.0)
+      if (mrr == 1.0) assert(nHits >= 1)
+    }
+    // the tier must actually retrieve on this corpus (non-vacuous eval)
+    assert(rows.exists(_.getLong(2) > 0), "no query retrieved any gold")
   }
 }
