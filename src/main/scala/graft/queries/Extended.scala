@@ -900,10 +900,13 @@ object Extended {
     * function of integer flags and shared literals.
     *
     * Scale: the system side is the banded candidate join (corpus-
-    * linear); the exact gold side is nQ × corpus with the tiny query
-    * set broadcast — the evaluation-gate posture (q_lsh_recall's): at
-    * 100 TB the query sample IS the knob, and the scan stays one
-    * map-side pass per query batch. */
+    * linear); the exact gold side is NOT a query×corpus scan — a pair
+    * has jaccard > 0 iff it shares ≥ 1 shingle, so gold candidates come
+    * from an inverted-index EQUI-join on shingle (query shingles
+    * broadcast, corpus shingles streamed), then one exact jaccard per
+    * surviving pair. The repo's no-nested-loop plan guard (QueriesSpec)
+    * holds on this query like every other; at 100 TB the query sample
+    * is the knob and the posting join is corpus-linear. */
   def retrievalEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextOps
@@ -920,7 +923,17 @@ object Extended {
     val inter = size(array_intersect($"q_sh", $"sh"))
     val jac = inter.cast("double") /
       (size($"q_sh") + size($"sh") - inter).cast("double")
-    val goldAll = shingled.join(broadcast(q), $"id" =!= $"q_id")
+    // gold candidates: docs sharing ≥ 1 shingle with the query (the
+    // inverted-index form — jaccard > 0 ⟺ a common shingle exists)
+    val goldCand = shingled
+      .select($"id", explode($"sh").as("shingle"))
+      .join(broadcast(q.select($"q_id", explode($"q_sh").as("shingle"))),
+        "shingle")
+      .filter($"id" =!= $"q_id")
+      .select($"q_id", $"id").distinct()
+    val goldAll = goldCand
+      .join(shingled, "id")
+      .join(broadcast(q), "q_id")
       .select($"q_id", $"id", jac.as("jaccard"))
       .filter($"jaccard" > 0.0)
     val wg = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"id".asc)
