@@ -124,8 +124,19 @@ object Embeddings {
   private def cosineNearDupPairsOn(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import s.implicits._
-    val raw = Tables.embeddings(s, dir)
-      .select($"vec_id", $"label", $"embedding")
+    cosineNearDupPairsFrom(s,
+      Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding"),
+      threshold)
+  }
+
+  /** The same exact pair plan over an arbitrary (vec_id, label,
+    * embedding) frame — split out (r16) so the sampled-gate production
+    * posture can build the exact side from a SAMPLED corpus directly
+    * (the lshRecall scaladoc's "at scale" form) instead of filtering
+    * the full pair frame; TuneSampledRecall measures it. */
+  private[graft] def cosineNearDupPairsFrom(s: SparkSession,
+      raw: DataFrame, threshold: Double): DataFrame = {
+    import s.implicits._
     // probe memoized per session (operators.DupProbe, r12)
     val dupFactor =
       graft.operators.DupProbe.dupFactor(raw, $"label", $"embedding")

@@ -48,6 +48,19 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(edgesDf(square)).collect().head.getLong(0) === 0L)
   }
 
+  test("triangleCount: degree-ordered orientation (r16) is exact on a " +
+    "mid-id hub — the case id-ordering fans out on — incl. degree ties") {
+    // hub 50 (degree 12, the graph max) with leaves on both id sides,
+    // two triangles through the hub, one triangle away from it
+    val hubEdges = (1L to 6L).map(i => (i, 50L)) ++
+      (90L to 95L).map(j => (50L, j)) ++
+      Seq((1L, 2L), (90L, 91L),      // close hub triangles (1,2,50), (50,90,91)
+        (70L, 71L), (70L, 72L), (71L, 72L)) // degree-2 tie triangle
+    val got = Graph.triangleCount(edgesDf(hubEdges))
+      .collect().head.getLong(0)
+    assert(got === 3L)
+  }
+
   test("connectedComponents: two components + chain worst case") {
     // components {1,2,3} (root 1) and {10,11} (root 10)
     assert(ccMap(Seq((1L, 2L), (2L, 3L), (10L, 11L))) ===
