@@ -836,14 +836,35 @@ object Extended {
     * verify join on ~0.001% of pairs and one on ~2% of all pairs. */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir)
-      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
-      .repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Dedup
-      .minhashNearDup(d, "doc_id", "tokens", shingleN = 2,
-        k = 32, bands = 8, threshold = 0.5)
+    minhashCandidates(s, dir)
+      .filter($"jaccard" >= 0.5)
       .orderBy($"a_id", $"b_id")
   }
+
+  /** Session-materialized minhash banding candidates WITH exact jaccard
+    * at threshold 0 (r16, the exactNearDupPairs discipline applied to
+    * the banding tier): the full banded pipeline at the corpus's pinned
+    * parameters (shingleN 2, k 32, bands 8) runs ONCE per (session,
+    * dir) and serves four consumers — q_minhash_neardup and
+    * q_neardup_recall filter jaccard ≥ 0.5 (bit-identical to the
+    * operator's own terminal threshold filter), q_retrieval_eval and
+    * the ANN-e2e candidate tier consume the threshold-0 frame directly.
+    * At sfp100 each consumer previously paid the ~30 s banding cold
+    * independently. Dropped by invalidateCache (stale-on-rewrite). */
+  private val minhashCandCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashCandCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.operators.Dedup
+        .minhashNearDup(d, "doc_id", "tokens", shingleN = 2,
+          k = 32, bands = 8, threshold = 0.0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Driver-visible recall gate for the MinHash banding tier: every exact
     * same-lang n-gram-Jaccard pair at 0.7 — the threshold where the
@@ -861,12 +882,8 @@ object Extended {
   def neardupRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val exact = TextAnalysis.ngramJaccardPairs(s, dir, threshold = 0.7)
-    val d = Tables.documents(s, dir)
-      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val approx = graft.operators.Dedup
-      .minhashNearDup(d, "doc_id", "tokens", shingleN = 2,
-        k = 32, bands = 8, threshold = 0.5)
+    val approx = minhashCandidates(s, dir)
+      .filter($"jaccard" >= 0.5)
       .select($"a_id", $"b_id", lit(1L).as("__hit"))
     exact.join(approx, Seq("a_id", "b_id"), "left_outer")
       .select($"a_id", $"b_id", $"lang", $"jaccard",
@@ -946,9 +963,9 @@ object Extended {
         case (c, i) => c.when($"n_gold" === i, lit(NdcgIdcgCum(i - 1)))
       })
     // system side: the banding tier's candidates (threshold 0 = the
-    // candidate set itself), reranked by their exact jaccard
-    val cand = graft.operators.Dedup.minhashNearDup(d0, "doc_id", "tokens",
-      shingleN = 2, k = 32, bands = 8, threshold = 0.0)
+    // candidate set itself), reranked by their exact jaccard — the
+    // session-materialized frame (one banding pass for four consumers)
+    val cand = minhashCandidates(s, dir)
     val sysPairs = cand.filter($"a_id" < NQ)
       .select($"a_id".as("q_id"), $"b_id".as("id"), $"jaccard")
       .unionByName(cand.filter($"b_id" < NQ)
@@ -1094,6 +1111,9 @@ object Extended {
     lpE2eModels.keys.filter(_._1 eq s).foreach(lpE2eModels.remove)
     sketchCache.keys.filter(_._1 eq s).foreach { key =>
       sketchCache.remove(key).foreach(_.unpersist(blocking = false))
+    }
+    minhashCandCache.keys.filter(_._1 eq s).foreach { key =>
+      minhashCandCache.remove(key).foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -1899,16 +1919,12 @@ object Extended {
   private def lpAnnAssembled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val tokens = docs
-      .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
-      .repartition(s.sparkContext.defaultParallelism)
     // ANN tier: banded minhash buckets, exact shingle-jaccard verify at
     // threshold 0 — every bucket candidate survives WITH its jaccard, so
     // sub-threshold candidates become hard negatives instead of being
-    // thrown away (threshold 0.5 is applied to the LABEL, not the pairs)
-    val cand = graft.operators.Dedup
-      .minhashNearDup(tokens, "doc_id", "tokens", shingleN = 2,
-        k = 32, bands = 8, threshold = 0.0)
+    // thrown away (threshold 0.5 is applied to the LABEL, not the
+    // pairs). Consumes the session-materialized candidate frame.
+    val cand = minhashCandidates(s, dir)
       .select($"a_id", $"b_id", ($"jaccard" >= 0.5).cast("int").as("label"))
     // easy negatives: 2 seeded pseudo-random partners per doc — the
     // partner id is a hash into the id domain, inner-joined back to the
