@@ -26,6 +26,17 @@ import graft.queries.Embeddings.{dot, norm}
   */
 object Ann {
 
+  /** array<float> → array<double>, DELIBERATELY as the interpreted
+    * `transform` HOF (r16 audit): a cheap native Cast here would be
+    * inlined by CollapseProject into every consumer of the projected
+    * column (the fit/search paths below reference `v` from norms,
+    * 16-way literal centroid chains and subvector slices), re-allocating
+    * the cast array per consumer; the non-cheap HOF keeps the projection
+    * as a once-per-row barrier. The hot LSH paths avoid the cast
+    * entirely instead — DotProduct and the fused SignLshBuckets kernel
+    * read array<float> natively with exact widening, so lshTopK /
+    * lshNearDupPairs / bruteTopK pass raw float vectors and never call
+    * this. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact cosine top-k of `queries` against `corpus`.
@@ -33,9 +44,9 @@ object Ann {
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select($"id", asDouble($"vec").as("v"))
+    val c = corpus.select($"id", $"vec".as("v"))
       .withColumn("nrm", norm($"v"))
-    val q = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
+    val q = queries.select($"id".as("q_id"), $"vec".as("q_v"))
       .withColumn("q_nrm", norm($"q_v"))
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"id".asc)
     c.join(broadcast(q), $"id" =!= $"q_id")
@@ -62,12 +73,23 @@ object Ann {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
-  /** Array of (table, bucket) keys for a vector — explode for the join. */
+  /** Array of (table, bucket) keys for a vector — explode for the join.
+    * Kept for reference/spec parity; the HOT paths use the fused
+    * array<long> form below, whose per-row cost is the loop nest rather
+    * than a 96-node expression forest (functions.SignLshBuckets — the
+    * forest was measured 60 s of q_lsh_topk's 62 s at sfp100). */
   def signLshBuckets(vec: Column, nTables: Int, nBits: Int, dim: Int,
       seed: Int = 42): Column =
     array((0 until nTables).map(t =>
       struct(lit(t).as("table"),
         signature(vec, t, nBits, dim, seed).as("bucket"))): _*)
+
+  /** All-table bucket ids as ONE fused codegen kernel returning
+    * array<long> (element t = table t's signature) — posexplode for the
+    * join key frame; bit-identical buckets to signLshBuckets (AnnSpec). */
+  def signLshBucketsArr(vec: Column, nTables: Int, nBits: Int, dim: Int,
+      seed: Int = 42): Column =
+    graft.functions.LshSignature.signLshBucketsArr(vec, nTables, nBits, dim, seed)
 
   /** IVF (inverted-file) approximate top-k — the second classic ANN scale
     * path next to sign-LSH (coarse quantizer → probe the nProbe nearest
@@ -458,13 +480,13 @@ object Ann {
       maxBucket: Int, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cv = corpus.select($"id", asDouble($"vec").as("v"))
+    val cv = corpus.select($"id", $"vec".as("v"))
       .withColumn("nrm", norm($"v"))
     val wBucket = Window.partitionBy($"table", $"bucket")
     val b = cv
-      .select($"id", explode(
-        signLshBuckets($"v", nTables, nBits, dim, seed)).as("bk"))
-      .select($"id", $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+      .select($"id", posexplode(
+        signLshBucketsArr($"v", nTables, nBits, dim, seed))
+        .as(Seq("table", "bucket")))
       .withColumn("n", count(lit(1)).over(wBucket))
       .filter($"n" <= maxBucket)
       .drop("n")
@@ -508,14 +530,13 @@ object Ann {
       .withColumn("csize", count(lit(1)).over(wTwin))
     val memb = keyed.select($"rep", $"id")
     val reps = keyed.filter($"id" === $"rep")
-      .select($"rep".as("id"), asDouble($"vec").as("v"), $"csize")
+      .select($"rep".as("id"), $"vec".as("v"), $"csize")
       .withColumn("nrm", norm($"v"))
     val wBucket = Window.partitionBy($"table", $"bucket")
     val b = reps
-      .select($"id", $"csize", explode(
-        signLshBuckets($"v", nTables, nBits, dim, seed)).as("bk"))
-      .select($"id", $"csize", $"bk.table".as("table"),
-        $"bk.bucket".as("bucket"))
+      .select($"id", $"csize", posexplode(
+        signLshBucketsArr($"v", nTables, nBits, dim, seed))
+        .as(Seq("table", "bucket")))
       .withColumn("n", sum($"csize").over(wBucket))
       .filter($"n" <= maxBucket)
       .drop("n")
@@ -635,8 +656,12 @@ object Ann {
       dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cv = corpus.select($"id", asDouble($"vec").as("v"))
-    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
+    // Raw float vectors throughout (r16): DotProduct reads array<float>
+    // natively with exact widening, so neither the signature chain nor
+    // the cosine pays a per-consumer cast materialization (see the
+    // asDouble scaladoc for the CollapseProject duplication this avoids).
+    val cv = corpus.select($"id", $"vec".as("v"))
+    val qv = queries.select($"id".as("q_id"), $"vec".as("q_v"))
     // Bucket frames carry ONLY (table, bucket, id): the nTables×nBits
     // signature dot products run once per input row, and the re-rank
     // vectors come from the slim pre-bucket frames — the previous
@@ -644,9 +669,9 @@ object Ann {
     // lineage (96 dot products/row at the q_lsh_topk parameters) plus an
     // extra shuffle just to recover what `cv` already was.
     def bucketsOf(df: DataFrame, idAs: String, vc: Column) = df
-      .select(col(idAs), explode(
-        signLshBuckets(vc, nTables, nBits, dim, seed)).as("bk"))
-      .select(col(idAs), $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+      .select(col(idAs), posexplode(
+        signLshBucketsArr(vc, nTables, nBits, dim, seed))
+        .as(Seq("table", "bucket")))
     val c = bucketsOf(cv, "id", $"v")
     val q = bucketsOf(qv, "q_id", $"q_v")
     // slim candidate ids first (dedup across tables), then one exact
@@ -700,12 +725,12 @@ object Ann {
     // k+1 smallest ids per class — the only members that can ever rank
     val membK = keyed.filter($"mrank" <= k + 1).select($"rep", $"id")
     val reps = keyed.filter($"id" === $"rep")
-      .select($"rep".as("id"), asDouble($"vec").as("v"))
-    val qv = queries.select($"id".as("q_id"), asDouble($"vec").as("q_v"))
+      .select($"rep".as("id"), $"vec".as("v"))
+    val qv = queries.select($"id".as("q_id"), $"vec".as("q_v"))
     def bucketsOf(df: DataFrame, idAs: String, vc: Column) = df
-      .select(col(idAs), explode(
-        signLshBuckets(vc, nTables, nBits, dim, seed)).as("bk"))
-      .select(col(idAs), $"bk.table".as("table"), $"bk.bucket".as("bucket"))
+      .select(col(idAs), posexplode(
+        signLshBucketsArr(vc, nTables, nBits, dim, seed))
+        .as(Seq("table", "bucket")))
     val c = bucketsOf(reps, "id", $"v")
     val q = bucketsOf(qv, "q_id", $"q_v")
     // candidates at CLASS granularity (no id ≠ q_id here — a class with

@@ -21,7 +21,12 @@ import graft.sources.Tables
 object Embeddings {
 
   /** elementwise cast to double. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Native codegen array cast (r16) — the previous `transform` HOF was
+    * interpreted with per-element boxing and got duplicated into every
+    * consumer of the projected column by CollapseProject (see
+    * Ann.asDouble). Identical values: elementwise float→double widening
+    * is exact. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Strict in-order left-fold dot product of two double arrays — a
     * codegen'd native expression (graft.functions.DotProduct). Same fold

@@ -1091,7 +1091,7 @@ object Extended {
       import s.implicits._
       val cv = Tables.embeddings(s, dir)
         .select($"vec_id".as("id"),
-          transform($"embedding", x => x.cast("double")).as("v"))
+          $"embedding".cast("array<double>").as("v"))
         .repartition(s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try graft.operators.Ann.ivfFit(cv, nCells = 16, lloydIters = 1,
@@ -1290,7 +1290,7 @@ object Extended {
       import s.implicits._
       val nv = Tables.embeddings(s, dir)
         .select($"vec_id".as("id"),
-          transform($"embedding", x => x.cast("double")).as("v"))
+          $"embedding".cast("array<double>").as("v"))
         .withColumn("nrm", Embeddings.norm($"v"))
         .filter($"nrm" > 0)
         .select($"id", transform($"v", x => x / $"nrm").as("vh"))
@@ -1487,7 +1487,7 @@ object Extended {
       else {
         val nv = Tables.embeddings(s, dir)
           .select($"vec_id".as("id"),
-            transform($"embedding", x => x.cast("double")).as("v"))
+            $"embedding".cast("array<double>").as("v"))
           .withColumn("nrm", Embeddings.norm($"v"))
           .filter($"nrm" > 0)
           .select($"id", transform($"v", x => x / $"nrm").as("vh"))

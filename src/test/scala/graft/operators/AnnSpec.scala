@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{explode, posexplode, typedlit}
+
 import graft.SparkSpec
 
 class AnnSpec extends SparkSpec {
@@ -517,6 +519,36 @@ class AnnSpec extends SparkSpec {
     // uniform random embeddings are the worst case for both
     val recall = (exact & shortlist).size.toDouble / exact.size
     assert(recall >= 0.4, s"probed shortlist recall=$recall")
+  }
+
+  test("fused signLshBucketsArr ≡ the per-bit signature forest, " +
+      "bucket-for-bucket, on float inputs (r16 kernel parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 200L)
+      .map(i => (i, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "vec")
+    val (nT, nB, dim) = (8, 5, 16)
+    val forest = df.select($"id", explode(
+        Ann.signLshBuckets($"vec".cast("array<double>"), nT, nB, dim)).as("bk"))
+      .select($"id", $"bk.table", $"bk.bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fused = df.select($"id", posexplode(
+        Ann.signLshBucketsArr($"vec", nT, nB, dim))
+        .as(Seq("table", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fused === forest)
+    // interpreted fallback path agrees with codegen (nullSafeEval twin)
+    val one = graft.functions.SignLshBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head._2,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), nT, nB, dim, 42)
+    val ev = one.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val exp = (0 until nT).map(t => fused((vecs.head._1, t)))
+    assert(ev.toSeq === exp)
   }
 
   test("lshTopK rerank-mass gate (r16): fires past budget naming the " +
