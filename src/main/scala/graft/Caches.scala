@@ -15,5 +15,11 @@ object Caches {
     queries.Embeddings.invalidateCache(s)
     queries.GraphQueries.invalidateCache(s)
     ml.QualityFilter.invalidateCache(s)
+    // DupProbe's memo is not just a cost router anymore (ADVICE r16):
+    // since r16 its (count, dupFactor) feeds the analytic safety gates
+    // (lshNearDupPairs' nEff, lshTopK's rerank-mass estimate), so a
+    // stale entry after an in-place dir rewrite could admit a plan the
+    // gate exists to block. It must ride the one-call hook.
+    operators.DupProbe.invalidate(s)
   }
 }

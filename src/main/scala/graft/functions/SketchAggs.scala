@@ -589,9 +589,15 @@ case class BottomKPairs(key: Expression, value: Expression, k: Int,
     * could reach the output, so the loud path covers the cases that
     * matter. Same-value re-arrival (task retry, idempotent merge) stays
     * legal — compared via doubleToLongBits so a same-NaN re-arrival is
-    * same-value (IEEE != would call every NaN a violation). */
+    * same-value (IEEE != would call every NaN a violation). ±0.0 is
+    * canonicalized before the bit compare (ADVICE r16): a task retry
+    * whose recomputed float sum legitimately flips zero sign is a
+    * same-value re-arrival, not a unique-key violation — `x + 0.0`
+    * maps -0.0 to +0.0 and leaves every other value (NaN included)
+    * bit-identical. */
   private def sameBits(a: Double, b: Double): Boolean =
-    java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+    java.lang.Double.doubleToLongBits(a + 0.0) ==
+      java.lang.Double.doubleToLongBits(b + 0.0)
 
   private def insert(buf: Buf, kv: Long, value: Double): Unit = {
     val h = SketchAggs.mix(kv ^ SketchAggs.mix(seed))

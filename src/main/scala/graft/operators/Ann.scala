@@ -599,6 +599,15 @@ object Ann {
     * 36×) are the right one. */
   val MaxLshTopKRerankEstimate: Long = 200000000L
 
+  /** EAGER-GATE CONTRACT (ADVICE r16): unlike most operators here this
+    * is NOT purely lazy — it runs the analytic gate's probe jobs at
+    * plan-construction time (the memoized dup probe on `corpus`, a
+    * memoized count on `queries` — both via DupProbe, session-scoped,
+    * so repeated calls over the same frames pay no re-probe) and can
+    * throw IllegalArgumentException from the rerank-mass gate BEFORE
+    * returning a frame. Callers embedding it in a larger lazy plan
+    * should expect jobs + a possible throw at call time, not at
+    * action time. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nTables: Int = 8, nBits: Int = 12, seed: Int = 42,
       maxRerankEstimate: Long = MaxLshTopKRerankEstimate): DataFrame = {
@@ -629,7 +638,7 @@ object Ann {
     // SCALE_r15 §7) where the near-dup tier's threshold ≥ 0.9 keeps it
     // safe. Past the budget the fitted quantization tiers are the
     // scale path by measurement, not assertion.
-    val nQ = queries.count()
+    val nQ = DupProbe.rowCount(queries)
     val coverage = lshTopKCoverage(nTables, nBits)
     val estRerank = nQ.toDouble * nEff.toDouble * coverage
     require(estRerank <= maxRerankEstimate,

@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   * query family over the same (frame, content-key) pays the scan once
   * per session.
   *
-  * Safety of memoizing (and of the Int-hash key): the dup factor only
-  * chooses BETWEEN two branches that produce bit-identical rows (the
-  * valve contract, proven per valve by TwinCollapseSpec + the unchanged
-  * quadratic oracles). A stale or even hash-colliding memo entry can
-  * therefore only mis-route COST, never change a result. The memo
+  * Safety of memoizing (and of the Int-hash key): for the VALVES, the
+  * dup factor only chooses BETWEEN two branches that produce
+  * bit-identical rows (the valve contract, proven per valve by
+  * TwinCollapseSpec + the unchanged quadratic oracles), so a stale or
+  * hash-colliding entry mis-routes COST, never a result. Since r16 the
+  * memo ALSO feeds analytic SAFETY GATES (Ann.lshNearDupPairs' nEff,
+  * Ann.lshTopK's rerank-mass estimate): a stale under-count there can
+  * silently admit a cluster-scale join the gate exists to block, so
+  * the memo now gates BEHAVIOR, not just cost. Accordingly
+  * graft.Caches.invalidate drops this memo too (ADVICE r16). The memo
   * assumes inputs are immutable for the life of the session — the same
   * assumption every session cache in this engine makes (twinClasses,
   * scoredNearDupPairs, Embeddings.exactPairs); call `invalidate` if a
@@ -70,12 +75,25 @@ object DupProbe {
   def dupFactor(frame: DataFrame, key: Column*): Double =
     stats(frame, key: _*)._2
 
+  private val countCache = TrieMap.empty[(SparkSession, Int), Long]
+
+  /** Memoized `frame.count()` keyed by (session, plan semantic hash) —
+    * for analytic gates that need a plain row count on a frame with no
+    * content key (ADVICE r16: lshTopK re-ran `queries.count()` on every
+    * call). Same immutability assumption and invalidate hook as
+    * `stats`. */
+  def rowCount(frame: DataFrame): Long =
+    countCache.getOrElseUpdate(
+      (frame.sparkSession, frame.semanticHash()), frame.count())
+
   /** True when the valve should take the collapsed branch. */
   def shouldCollapse(frame: DataFrame, key: Column*): Boolean =
     dupFactor(frame, key: _*) >= CollapseDupFactor
 
   /** Drop this session's memoized probes (a `dir` rewritten in place, or
     * session teardown in a multi-session JVM). */
-  def invalidate(s: SparkSession): Unit =
+  def invalidate(s: SparkSession): Unit = {
     cache.keys.filter(_._1 eq s).foreach(cache.remove)
+    countCache.keys.filter(_._1 eq s).foreach(countCache.remove)
+  }
 }

@@ -898,7 +898,11 @@ object Extended {
     * libm agreement: both sides add identical literals in identical
     * left-assoc order. */
   val NdcgDiscounts: Seq[Double] =
-    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    // StrictMath (ADVICE r16): math.log is only 1-ulp-accurate and may
+    // differ across JVMs/architectures; StrictMath is bit-specified
+    // (fdlibm), so a persisted q_retrieval_eval hash re-verifies
+    // identically on any platform.
+    (1 to 10).map(i => 1.0 / (StrictMath.log(i + 1.0) / StrictMath.log(2.0)))
   val NdcgIdcgCum: Seq[Double] = NdcgDiscounts.scanLeft(0.0)(_ + _).tail
 
   /** Retrieval-quality evaluation of the MinHash candidate tier against

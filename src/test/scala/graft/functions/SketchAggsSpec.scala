@@ -430,4 +430,15 @@ class SketchAggsSpec extends SparkSpec {
     assert(ex.getMessage.contains("uniquely identify") ||
       Option(ex.getCause).exists(_.getMessage.contains("uniquely identify")))
   }
+
+  test("bottomKPairs: ±0.0 re-arrival is same-value, not a violation " +
+    "(ADVICE r16: a task retry's recomputed order-dependent float sum " +
+    "can legitimately flip zero sign; canonicalize before bit compare)") {
+    val out = pairsRun(Seq((7L, 0.0), (7L, -0.0), (8L, 2.0)), k = 5, 2)
+    assert(out.length === 2)
+    assert(out.contains(0.0) && out.contains(2.0))
+    // the reverse arrival order too (-0.0 resident, +0.0 re-arrives)
+    assert(pairsRun(Seq((7L, -0.0), (7L, 0.0), (8L, 2.0)), k = 5, 2)
+      .length === 2)
+  }
 }

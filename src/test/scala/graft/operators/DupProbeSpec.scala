@@ -60,6 +60,61 @@ class DupProbeSpec extends SparkSpec {
     assert(evals.get() > afterFirst, "distinct probe plan must re-scan")
     assert(v3 > v1, "coarser key must show a higher dup factor")
   }
+
+  // NOTE: rowCount memoization cannot be proven by the counting-UDF
+  // side effect above — count() column-prunes the deterministic UDF
+  // projection to zero evaluations (the SCALE_r16 §6b "count() lies"
+  // finding, demonstrated live by this very suite's first draft). Jobs
+  // launched is the honest signal for a plain count.
+  private def jobsDuring(body: => Unit): Int = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    jobs.get()
+  }
+
+  test("rowCount memoizes per (session, plan) — ADVICE r16: lshTopK's " +
+      "gate count must not re-run a job per call") {
+    val s = spark
+    import s.implicits._
+    def frame = s.range(80).select((col("id") * 3).as("q"))
+    assert(DupProbe.rowCount(frame) === 80L) // warm the memo
+    var n = -1L
+    val jobs = jobsDuring { n = DupProbe.rowCount(frame) }
+    assert(n === 80L)
+    assert(jobs === 0, s"memoized rowCount launched $jobs jobs")
+  }
+
+  test("Caches.invalidate drops DupProbe's memos (ADVICE r16: the memo " +
+      "now feeds SAFETY GATES — lshNearDupPairs nEff, lshTopK rerank " +
+      "mass — so an in-place dir rewrite must not leave stale counts " +
+      "behind the one-call hook)") {
+    val s = spark
+    import s.implicits._
+    def frame = s.range(60).select((col("id") % 10).as("k"))
+    def qframe = s.range(40).select((col("id") * 7).as("q"))
+    DupProbe.dupFactor(frame, col("k"))
+    DupProbe.rowCount(qframe)
+    // memo warm: both re-calls are job-free
+    assert(jobsDuring {
+      DupProbe.dupFactor(frame, col("k")); DupProbe.rowCount(qframe)
+    } === 0, "memos should have been warm")
+    graft.Caches.invalidate(s)
+    val jobs = jobsDuring {
+      DupProbe.dupFactor(frame, col("k")); DupProbe.rowCount(qframe)
+    }
+    assert(jobs >= 2,
+      s"invalidate must force both probes to re-scan (jobs=$jobs)")
+  }
 }
 
 object DupProbeSpec {
