@@ -68,7 +68,7 @@ object SparkEntry {
     "q_embed_stats",
     "q_png_stats", "q_jpeg_stats", "q_jpeg_meta",
     "q_wav_stats", "q_adpcm_stats", "q_mdct_stats", "q_video_stats",
-    "q_mjpeg_stats",
+    "q_mjpeg_stats", "q_image_neardup", "q_image_neardup_jpeg",
     "q_bpe_roundtrip", "q_bpe_tokens",
     // pairwise / embeddings / library — heavier
     "q_editdist_pairs",
@@ -232,6 +232,15 @@ object SparkEntry {
     // the lossless half of the JPEG evidence: container structure parsed
     // without entropy decode, oracle-replayed from the generator formulas
     "q_jpeg_meta"         -> ((s, _) => graft.multimodal.Multimodal.jpegMeta(s)),
+    // perceptual image near-dup (r17): dHash through the real codec
+    // round trip, Hamming-banded pairs. PNG path oracle-exact (the
+    // generator's cell lumas survive the lossless round trip, so DuckDB
+    // recomputes the pair set from the formulas); JPEG twin rows-only by
+    // design — its fingerprints ride the lossy transform (the
+    // q_jpeg_stats argument), pinned instead by ImageNearDupSpec.
+    "q_image_neardup"     -> ((s, _) => graft.multimodal.Multimodal.imageNearDup(s)),
+    "q_image_neardup_jpeg" -> ((s, _) =>
+      graft.multimodal.Multimodal.imageNearDup(s, codec = "jpg")),
     // same pattern for the real WAV + Y4M kernels: seeded generated
     // clips round-trip through the codec seams, integer features
     "q_wav_stats"         -> ((s, _) => graft.multimodal.Multimodal.wavStats(s)),
@@ -2051,6 +2060,45 @@ object SparkEntry {
         |  true AS decoded
         |FROM px GROUP BY id, w, h
         |ORDER BY media_id""".stripMargin,
+
+    // q_image_neardup: the PNG round trip is lossless and each 4×4 pixel
+    // box is one constant cell luma whose box average is EXACT (grayscale
+    // luma (77+150+29)·L >> 8 = L), so the decoded 9×8 dHash grid equals
+    // Multimodal.neardupCellLuma's integer formula — DuckDB recomputes
+    // every fingerprint bit and the full exact pair set (Hamming ≤ 7)
+    // without decoding a byte. The banded plan's pigeonhole recall
+    // guarantee (8 bands ⊇ radius 7) is what makes the oracle the
+    // ALL-PAIRS join: candidates-by-band equals pairs-by-radius exactly.
+    "q_image_neardup" ->
+      """WITH g AS (
+        |  SELECT t.id, t.id % 4 AS v, r1.cy, r2.cx,
+        |    ((t.id // 4) * 31 + r1.cy * 17 + r2.cx * 13) AS s0,
+        |    ((t.id // 4) * 31 + 7 + r1.cy * 23 + r2.cx * 29) AS s3
+        |  FROM range(96) t(id), range(8) r1(cy), range(9) r2(cx)
+        |), cells AS (
+        |  SELECT id, cy, cx,
+        |    CASE v
+        |      WHEN 0 THEN (s0 * s0) % 256
+        |      WHEN 1 THEN ((s0 * s0) % 256 + 6) % 256
+        |      WHEN 2 THEN CASE WHEN (cy * 9 + cx) % 29 = 0
+        |        THEN 255 - (s0 * s0) % 256 ELSE (s0 * s0) % 256 END
+        |      ELSE (s3 * s3) % 256
+        |    END AS l
+        |  FROM g
+        |), bits AS (
+        |  SELECT a.id, a.cy * 8 + a.cx AS k,
+        |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |)
+        |SELECT x.id AS a_id, y.id AS b_id,
+        |  CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT)
+        |    AS hamming
+        |FROM bits x JOIN bits y ON x.k = y.k AND y.id > x.id
+        |GROUP BY x.id, y.id
+        |HAVING sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) <= 7
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // every q_mjpeg_stats column is container arithmetic (the sampling
     // schedule, frame timing, dims, frame count — all closed formulas of

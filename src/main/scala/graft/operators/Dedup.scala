@@ -247,16 +247,36 @@ object Dedup {
     *                  m² pairs — same backstop as `minhashNearDup`)
     */
   def simhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    hammingNearDupPairs(df, idCol, simhash(col(tokensCol)), maxHamming,
+      nBands = 4, maxBucket = maxBucket)
+
+  /** Hamming-banded near-dup pairs over ANY 64-bit fingerprint column —
+    * the simhashNearDup machinery with the fingerprint factored out so
+    * other fingerprint families (image dHash, r17) reuse the identical
+    * block-verify plan. Pigeonhole recall: split into `nBands` equal
+    * sub-bands; a pair with Hamming ≤ nBands−1 agrees exactly on at
+    * least one band, so blocking on band equality has FULL recall for
+    * `maxHamming` ≤ nBands−1 (enforced). Output (a_id, b_id, hamming),
+    * exact-verified.
+    *
+    * @param fp 64-bit fingerprint EXPRESSION — let-bound once into the
+    *           band-explode (as a projected alias, CollapseProject would
+    *           inline it into the nBands shift exprs + the carried fp
+    *           column and recompute it (nBands+1)× per row) */
+  def hammingNearDupPairs(df: DataFrame, idCol: String, fp: Column,
+      maxHamming: Int, nBands: Int, maxBucket: Int = 1000): DataFrame = {
+    require(64 % nBands == 0, s"nBands=$nBands must divide 64")
+    require(maxHamming <= nBands - 1,
+      s"pigeonhole recall needs maxHamming=$maxHamming <= nBands-1=${nBands - 1}")
     val spark = df.sparkSession
     import spark.implicits._
-    // The fingerprint is let-bound into the band-explode expression: as a
-    // projected alias it would be inlined into the 4 shift exprs + the
-    // carried fp column and recomputed 5× per row (each one a 64-pass HOF).
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val banded = df.select(col(idCol).as("id"),
-        explode(TextOps.bindOnce(simhash(col(tokensCol))) { f =>
-          array((0 until 4).map(b => struct(lit(b).as("band"),
-            shiftright(f, b * 16).bitwiseAND(lit(0xFFFFL)).as("key"),
+        explode(TextOps.bindOnce(fp) { f =>
+          array((0 until nBands).map(b => struct(lit(b).as("band"),
+            shiftright(f, b * width).bitwiseAND(lit(mask)).as("key"),
             f.as("fp"))): _*)
         }).as("bk"))
       .select($"bk.band", $"bk.key", $"id", $"bk.fp".as("fp"))
