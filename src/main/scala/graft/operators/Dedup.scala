@@ -248,8 +248,13 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, idCol: String, tokensCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    // exactRecall=false: this operator's pinned contract (and its DuckDB
+    // replay oracle) is BANDED-CANDIDATE semantics — callers may pass
+    // maxHamming past the 4-band pigeonhole bound (q_simhash_neardup
+    // ships maxHamming=6) and get best-effort recall above Hamming 3,
+    // exactly what the oracle recomputes.
     hammingNearDupPairs(df, idCol, simhash(col(tokensCol)), maxHamming,
-      nBands = 4, maxBucket = maxBucket)
+      nBands = 4, maxBucket = maxBucket, exactRecall = false)
 
   /** Hamming-banded near-dup pairs over ANY 64-bit fingerprint column —
     * the simhashNearDup machinery with the fingerprint factored out so
@@ -257,18 +262,27 @@ object Dedup {
     * block-verify plan. Pigeonhole recall: split into `nBands` equal
     * sub-bands; a pair with Hamming ≤ nBands−1 agrees exactly on at
     * least one band, so blocking on band equality has FULL recall for
-    * `maxHamming` ≤ nBands−1 (enforced). Output (a_id, b_id, hamming),
+    * `maxHamming` ≤ nBands−1. Output (a_id, b_id, hamming),
     * exact-verified.
     *
     * @param fp 64-bit fingerprint EXPRESSION — let-bound once into the
     *           band-explode (as a projected alias, CollapseProject would
     *           inline it into the nBands shift exprs + the carried fp
-    *           column and recompute it (nBands+1)× per row) */
+    *           column and recompute it (nBands+1)× per row)
+    * @param exactRecall true (default) asserts maxHamming ≤ nBands−1 so
+    *           the output is EXACTLY all-pairs-within-radius (what lets
+    *           q_image_neardup's oracle be the brute-force join); pass
+    *           false to acknowledge banded best-effort semantics above
+    *           the bound (the simhash posture — its oracle replays the
+    *           banding) */
   def hammingNearDupPairs(df: DataFrame, idCol: String, fp: Column,
-      maxHamming: Int, nBands: Int, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int, nBands: Int, maxBucket: Int = 1000,
+      exactRecall: Boolean = true): DataFrame = {
     require(64 % nBands == 0, s"nBands=$nBands must divide 64")
-    require(maxHamming <= nBands - 1,
-      s"pigeonhole recall needs maxHamming=$maxHamming <= nBands-1=${nBands - 1}")
+    require(!exactRecall || maxHamming <= nBands - 1,
+      s"pigeonhole-exact recall needs maxHamming=$maxHamming <= " +
+        s"nBands-1=${nBands - 1}; pass exactRecall=false to accept " +
+        "banded best-effort candidates above the bound")
     val spark = df.sparkSession
     import spark.implicits._
     val width = 64 / nBands

@@ -107,7 +107,8 @@ class ImageNearDupSpec extends SparkSpec {
   }
 
   test("hammingNearDupPairs refuses a radius past the pigeonhole bound " +
-      "and band widths that don't divide 64") {
+      "unless banded best-effort is acknowledged, and refuses band " +
+      "widths that don't divide 64") {
     val s = spark
     import s.implicits._
     val df = Seq((1L, 5L), (2L, 7L)).toDF("media_id", "fp")
@@ -115,9 +116,28 @@ class ImageNearDupSpec extends SparkSpec {
       Dedup.hammingNearDupPairs(df, "media_id", col("fp"),
         maxHamming = 8, nBands = 8)
     }
+    // the simhash posture: past-bound radius is legal once acknowledged
+    Dedup.hammingNearDupPairs(df, "media_id", col("fp"),
+      maxHamming = 8, nBands = 8, exactRecall = false)
     intercept[IllegalArgumentException] {
       Dedup.hammingNearDupPairs(df, "media_id", col("fp"),
         maxHamming = 3, nBands = 5)
     }
+  }
+
+  test("simhashNearDup delegates bit-identically through the " +
+      "generalized machinery (past-bound maxHamming=6 at 4 bands stays " +
+      "legal — the shipped q_simhash_neardup contract)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c", "d", "e", "g")),
+      (3L, Seq("x", "y", "z", "w", "v", "u"))).toDF("doc_id", "tokens")
+    val out = Dedup.simhashNearDup(docs, "doc_id", "tokens",
+      maxHamming = 6).collect()
+    // near-identical docs 1,2 pair up; unrelated 3 does not
+    assert(out.forall(r => Set(1L, 2L)(r.getLong(0)) &&
+      Set(1L, 2L)(r.getLong(1))))
   }
 }
