@@ -845,15 +845,23 @@ object Ann {
       }: _*).as("codes"))
   }
 
-  /** Encode dispatch: literal chains while they compile, broadcast
-    * join past the bound. `nv` must expose (id, vh). */
+  /** Encode dispatch (r17): the FUSED codegen kernel for every size —
+    * the codebook rides as a plan reference object (no janino 64 KB
+    * wall, no join, no shuffle), and the valued-probe audit measured it
+    * strictly dominating both prior forms (literal chains ~520 ns/entry
+    * — the sign-LSH forest pathology; broadcast-join ~22 ns/entry but
+    * paying a join — SCALE_r17 §3). Bit-parity with both is pinned in
+    * AnnSpec (same in-order dot, same driver ½|c|² double, same
+    * total-order tie-break), so the dispatch change can never move a
+    * result. pqCodes/pqCodesJoined remain as the parity witnesses and
+    * the documented estimator-state-as-data shape. `nv` must expose
+    * (id, vh). */
   def pqEncode(nv: DataFrame, cb: Seq[Seq[Array[Double]]],
       dSub: Int): DataFrame = {
     val spark = nv.sparkSession
     import spark.implicits._
-    if (cb.map(_.size).sum <= PqLiteralEntriesBound)
-      nv.select($"id", pqCodes(cb, dSub)($"vh").as("codes"))
-    else pqCodesJoined(nv, cb, dSub)
+    nv.select($"id",
+      graft.functions.PqCodesExpr.pqCodesFused($"vh", cb, dSub).as("codes"))
   }
 
   /** Decode a materialized code column: mSub literal-DATA lookups
@@ -902,13 +910,11 @@ object Ann {
       // same exchange barrier as ivfFit (the r8 hazard): codes are
       // computed once per row in a projection, never inlined into the
       // Generate where codegen would re-evaluate the whole mSub·kSub
-      // chain per exploded element; past the literal bound the encode
-      // takes the broadcast-join path like every other consumer
-      val assigned = (
-        if (cb.map(_.size).sum <= PqLiteralEntriesBound)
-          nv.select(pqCodes(cb, dSub)($"vh").as("codes"), $"vh")
-        else pqCodesJoined(nv, cb, dSub).join(nv, "id")
-          .select($"codes", $"vh"))
+      // chain per exploded element; fused kernel since r17 (one
+      // reference-object codebook, no join at any size — parity-pinned)
+      val assigned = nv
+        .select(graft.functions.PqCodesExpr.pqCodesFused($"vh", cb, dSub)
+          .as("codes"), $"vh")
         .repartition(spark.sparkContext.defaultParallelism)
       val means = assigned
         .select(posexplode($"codes").as(Seq("m", "cell")),
@@ -951,11 +957,11 @@ object Ann {
       .filter($"nrm" > 0)
       .select(col(idAs), transform($"v", x => x / $"nrm").as(vAs))
     val nvC = normalized(corpus, "id", "vh")
-    val r =
-      if (cb.map(_.size).sum <= PqLiteralEntriesBound)
-        nvC.select($"id", pqRecon(cb, dSub)($"vh").as("recon"))
-      else pqEncode(nvC, cb, dSub)
-        .select($"id", pqReconFromCodes(cb)($"codes").as("recon"))
+    // one branch since r17: the fused encode + literal-DATA decode is
+    // the fastest form at EVERY codebook size (SCALE_r17 §3) and
+    // bit-identical to the pqRecon single-projection it replaces
+    val r = pqEncode(nvC, cb, dSub)
+      .select($"id", pqReconFromCodes(cb)($"codes").as("recon"))
     val q = normalized(queries, "q_id", "qh")
     val w = Window.partitionBy($"q_id").orderBy($"adc".desc, $"id".asc)
     r.join(broadcast(q), $"id" =!= $"q_id")
@@ -1002,22 +1008,23 @@ object Ann {
     * + decode(codes)), carrying `cell` through so the coarse centroid can
     * be re-added without a second derivation of the residual lineage (the
     * r13 shared-frame lesson: a rejoin on id would re-run assign+residual
-    * for both sides of the join). Literal chains while they compile,
-    * broadcast-join past PqLiteralEntriesBound — the joined arm is the
-    * pqCodesJoined plan with `cell` riding the groupBy key (id is unique,
-    * so the extra key only keeps cell in scope): same score expression,
-    * same max-struct tie-break (→ larger pcell). `forceJoined` exists so
-    * AnnSpec can pin joined ≡ literal below the bound. */
+    * for both sides of the join). Fused encode kernel at every size
+    * since r17 (parity-pinned); the joined arm is the pqCodesJoined plan
+    * with `cell` riding the groupBy key (id is unique, so the extra key
+    * only keeps cell in scope): same score expression, same max-struct
+    * tie-break (→ larger pcell). `forceJoined` exists so AnnSpec can pin
+    * joined ≡ fused. */
   private[operators] def ivfPqReconFrame(res: DataFrame,
       coarse: Seq[Array[Double]], cb: Seq[Seq[Array[Double]]], dSub: Int,
       forceJoined: Boolean = false): DataFrame = {
     val spark = res.sparkSession
     import spark.implicits._
     val coarseLit = typedlit(coarse.map(_.toSeq))
-    if (!forceJoined && cb.map(_.size).sum <= PqLiteralEntriesBound)
+    if (!forceJoined)
       res.select($"id", $"cell",
         zip_with(element_at(coarseLit, $"cell" + 1),
-          pqReconFromCodes(cb)(pqCodes(cb, dSub)($"rv")),
+          pqReconFromCodes(cb)(
+            graft.functions.PqCodesExpr.pqCodesFused($"rv", cb, dSub)),
           (a, b) => a + b).as("recon"))
     else {
       val cents = cb.indices.flatMap { m =>

@@ -397,6 +397,43 @@ class AnnSpec extends SparkSpec {
     assert(joined === literal)
   }
 
+  test("pqCodesFused ≡ literal pqCodes ≡ pqCodesJoined row-by-row " +
+      "(r17 kernel parity), including NaN scores, exact ties, and a " +
+      "short vector") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(23)
+    val organic = (0L until 150L).map { id =>
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(_ / n).toSeq)
+    }
+    // adversarial rows: NaN component (NaN-greatest total order), the
+    // zero vector (every score = -½|c|², ties broken toward larger
+    // cell), and a SHORT vector (3 of 64 dims — the slice/lim seam)
+    val edges = Seq(
+      (900L, (Seq(Double.NaN) ++ Seq.fill(63)(0.1)).toSeq),
+      (901L, Seq.fill(64)(0.0)),
+      (902L, Seq(0.5, -0.5, 0.25)))
+    val df = (organic ++ edges).toDF("id", "vh")
+    val cb = Ann.pqFit(df.filter($"id" < 900L), mSub = 8, dSub = 8,
+      kSub = 12, lloydIters = 1, seed = 11)
+    // force duplicate centroids so equal non-zero scores exercise the
+    // tie-break in every subspace
+    val cbDup = cb.map(s => s ++ Seq(s.head.clone()))
+    def mapOf(df2: org.apache.spark.sql.DataFrame) = df2
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val fused = mapOf(df.select($"id",
+      graft.functions.PqCodesExpr.pqCodesFused($"vh", cbDup, 8).as("c")))
+    val literal = mapOf(df.select($"id",
+      Ann.pqCodes(cbDup, 8)($"vh").as("c")))
+    assert(fused === literal)
+    val joined = mapOf(Ann.pqCodesJoined(df, cbDup, 8))
+    assert(fused === joined)
+    // and the shipped dispatch IS the fused kernel
+    assert(mapOf(Ann.pqEncode(df, cbDup, 8)) === literal)
+  }
+
   test("pqFit + pqTopKWith keep decent recall on real embeddings; " +
       "small corpus caps the codebook") {
     val spark2 = spark

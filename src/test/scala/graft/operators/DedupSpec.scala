@@ -136,4 +136,47 @@ class DedupSpec extends SparkSpec {
     assert(out.forall { case (a, b) => a < b })
     assert(out.toSet.size === out.size)
   }
+
+  test("fused simhash ≡ the 64-pass HOF witness bit-for-bit (r17 kernel " +
+      "parity): real-ish docs, empty array (-1L), null element, single " +
+      "token, and the interpreted eval path") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rng = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "", "λ-unicode", "x")
+    val organic = (0L until 300L).map { id =>
+      (id, Seq.fill(1 + rng.nextInt(40))(words(rng.nextInt(words.size))))
+    }
+    val df = organic.toDF("id", "tokens")
+    val both = df.select($"id",
+        Dedup.simhash($"tokens").as("fused"),
+        Dedup.simhashHof($"tokens").as("hof"))
+      .collect()
+    assert(both.forall(r => r.getLong(1) == r.getLong(2)),
+      "fused != HOF on organic docs")
+    // edge fixtures through expressions (null element needs SQL arrays)
+    val edges = spark2.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array()), (2L, array('only')),
+        |  (3L, array('a', CAST(NULL AS STRING), 'b'))
+        |  AS t(id, tokens)""".stripMargin)
+    val e = edges.select($"id", Dedup.simhash($"tokens").as("fused"),
+        Dedup.simhashHof($"tokens").as("hof"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(e(1L)._1 === -1L, "empty token array must fingerprint to -1L")
+    assert(e.values.forall(p => p._1 == p._2), s"edge parity broke: $e")
+    // interpreted (non-codegen) eval path parity: drive the expression's
+    // eval() directly on the same docs and compare to the codegen result
+    val codegen = both.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    organic.take(50).foreach { case (id, toks) =>
+      val expr = graft.functions.SimHash64(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          toks, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)))
+      assert(expr.eval(null) === codegen(id),
+        s"interpreted eval diverged from codegen for id=$id")
+    }
+  }
 }
