@@ -69,7 +69,18 @@ object ScaleUp {
     val kDoc = stride(read("documents"), "doc_id")
     val kVec = stride(read("embeddings"), "vec_id")
 
+    // --only=documents,embeddings (r17): write just the named fact
+    // tables (dimension stubs region/nation always ride along) — the
+    // sfp300 spot-probe needs two tables and the disk can't hold a full
+    // third decade next to sfp100.
+    val only: Set[String] = flags.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").map(_.trim).toSet)
+      .getOrElse(Set.empty)
     def write(df: DataFrame, t: String): Unit = {
+      if (only.nonEmpty && !only(t) && t != "region" && t != "nation") {
+        System.err.println(s"[scaleup] $t: skipped (--only)")
+        return
+      }
       df.repartition(32).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       System.err.println(s"[scaleup] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }

@@ -70,10 +70,30 @@ object EditDistanceJoin {
     * returns for them. Output is still quadratic in a true duplicate
     * class (that IS the answer); the valve removes the redundant
     * blocking/verify work, not the rows. */
+  /** Deletion-variant mass is QUADRATIC in string length (len variants
+    * × ~len units each at d=1): one 10⁶-unit string expands to ~1 TB of
+    * join keys — an executor OOM no partitioning fixes. The scheme is
+    * for the SymSpell regime (names/titles/tokens); the r17 heavy-tail
+    * arm is what made the missing guard concrete. The gate is PER-ROW
+    * and lazy (a raise_error branch inside the plan — no extra scan, no
+    * eager job): the first over-long string fails the task loudly,
+    * naming the shingle tier as the long-document path. 4096 UTF-16
+    * units ≈ 32 MB of variants per string at d=1 — two decades above
+    * any name/title corpus, well under executor budgets. */
+  val MaxStringLen = 4096
+
   def selfJoin(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    val guarded = when(length(col(strCol)) <= MaxStringLen, col(strCol))
+      .otherwise(raise_error(concat(
+        lit(s"editDistanceJoin: string length "), length(col(strCol)),
+        lit(s" exceeds MaxStringLen=$MaxStringLen — deletion-variant " +
+          "mass is quadratic in length (the SymSpell regime is " +
+          "names/titles/tokens). For long documents use the shingle " +
+          "near-dup tiers (minhashNearDup / winnow / spanDedup) — " +
+          "char-level edit distance is not a useful metric there."))))
+    val base = df.select(col(idCol).as("__id"), guarded.as("__s"))
       .filter(col("__s").isNotNull)
     val dupFactor = DupProbe.dupFactor(base, col("__s"))
     if (dupFactor < DupProbe.CollapseDupFactor) directJoin(base, maxDist)

@@ -101,4 +101,23 @@ class EditDistanceJoinSpec extends SparkSpec {
     // "abcd": itself + 4 distinct deletions; "aaaa": itself + 1 ("aaa")
     assert(df.collect().map(_.getInt(0)).toSeq === Seq(5, 2))
   }
+
+  test("length gate (r17 heavy-tail arm): one over-long string fails " +
+      "LOUDLY naming the shingle tier — deletion-variant mass is " +
+      "quadratic in length, an OOM no partitioning fixes") {
+    val giant = (1L, "x" * (EditDistanceJoin.MaxStringLen + 1))
+    val rows = Seq(giant, (2L, "alpha"), (3L, "alphb"))
+    val ex = intercept[Exception] {
+      run(rows, 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    val all = msgs(ex).mkString(" ")
+    assert(all.contains("MaxStringLen") && all.contains("minhashNearDup"),
+      s"gate message must name the bound and the shingle remedy: $all")
+    // at the bound exactly: no gate, normal pairs
+    val atBound = Seq((1L, "y" * EditDistanceJoin.MaxStringLen),
+      (2L, "alpha"), (3L, "alphb"))
+    assert(run(atBound, 1) === Set((2L, 3L, 1)))
+  }
 }
