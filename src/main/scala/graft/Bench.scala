@@ -118,15 +118,49 @@ object Bench {
             "failed"
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // GC between heavy queries so eviction debt doesn't land in the
-      // successor's timing. Deliberately NOT catalog.clearCache(): that
-      // would drop the session-scoped materialized intermediates
-      // (TextAnalysis.scoredNearDupPairs, GraphQueries.components) the
+      // GC after EVERY query (was: only >2s ones) so the ContextCleaner
+      // can reclaim the finished query's shuffle files before the next
+      // one adds its own — the r17 sfp100 full-suite run died on disk
+      // when ~150 GB of cleanable shuffle state accumulated across a
+      // GC-free stretch and landed on top of the heavy pair-join block's
+      // live spill. GC runs OUTSIDE the timed window. Deliberately NOT
+      // catalog.clearCache(): that would drop the session-scoped
+      // materialized intermediates (TextAnalysis.scoredNearDupPairs,
+      // GraphQueries.components, the minhash candidate frame) the
       // pair-graph queries share; every other cache in the engine is
       // unpersisted by its owning operator, and broadcast/shuffle state
       // is reclaimed by the ContextCleaner.
-      if (sec > 2.0) System.gc()
+      System.gc()
       (outcome, sec)
+    }
+
+    // Per-query disk telemetry (stderr): how much of the block manager's
+    // on-disk state is shuffle files (cleanable — ContextCleaner debt)
+    // vs rdd_* cached blocks (the session caches' MEMORY_AND_DISK
+    // overflow — the retained floor), plus filesystem headroom. This is
+    // what turns "the suite died on No space left on device" from a
+    // postmortem into a per-query curve.
+    def diskLine(): String = {
+      var shuffle = 0L; var rdd = 0L; var other = 0L
+      def walk(f: java.io.File): Unit = {
+        val fs = f.listFiles()
+        if (fs != null) fs.foreach { c =>
+          if (c.isDirectory) walk(c)
+          else {
+            val n = c.getName
+            if (n.contains("shuffle")) shuffle += c.length()
+            else if (n.startsWith("rdd_")) rdd += c.length()
+            else other += c.length()
+          }
+        }
+      }
+      new java.io.File("/tmp").listFiles() match {
+        case null => ()
+        case fs => fs.filter(_.getName.startsWith("blockmgr-")).foreach(walk)
+      }
+      val free = new java.io.File("/tmp").getUsableSpace
+      f"[disk] shuffle=${shuffle / 1e9}%.1fG rdd=${rdd / 1e9}%.1fG " +
+        f"other=${other / 1e9}%.1fG free=${free / 1e9}%.1fG"
     }
 
     // Pass 1: every query once, cheap-core-first — a complete bench is
@@ -141,7 +175,8 @@ object Bench {
         firstRun(name) = times(name)
         reps(name) = 1
         val rows = if (outcome == "ok") s"  rows=$lastRows" else ""
-        System.err.println(f"[bench] $name%-28s $sec%8.2f s  [$outcome]$rows")
+        System.err.println(
+          f"[bench] $name%-28s $sec%8.2f s  [$outcome]$rows  ${diskLine()}")
       }
     }
     // Pass 2 (budget permitting): re-run ok queries and keep the per-query

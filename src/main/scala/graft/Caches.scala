@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** One-call stale-on-rewrite hook for every session-memoized cache in
   * the engine (ADVICE r15: QualityFilter lacked the hook and nothing
@@ -9,6 +9,32 @@ import org.apache.spark.sql.SparkSession
   * invalidateCache stays callable individually for scoped refreshes.
   */
 object Caches {
+
+  /** Materialize a session-scoped shared frame AND CUT ITS LINEAGE
+    * (eager localCheckpoint). A persist()'d frame keeps its whole
+    * production pipeline reachable for recompute-on-eviction, which
+    * PINS every upstream shuffle file on disk for the cache's lifetime
+    * — the ContextCleaner can never reclaim them. At the sixth measured
+    * decade (sfp100) the pinned floor under the heavy pair-join block
+    * reached ~23 GB and the full 149-query suite died on `No space left
+    * on device` (SCALE_r17 §6). localCheckpoint stores the materialized
+    * partitions (MEMORY_AND_DISK) and DROPS the plan, so production
+    * shuffles are reclaimed at the next GC and the steady-state
+    * footprint is the frame itself, not its pipeline.
+    *
+    * Trade-off, stated: a checkpointed frame is NOT recomputable — on a
+    * multi-node cluster an executor loss fails the consumer job instead
+    * of recomputing the lost partitions (there you'd reliable-
+    * `checkpoint()` to the cluster FS; same lineage cut, fault-tolerant
+    * storage). At local[*] there is no executor loss.
+    *
+    * Invalidation contract: dropping the TrieMap reference orphans the
+    * checkpointed RDD and the ContextCleaner unpersists its blocks
+    * after the next GC; the pre-existing `unpersist(blocking=false)`
+    * calls in each invalidateCache are harmless no-ops on a
+    * checkpointed frame. */
+  def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+
   def invalidate(s: SparkSession): Unit = {
     queries.Extended.invalidateCache(s)
     queries.TextAnalysis.invalidateCache(s)

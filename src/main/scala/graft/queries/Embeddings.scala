@@ -98,8 +98,7 @@ object Embeddings {
     * same shared-CTE pattern as TextAnalysis.scoredNearDupPairs. */
   def exactNearDupPairs(s: SparkSession, dir: String): DataFrame =
     exactPairCache.getOrElseUpdate((s, dir),
-      cosineNearDupPairsOn(s, dir, BaseCosineThreshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.Caches.pin(cosineNearDupPairsOn(s, dir, BaseCosineThreshold)))
 
   /** Drop this session's materialized pair frames — for a `dir` rewritten
     * in place or session teardown in a multi-session JVM (the harness

@@ -505,12 +505,12 @@ object Extended {
     val rank = udf((v: Long) =>
       graft.functions.SketchAggs.mix(v ^ graft.functions.SketchAggs.mix(42L)))
     val sketches = sketchCache.getOrElseUpdate((s, dir),
-      Tables.documents(s, dir)
+      graft.Caches.pin(Tables.documents(s, dir)
         .select($"source", explode(split($"text", " ")).as("tok"))
         .select($"source", xxhash64($"tok").as("hv"))
         .groupBy($"source")
-        .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L).as("sk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .agg(graft.functions.SketchAggs.bottomKSample($"hv", k, 42L)
+          .as("sk"))))
     val ex = sketches
       .select($"source", explode($"sk").as("v"))
       .withColumn("r", rank($"v"))
@@ -860,10 +860,9 @@ object Extended {
       val d = Tables.documents(s, dir)
         .select($"doc_id", TextAnalysis.toks($"text").as("tokens"))
         .repartition(s.sparkContext.defaultParallelism)
-      graft.operators.Dedup
+      graft.Caches.pin(graft.operators.Dedup
         .minhashNearDup(d, "doc_id", "tokens", shingleN = 2,
-          k = 32, bands = 8, threshold = 0.0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          k = 32, bands = 8, threshold = 0.0))
     })
 
   /** Driver-visible recall gate for the MinHash banding tier: every exact

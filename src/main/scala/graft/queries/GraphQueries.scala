@@ -40,10 +40,9 @@ object GraphQueries {
     eqCache.getOrElseUpdate((s, dir), {
       import s.implicits._
       val reps = TextAnalysis.twinClasses(s, dir).select($"rep")
-      pairGraph(s, dir)
+      graft.Caches.pin(pairGraph(s, dir)
         .join(reps.withColumnRenamed("rep", "a_id"), Seq("a_id"), "left_semi")
-        .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .join(reps.withColumnRenamed("rep", "b_id"), Seq("b_id"), "left_semi"))
     })
 
   /** Degree of each document in the near-dup pair graph. */
@@ -141,10 +140,9 @@ object GraphQueries {
         .join(ccQ.withColumnRenamed("id", "rep"), Seq("rep"), "left_outer")
         .filter($"component".isNotNull || ($"survived" && $"csize" >= 2))
         .select($"rep", coalesce($"component", $"rep").as("component"))
-      TextAnalysis.twinMembers(s, dir)
+      graft.Caches.pin(TextAnalysis.twinMembers(s, dir)
         .join(nodeCls, "rep")
-        .select($"doc_id".as("id"), $"component")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select($"doc_id".as("id"), $"component"))
     })
 
   /** Drop this session's materialized components — same contract as

@@ -659,9 +659,9 @@ object TextAnalysis {
     * shared CTE. Keyed by (session, dir) so tests at other SFs coexist. */
   def scoredNearDupPairs(s: SparkSession, dir: String): DataFrame =
     nearDupCache.getOrElseUpdate((s, dir),
-      ngramJaccardPairsOn(shingleTokens(s, dir), BaseNearDupThreshold,
-          maxDf = NearDupMaxDf)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      graft.Caches.pin(
+        ngramJaccardPairsOn(shingleTokens(s, dir), BaseNearDupThreshold,
+          maxDf = NearDupMaxDf)))
 
   /** Drop this session's materialized pair frames — call when a `dir` is
     * rewritten in place (the cache would serve stale pairs) or at session
@@ -897,10 +897,10 @@ object TextAnalysis {
       val d = shingleFrame(shingleTokens(s, dir))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang", $"key")
-      d.withColumn("key", array_sort($"sh"))
-        .withColumn("rep", min($"doc_id").over(w))
-        .select($"rep", $"doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Caches.pin(
+        d.withColumn("key", array_sort($"sh"))
+          .withColumn("rep", min($"doc_id").over(w))
+          .select($"rep", $"doc_id"))
     })
 
   /** Twin classes of the near-dup pair universe: one row per class of
@@ -935,11 +935,11 @@ object TextAnalysis {
         .join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
         .select($"rep").distinct()
         .withColumn("survived", lit(true))
-      reps.select($"rep", $"lang", $"csize")
-        .join(surv, Seq("rep"), "left_outer")
-        .select($"rep", $"lang", $"csize",
-          coalesce($"survived", lit(false)).as("survived"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.Caches.pin(
+        reps.select($"rep", $"lang", $"csize")
+          .join(surv, Seq("rep"), "left_outer")
+          .select($"rep", $"lang", $"csize",
+            coalesce($"survived", lit(false)).as("survived")))
     })
 
   def ngramJaccardPairsOn(tokens: DataFrame, threshold: Double,
@@ -1912,10 +1912,9 @@ object TextAnalysis {
       w: Int): DataFrame = {
     import s.implicits._
     winnowCache.getOrElseUpdate((s, dir, k, w),
-      winnowFingerprintsOn(
+      graft.Caches.pin(winnowFingerprintsOn(
         Tables.documents(s, dir).select($"doc_id", toks($"text").as("t")),
-        k, w)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        k, w)))
   }
 
   /** Per-document winnowing rollup: span count, fingerprint count, and
