@@ -213,7 +213,9 @@ object ScaleUp {
         f"documents(lang,text) dup=$dupText%.4f " +
         s"(collapse threshold ${graft.operators.DupProbe.CollapseDupFactor})")
       // payload-salt evidence (r15): the storage family's min/max stats
-      // face distinct VALUES, not r-fold twins — distinct/total ≈ 1
+      // face distinct VALUES, not r-fold twins — distinct/total ≈ 1.
+      // Skipped under --only when orders/lineitem weren't written.
+      if (only.isEmpty || (only("orders") && only("lineitem"))) {
       val o = spark.read.parquet(s"$dst/orders.parquet")
       val li = spark.read.parquet(s"$dst/lineitem.parquet")
       val oRow = o.agg(
@@ -227,6 +229,7 @@ object ScaleUp {
         f"${oRow.getDouble(0)}%.4f distinct(orderdate)/n=${oRow.getDouble(1)}%.4f " +
         f"lineitem distinct(price,key,line)/n=${lRow.getDouble(0)}%.4f " +
         f"distinct(shipdate)/n=${lRow.getDouble(1)}%.4f")
+      }
     }
     spark.stop()
   }
