@@ -178,8 +178,13 @@ class PlanShapeSpec extends SparkSpec {
       .exists(_.toString.contains("documents")))
     assert(corpusScans.isEmpty,
       "corpus scan must sit inside the cached sketch frame")
+    // The sketch frame is materialized by Caches.pin (eager
+    // localCheckpoint — lineage cut so upstream shuffle files stay
+    // ContextCleaner-eligible; see Caches.scala). Its plan leaf is a
+    // checkpoint RDD scan, not the pre-r17 InMemoryRelation.
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan") ||
+    assert(plan.contains("Scan ExistingRDD") ||
+      plan.contains("InMemoryTableScan") ||
       plan.contains("TableCacheQueryStage"), plan.take(1500))
   }
 
