@@ -402,13 +402,65 @@ object Ann {
   def lshNearDupPairs(corpus: DataFrame, threshold: Double,
       nTables: Int = 24, nBits: Int = AutoNBits, seed: Int = 42,
       maxBucket: Int = 10000,
-      maxCandidateEstimate: Long = MaxLshCandidateEstimate): DataFrame = {
+      maxCandidateEstimate: Long = MaxLshCandidateEstimate): DataFrame =
+    lshNearDupImpl(corpus, threshold, nTables, nBits, seed, maxBucket,
+      maxCandidateEstimate, tag = false)
+
+  /** lshNearDupPairs plus a `min_table` column — the smallest table
+    * index (post-guard) in which the pair co-bucketed. Because
+    * hyperplanes depend only on (table, bit, seed), the first T tables
+    * of an N-table run (T < N, same seed/nBits) are bit-identical to a
+    * T-table run, so `tagged(N).filter(min_table < T)` selects EXACTLY
+    * the T-table pair set (AnnSpec pins it). One banded pass can
+    * therefore serve consumers at different table counts — the r16
+    * shared-minhash-frame device applied to the sign-LSH tier (guide
+    * §2.4: one exchange, several keyed consumers). Same gate/valve
+    * semantics as lshNearDupPairs at the given nTables. */
+  def lshNearDupPairsTagged(corpus: DataFrame, threshold: Double,
+      nTables: Int = 24, nBits: Int = AutoNBits, seed: Int = 42,
+      maxBucket: Int = 10000,
+      maxCandidateEstimate: Long = MaxLshCandidateEstimate): DataFrame =
+    lshNearDupImpl(corpus, threshold, nTables, nBits, seed, maxBucket,
+      maxCandidateEstimate, tag = true)
+
+  /** Whether lshNearDupPairs at these parameters would pass its
+    * candidate-volume gate — the SAME analytic estimate the gate
+    * computes (dup-probe memo + row count; no new jobs beyond the
+    * memoized probe). Lets a caller choose between a wider shared
+    * banding pass and an independent narrower one WITHOUT changing any
+    * query's feasible region: if the wide pass would be refused, the
+    * caller falls back to its own parameters and gets the exact
+    * per-query gate behavior (message included) it always had. */
+  def lshNearDupFeasible(corpus: DataFrame, threshold: Double,
+      nTables: Int, nBits: Int = AutoNBits,
+      maxCandidateEstimate: Long = MaxLshCandidateEstimate): Boolean = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (n, _) = DupProbe.stats(corpus, $"vec")
+    if (n == 0L) return true
+    val dupFactor = DupProbe.dupFactor(corpus, $"vec")
+    val nEff = (n / math.max(dupFactor, 1.0)).toLong
+    val bits =
+      if (nBits != AutoNBits) nBits
+      else if (threshold >= HighThresholdForWidthLaw) nBitsForCorpus(nEff)
+      else 4
+    nTables.toDouble * nEff.toDouble * nEff.toDouble / (1L << bits) <=
+      maxCandidateEstimate
+  }
+
+  private def lshNearDupImpl(corpus: DataFrame, threshold: Double,
+      nTables: Int, nBits: Int, seed: Int,
+      maxBucket: Int,
+      maxCandidateEstimate: Long, tag: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dims = corpus.select(size($"vec")).take(1)
-    if (dims.isEmpty)  // empty corpus: no dim to read, no pairs to emit
-      return corpus.select($"id".as("a_id"), $"id".as("b_id"),
-        lit(0.0).as("cosine")).limit(0)
+    if (dims.isEmpty) {  // empty corpus: no dim to read, no pairs to emit
+      val empty = corpus.select($"id".as("a_id"), $"id".as("b_id"),
+        lit(0.0).as("cosine"))
+      return (if (tag) empty.withColumn("min_table", lit(0)) else empty)
+        .limit(0)
+    }
     val dim = dims(0).getInt(0)
     // EXACT-TWIN COLLAPSE VALVE (the postingPairCounts device applied to
     // vectors — found by the r11 30× twin-replica decade, where this
@@ -457,10 +509,10 @@ object Ann {
         "or threshold-tightened upstream.")
     if (dupFactor < CollapseDupFactor)
       lshNearDupPairsDirect(corpus, threshold, nTables, bits, seed,
-        maxBucket, dim)
+        maxBucket, dim, tag)
     else
       lshNearDupPairsCollapsed(corpus, threshold, nTables, bits, seed,
-        maxBucket, dim)
+        maxBucket, dim, tag)
   }
 
   /** Fail-fast budget for lshNearDupPairs' expected pre-dedup candidate
@@ -477,7 +529,7 @@ object Ann {
   /** The direct bucket self-join — optimal when exact twins are rare. */
   private[operators] def lshNearDupPairsDirect(corpus: DataFrame,
       threshold: Double, nTables: Int, nBits: Int, seed: Int,
-      maxBucket: Int, dim: Int): DataFrame = {
+      maxBucket: Int, dim: Int, tag: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cv = corpus.select($"id", $"vec".as("v"))
@@ -490,16 +542,27 @@ object Ann {
       .withColumn("n", count(lit(1)).over(wBucket))
       .filter($"n" <= maxBucket)
       .drop("n")
-    val cand = b
+    val hits = b
       .join(b.select($"id".as("b_id"), $"table", $"bucket"),
         Seq("table", "bucket"))
       .filter($"id" < $"b_id")
-      .select($"id".as("a_id"), $"b_id").distinct()
+    // tag=false keeps the historical plan byte-for-byte; tag=true keys
+    // the same dedup on the two longs and keeps min(table) alongside
+    val cand =
+      if (!tag) hits.select($"id".as("a_id"), $"b_id").distinct()
+      else hits.select($"id".as("a_id"), $"b_id", $"table")
+        .groupBy($"a_id", $"b_id")
+        .agg(min($"table").as("min_table"))
+    val outCols =
+      if (!tag) Seq($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      else Seq($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"),
+        $"min_table")
     cand
       .join(cv.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_nrm")), "a_id")
       .join(cv.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_nrm")), "b_id")
-      .select($"a_id", $"b_id",
-        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      .select(outCols: _*)
       .filter($"cosine" >= threshold)
   }
 
@@ -521,7 +584,7 @@ object Ann {
     *    (twins share ALL buckets, so survival is class-level). */
   private[operators] def lshNearDupPairsCollapsed(corpus: DataFrame,
       threshold: Double, nTables: Int, nBits: Int, seed: Int,
-      maxBucket: Int, dim: Int): DataFrame = {
+      maxBucket: Int, dim: Int, tag: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val wTwin = Window.partitionBy($"vec")
@@ -540,37 +603,71 @@ object Ann {
       .withColumn("n", sum($"csize").over(wBucket))
       .filter($"n" <= maxBucket)
       .drop("n")
-    val repCand = b
+    val repHits = b
       .join(b.select($"id".as("b_id"), $"table", $"bucket"),
         Seq("table", "bucket"))
       .filter($"id" < $"b_id")
-      .select($"id".as("a_id"), $"b_id").distinct()
+    val repCand =
+      if (!tag) repHits.select($"id".as("a_id"), $"b_id").distinct()
+      else repHits.select($"id".as("a_id"), $"b_id", $"table")
+        .groupBy($"a_id", $"b_id")
+        .agg(min($"table").as("min_table"))
+    val repOut =
+      if (!tag) Seq($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      else Seq($"a_id", $"b_id",
+        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"),
+        $"min_table")
     val repPairs = repCand
       .join(reps.select($"id".as("a_id"), $"v".as("a_v"), $"nrm".as("a_nrm")), "a_id")
       .join(reps.select($"id".as("b_id"), $"v".as("b_v"), $"nrm".as("b_nrm")), "b_id")
-      .select($"a_id", $"b_id",
-        (dot($"a_v", $"b_v") / ($"a_nrm" * $"b_nrm")).as("cosine"))
+      .select(repOut: _*)
       .filter($"cosine" >= threshold)
     // cross-class expansion: join-based and task-distributed — never a
-    // per-row array explode (the postingPairCountsCollapsed discipline)
+    // per-row array explode (the postingPairCountsCollapsed discipline).
+    // Tagged: members share their reps' buckets, so the member pair's
+    // min colliding table IS the rep pair's (what the direct form
+    // computes for them).
+    val crossOut =
+      if (!tag) Seq(least($"x", $"y").as("a_id"),
+        greatest($"x", $"y").as("b_id"), $"cosine")
+      else Seq(least($"x", $"y").as("a_id"),
+        greatest($"x", $"y").as("b_id"), $"cosine", $"min_table")
     val cross = repPairs
       .join(memb.select($"rep".as("a_id"), $"id".as("x")), "a_id")
       .join(memb.select($"rep".as("b_id"), $"id".as("y")), "b_id")
-      .select(least($"x", $"y").as("a_id"),
-        greatest($"x", $"y").as("b_id"), $"cosine")
+      .select(crossOut: _*)
     // intra-class expansion: survivors = classes present in ≥1 kept
     // bucket; self-cosine computed once per class, then a member
-    // self-join (x < y)
-    val survivors = b.select($"id".as("rep")).distinct()
-    val intra = reps.filter($"csize" >= 2)
-      .join(survivors, reps("id") === survivors("rep"), "left_semi")
-      .select($"id".as("rep"),
-        (dot($"v", $"v") / ($"nrm" * $"nrm")).as("cosine"))
-      .filter($"cosine" >= threshold)
-      .join(memb.select($"rep", $"id".as("x")), "rep")
-      .join(memb.select($"rep", $"id".as("y")), "rep")
-      .filter($"x" < $"y")
-      .select($"x".as("a_id"), $"y".as("b_id"), $"cosine")
+    // self-join (x < y). Tagged: twins co-bucket exactly in the class's
+    // kept tables, so min(table) over the class's kept buckets is the
+    // pair's min colliding table.
+    val intra = if (!tag) {
+      val survivors = b.select($"id".as("rep")).distinct()
+      reps.filter($"csize" >= 2)
+        .join(survivors, reps("id") === survivors("rep"), "left_semi")
+        .select($"id".as("rep"),
+          (dot($"v", $"v") / ($"nrm" * $"nrm")).as("cosine"))
+        .filter($"cosine" >= threshold)
+        .join(memb.select($"rep", $"id".as("x")), "rep")
+        .join(memb.select($"rep", $"id".as("y")), "rep")
+        .filter($"x" < $"y")
+        .select($"x".as("a_id"), $"y".as("b_id"), $"cosine")
+    } else {
+      val survivors = b.groupBy($"id")
+        .agg(min($"table").as("min_table"))
+        .withColumnRenamed("id", "rep")
+      reps.filter($"csize" >= 2)
+        .join(survivors, reps("id") === survivors("rep"))
+        .select($"id".as("rep"),
+          (dot($"v", $"v") / ($"nrm" * $"nrm")).as("cosine"),
+          $"min_table")
+        .filter($"cosine" >= threshold)
+        .join(memb.select($"rep", $"id".as("x")), "rep")
+        .join(memb.select($"rep", $"id".as("y")), "rep")
+        .filter($"x" < $"y")
+        .select($"x".as("a_id"), $"y".as("b_id"), $"cosine", $"min_table")
+    }
     cross.unionByName(intra)
   }
 

@@ -88,6 +88,40 @@ object Embeddings {
   private val exactPairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Table count of the shared sign-LSH banding frame — the widest any
+    * consumer asks for (lshRecall's pinned-recall gate). */
+  val SharedLshTables = 48
+
+  private val lshCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The corpus frame both sign-LSH consumers bucket — ONE construction
+    * so the DupProbe memo and the shared banding frame key identically. */
+  private def lshCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
+  /** Session-materialized sign-LSH banding candidates at the widest
+    * consumer's table count, tagged with `min_table` (r17, the
+    * minhashCandidates discipline applied to the vector tier): ONE
+    * 48-table banding + verify pass serves both q_lsh_neardup (pairs
+    * colliding in tables 0–31 — `min_table < 32`, bit-identical to an
+    * independent 32-table run because hyperplanes depend only on
+    * (table, bit, seed); AnnSpec pins it) and q_lsh_recall (all 48).
+    * Consumers fall back to their own independent Ann call whenever the
+    * 48-table gate estimate would refuse — so each query's feasible
+    * region and gate message are EXACTLY its historical ones, and the
+    * shared pass exists only where it is safe. Dropped by
+    * invalidateCache (stale-on-rewrite). */
+  private[graft] def lshBandedCandidates(s: SparkSession, dir: String): DataFrame =
+    lshCandCache.getOrElseUpdate((s, dir),
+      graft.Caches.pin(graft.operators.Ann.lshNearDupPairsTagged(
+        lshCorpus(s, dir), BaseCosineThreshold,
+        nTables = SharedLshTables, nBits = 4)))
+
   /** Session-scoped materialized intermediate: the exact label-blocked
     * cosine pair frame at the base threshold, persisted on first use.
     * Both q_cosine_neardup and the lshRecall gate consume it, and the
@@ -107,6 +141,9 @@ object Embeddings {
   def invalidateCache(s: SparkSession): Unit = {
     exactPairCache.keys.filter(_._1 eq s).foreach { k =>
       exactPairCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    lshCandCache.keys.filter(_._1 eq s).foreach { k =>
+      lshCandCache.remove(k).foreach(_.unpersist(blocking = false))
     }
     // the memoized quantizer fit is corpus state exactly like the pair
     // frame: centroids fitted on a rewritten dir would silently feed
@@ -217,11 +254,24 @@ object Embeddings {
   def cosineNearDupLsh(s: SparkSession, dir: String,
       threshold: Double = 0.35): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id".as("id"), $"embedding".as("vec"))
-      .repartition(s.sparkContext.defaultParallelism)
-    graft.operators.Ann.lshNearDupPairs(e, threshold, nTables = 32, nBits = 4)
-      .orderBy($"a_id", $"b_id")
+    val e = lshCorpus(s, dir)
+    // r17: serve from the shared 48-table tagged frame when (a) this is
+    // the registry's threshold (the frame's terminal filter) and (b) the
+    // 48-table gate estimate passes — `min_table < 32` is EXACTLY the
+    // independent 32-table pair set (hyperplanes depend only on
+    // (table, bit, seed); AnnSpec pins the equality) with the identical
+    // IEEE cosine. Otherwise: the historical independent call, so the
+    // feasible region and gate message are unchanged.
+    val pairs =
+      if (threshold == BaseCosineThreshold &&
+          graft.operators.Ann.lshNearDupFeasible(e, threshold,
+            SharedLshTables, nBits = 4))
+        lshBandedCandidates(s, dir)
+          .filter($"min_table" < 32)
+          .select($"a_id", $"b_id", $"cosine")
+      else graft.operators.Ann
+        .lshNearDupPairs(e, threshold, nTables = 32, nBits = 4)
+    pairs.orderBy($"a_id", $"b_id")
   }
 
   /** Driver-visible recall gate for the sign-LSH embedding tier — the
@@ -268,11 +318,19 @@ object Embeddings {
         lit((sampleFraction * 1e6).toLong)
     val exact = if (sampleFraction >= 1.0) exactAll
       else exactAll.filter(keep($"a_id") && keep($"b_id"))
-    val e = Tables.embeddings(s, dir)
-      .select($"vec_id".as("id"), $"embedding".as("vec"))
-      .repartition(s.sparkContext.defaultParallelism)
-    val approx = graft.operators.Ann
-      .lshNearDupPairs(e, threshold = 0.35, nTables = nTables)
+    val e = lshCorpus(s, dir)
+    // r17: the shared 48-table tagged frame IS this query's approx side
+    // (same tables, same terminal threshold filter); fall back to the
+    // historical independent call off the registry parameters or when
+    // the 48-table gate estimate would refuse (identical gate message).
+    val approxPairs =
+      if (nTables == SharedLshTables &&
+          graft.operators.Ann.lshNearDupFeasible(e, BaseCosineThreshold,
+            SharedLshTables, nBits = 4))
+        lshBandedCandidates(s, dir)
+      else graft.operators.Ann
+        .lshNearDupPairs(e, threshold = 0.35, nTables = nTables)
+    val approx = approxPairs
       .select($"a_id", $"b_id", lit(1L).as("__hit"))
     exact.join(approx, Seq("a_id", "b_id"), "left_outer")
       .select($"a_id", $"b_id", $"label", $"cosine",

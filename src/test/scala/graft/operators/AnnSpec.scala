@@ -139,6 +139,51 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("lshNearDupPairsTagged: min_table < T selects EXACTLY the " +
+      "independent T-table pair set, cosines bit-equal (both valve branches)") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_id", $"b_id", $"cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // direct branch: the real (dup-light) sf0.001 embeddings
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val tagged = Ann.lshNearDupPairsTagged(e, 0.35, nTables = 48, nBits = 4)
+    assert(rows(tagged.filter($"min_table" < 32)) ===
+      rows(Ann.lshNearDupPairs(e, 0.35, nTables = 32, nBits = 4)),
+      "48-table tagged frame restricted to tables 0-31 must equal the " +
+        "independent 32-table run")
+    assert(rows(tagged) ===
+      rows(Ann.lshNearDupPairs(e, 0.35, nTables = 48, nBits = 4)))
+    // collapsed branch: every vector replicated 4x (dupFactor 4 >= valve)
+    val dup = e.select(explode(typedlit(Seq(0, 1, 2, 3))).as("r"), $"id", $"vec")
+      .select(($"id" * 4 + $"r").as("id"), $"vec")
+    val taggedDup = Ann.lshNearDupPairsTagged(dup, 0.35, nTables = 48, nBits = 4)
+    assert(rows(taggedDup.filter($"min_table" < 32)) ===
+      rows(Ann.lshNearDupPairs(dup, 0.35, nTables = 32, nBits = 4)),
+      "collapsed tagged frame restricted to tables 0-31 must equal the " +
+        "independent 32-table run")
+  }
+
+  test("lshNearDupFeasible mirrors the candidate-volume gate decision") {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    assert(Ann.lshNearDupFeasible(e, 0.35, nTables = 48, nBits = 4))
+    // a 1-candidate budget refuses any non-trivial corpus — and the gate
+    // inside the full call refuses the same configuration
+    assert(!Ann.lshNearDupFeasible(e, 0.35, nTables = 48, nBits = 4,
+      maxCandidateEstimate = 1L))
+    val ex = intercept[IllegalArgumentException] {
+      Ann.lshNearDupPairs(e, 0.35, nTables = 48, nBits = 4,
+        maxCandidateEstimate = 1L)
+    }
+    assert(ex.getMessage.contains("expected bucket-join candidates"))
+  }
+
   test("lshNearDupPairs maxBucket guard cuts a degenerate identical-vector mass") {
     val spark2 = spark
     import spark2.implicits._
